@@ -1,0 +1,431 @@
+"""Core relational operators — SURVEY.md §2.3 (joins), §2.4 (aggregations),
+§2.5 (windows/top-k), §2.6 (set ops) — re-expressed as declarative DataFrame
+plans over the driver's TPC-H-ish tables.
+
+Each function takes the `tables` dict from `tables.load_tables` and returns a
+DataFrame. Semantics trace to the reference (file:line cited per function);
+the *shape* (which join keys, which aggregates) is mapped onto the driver's
+star schema: nation≈team, customer≈driver, orders≈race entries,
+lineitem≈per-lap results.
+
+Scale notes apply to every function here:
+  * dimension sides (region/nation/part/supplier) broadcast — at 100 TB
+    only fact-fact joins (orders⋈lineitem) shuffle, co-partitioned on the
+    join key by AQE;
+  * aggregations are partial+final automatically (map-side combine), so
+    group-by cardinality, not input rows, bounds the shuffle;
+  * top-k uses window row_number per group (partition-local sort + single
+    shuffle on the group key) or `orderBy().limit(k)` which Catalyst plans
+    as TakeOrderedAndProject (per-partition heap, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def revenue_expr():
+    """Per-line revenue: extendedprice * (1 - discount)."""
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+def pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """Grouped multi-aggregate rollup (A5/A6 shape: SUM/AVG/COUNT with
+    conditional arithmetic), the reference's standings-view aggregate
+    pattern (docs/demo/racing-championship/schema.sql:669-723) applied to
+    lineitem. Pure partial+final agg: one shuffle of 6 groups.
+    """
+    li = t["lineitem"]
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(revenue_expr()), 2).alias("sum_disc_price"),
+            F.round(F.sum(revenue_expr() * (F.lit(1.0) + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def customer_standings(t: dict[str, DataFrame], limit: int = 20) -> DataFrame:
+    """The flagship: per-customer standings — the reference's driver-standings
+    view shape (schema.sql:669-699: multi-join + SUM + COUNT(DISTINCT) +
+    conditional COUNT + ROUND(AVG)) over customer⋈orders⋈lineitem.
+
+    Plan: orders⋈lineitem is the only fact-fact shuffle; customer joins on
+    the already-aggregated (small) side. Final top-N is
+    TakeOrderedAndProject — no global sort materialization.
+    """
+    cust, orders, li = t["customer"], t["orders"], t["lineitem"]
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(revenue_expr()), 2).alias("total_revenue"),
+            F.countDistinct("o_orderkey").alias("num_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_lines"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_quantity"),
+        )
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "total_revenue",
+            "num_orders",
+            "finished_lines",
+            "avg_quantity",
+        )
+        .orderBy(F.desc("total_revenue"), F.asc("custkey"))
+        .limit(limit)
+    )
+
+
+def team_standings(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-nation ("team") standings with conditional aggregation — the
+    reference's team_standings view (schema.sql:725-745): SUM, COUNT(DISTINCT),
+    conditional SUM via CASE, NVL→coalesce, ROUND(AVG,3).
+    Nation/region are broadcast dims; only orders⋈customer shuffles.
+    """
+    cust, orders, nation = t["customer"], t["orders"], t["nation"]
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("team"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_points"),
+            F.countDistinct("o_custkey").alias("num_drivers"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("urgent_orders"),
+            F.round(F.coalesce(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), F.lit(0.0)), 2).alias("finished_points"),
+            F.round(F.avg("o_totalprice"), 3).alias("avg_points"),
+        )
+    )
+
+
+def json_group_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """A1: GROUP BY a JSON-extracted field with MAX rollups — the reference
+    pushes `GROUP BY JSON_VALUE(metadata,'$.filename')` server-side so the
+    app never materializes per-chunk rows (embed/vector_store.py:375-412).
+    Here: events.props is a JSON bag; group on `$.k`.
+    `get_json_object` stays in whole-stage codegen — no UDF.
+    """
+    ev = t["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.groupBy(k.alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def two_key_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """A2: two-key group-by with COUNT + MAX stats + orphan handling via
+    coalesce (embed/vector_store.py:447-531 groups by (filename, source) and
+    labels null filenames as orphans)."""
+    docs = t["documents"]
+    return (
+        docs.groupBy(
+            F.coalesce(F.col("lang"), F.lit("orphan")).alias("lang"),
+            F.col("source").alias("source"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_chars").alias("max_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+def distinct_sources(t: dict[str, DataFrame]) -> DataFrame:
+    """A4: DISTINCT projection (embed/vector_store.py:415-419 pulls distinct
+    legacy metadata sources). Hash-agg distinct, partial+final."""
+    return t["documents"].select("source").distinct()
+
+
+def correctness_report(t: dict[str, DataFrame]) -> DataFrame:
+    """A7+A8: evaluation aggregation — overall + per-topic mean correctness
+    (api/v1/endpoints/testbed.py:312-346, Giskard correctness_by_topic).
+    "Correctness" is a deterministic judge double: md5-parity of the doc text
+    (same rule in the DuckDB oracle), topic = lang. `grouping sets` gives
+    overall + by-topic in ONE shuffle instead of a union of two aggs.
+    """
+    docs = t["documents"]
+    judged = docs.withColumn(
+        "correct",
+        (F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long") % 2 == 0),
+    )
+    return (
+        judged.groupBy(F.lit("by_topic").alias("scope"), F.col("lang").alias("topic"))
+        .agg(
+            F.round(F.avg(F.col("correct").cast("double")), 4).alias("correctness"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .unionByName(
+            judged.groupBy(F.lit("overall").alias("scope"), F.lit("all").alias("topic")).agg(
+                F.round(F.avg(F.col("correct").cast("double")), 4).alias("correctness"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+    )
+
+
+def evaluation_failures(t: dict[str, DataFrame]) -> DataFrame:
+    """A9: failures filter (testbed.py:346 `report.failures`) — rows the
+    deterministic judge marked incorrect."""
+    docs = t["documents"]
+    return (
+        docs.withColumn(
+            "correct",
+            (F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long") % 2 == 0),
+        )
+        .filter(~F.col("correct"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def token_usage_fold(t: dict[str, DataFrame]) -> DataFrame:
+    """A10: token-usage fold (runtime/common.py:150-160 sums prompt/completion
+    tokens across calls) — whitespace token counts summed per source."""
+    docs = t["documents"]
+    tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(tokens.cast("long")).alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def anti_join_new_rows(t: dict[str, DataFrame]) -> DataFrame:
+    """J2: the vector-store merge anti-join — INSERT only ids not already in
+    the target (embed/vector_store.py:250-257 `WHERE NOT EXISTS`).
+    Mapped: customers with no *finished* orders — the "new rows" not yet in
+    the target. Broadcast-able build side at dim scale; at fact scale AQE
+    picks shuffled hash anti-join.
+    """
+    cust, orders = t["customer"], t["orders"]
+    finished = orders.filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(finished, cust.c_custkey == finished.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def semi_join_existing(t: dict[str, DataFrame]) -> DataFrame:
+    """J8: existence probe (database/settings.py:263-274 `SELECT 1 ... WHERE
+    client=:c`) as a semi-join: customers having ≥1 urgent order."""
+    cust, orders = t["customer"], t["orders"]
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+def multiway_left_join(t: dict[str, DataFrame]) -> DataFrame:
+    """J5: the demo's driver-profile multi-way join with LEFT JOIN keeping
+    zero-activity rows (schema.sql:685-690). region⋈nation broadcast;
+    customer LEFT-joined so nations with no customers survive."""
+    region, nation, cust = t["region"], t["nation"], t["customer"]
+    return (
+        F.broadcast(region)
+        .join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(cust, nation.n_nationkey == cust.c_nationkey, "left")
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def cascade_delete_survivors(t: dict[str, DataFrame]) -> DataFrame:
+    """J7: FK-cascade delete (database/objects.py:69-84 ON DELETE CASCADE
+    testsets→qa) as a join rewrite: delete non-'F' orders, lineitems survive
+    only via semi-join on surviving parents."""
+    orders, li = t["orders"], t["lineitem"]
+    surviving_orders = orders.filter(F.col("o_orderstatus") == "F")
+    survivors = li.join(
+        surviving_orders, li.l_orderkey == surviving_orders.o_orderkey, "left_semi"
+    )
+    return survivors.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("surviving_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("surviving_qty"),
+    )
+
+
+def composite_key_join(t: dict[str, DataFrame]) -> DataFrame:
+    """J5 composite-key flavor (schema.sql:711-719 joins performance_metrics
+    ON (driver_id, race_id)): lineitem⋈(part,supplier) on the composite
+    (l_partkey,l_suppkey) via a pre-joined dim — per (brand, supplier-nation)
+    revenue."""
+    li, part, supp = t["lineitem"], t["part"], t["supplier"]
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("s_nationkey").alias("supp_nation"))
+        .agg(F.round(F.sum(revenue_expr()), 2).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def view_on_view_standings(t: dict[str, DataFrame], spark=None) -> DataFrame:
+    """J6: view-on-view composition (schema.sql:725-745 championship view
+    joins two other views). Expressed as chained temp views consumed by
+    spark.sql — Catalyst inlines them; no materialization boundary."""
+    spark = spark or t["customer"].sparkSession
+    t["customer"].createOrReplaceTempView("v_customer")
+    t["orders"].createOrReplaceTempView("v_orders")
+    t["nation"].createOrReplaceTempView("v_nation")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW v_cust_points AS
+        SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS points,
+               COUNT(*) AS races
+        FROM v_orders GROUP BY o_custkey
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW v_nation_standings AS
+        SELECT c.c_nationkey AS nationkey,
+               ROUND(SUM(p.points), 2) AS nation_points,
+               SUM(p.races) AS nation_races,
+               COUNT(*) AS n_scoring_customers
+        FROM v_cust_points p JOIN v_customer c ON p.custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+        """
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, s.nation_points, s.nation_races,
+               s.n_scoring_customers
+        FROM v_nation_standings s JOIN v_nation n ON s.nationkey = n.n_nationkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / top-k, §2.6 set ops, §2.2 predicates
+# ---------------------------------------------------------------------------
+
+def global_topk(t: dict[str, DataFrame], k: int = 8) -> DataFrame:
+    """W1: global sort + truncate to top_k (vs_retriever.py:361-365, default
+    k=8 core/schemas.py:52). Catalyst plans orderBy+limit as
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    return (
+        t["orders"]
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .limit(k)
+    )
+
+
+def per_group_topk(t: dict[str, DataFrame], k: int = 5) -> DataFrame:
+    """W2: per-query top-k (`FETCH FIRST k` per store search,
+    vs_retriever.py:264): top-k customers by acctbal per nation via window
+    row_number — one shuffle on the partition key, partition-local sort."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        t["customer"]
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "rnk",
+        )
+    )
+
+
+def keep_max_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """W3/D2: dedup keeping the highest-scoring duplicate
+    (vs_retriever.py:130-151 keeps max similarity_score per page_content).
+    Mapped: per orderkey keep the line with max extendedprice (ties: lowest
+    linenumber — the reference keeps the *first* seen on ties since it only
+    replaces on strictly-greater score)."""
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        t["lineitem"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("best_price"),
+        )
+    )
+
+
+def ranked_standings(t: dict[str, DataFrame]) -> DataFrame:
+    """W6: championship ranking — rank() over aggregated standings
+    (prompts.json: 'Sort by Final Total descending … name the champion')."""
+    standings = team_standings(t)
+    w = Window.orderBy(F.desc("total_points"), F.asc("team"))
+    return standings.withColumn("rank", F.rank().over(w)).select(
+        "rank", "team", "total_points", "num_drivers"
+    )
+
+
+def union_grant_targets(t: dict[str, DataFrame]) -> DataFrame:
+    """U1/U3: UNION ALL of heterogeneous sources into one relation
+    (deepsec/database.py:172-179 unions tables+views as grant targets)."""
+    cust = t["customer"].select(
+        F.lit("customer").alias("entity_type"),
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+    )
+    supp = t["supplier"].select(
+        F.lit("supplier").alias("entity_type"),
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+    )
+    return cust.unionByName(supp)
+
+
+def interval_staleness_filter(t: dict[str, DataFrame]) -> DataFrame:
+    """P4/F7: timestamp-interval staleness predicate (embed/jobs.py:300-313
+    `updated < SYSTIMESTAMP - NUMTODSINTERVAL(n,'SECOND')`). Anchored to a
+    fixed cutoff for determinism: events in the trailing window, counted by
+    type. The filter pushes down to the parquet scan (`PushedFilters`)."""
+    ev = t["events"]
+    cutoff = F.to_timestamp(F.lit("2024-01-25 00:00:00"))
+    return (
+        ev.filter(F.col("ts") >= cutoff)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_recent"),
+            F.round(F.sum("value"), 4).alias("recent_value"),
+        )
+    )
+
+
+def json_path_projection(t: dict[str, DataFrame]) -> DataFrame:
+    """P2: JSON-path projection (`JSON_VALUE(metadata,'$.filename')`,
+    embed/vector_store.py:388-396) — pure codegen, no UDF."""
+    ev = t["events"]
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+        "event_type",
+    ).filter(F.col("k") < 10)

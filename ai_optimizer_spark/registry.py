@@ -1,0 +1,359 @@
+"""Query registry: every implemented operator exposed as a named
+(spark_query, oracle_sql) pair for the driver contract.
+
+`QUERIES[name]` is a callable (spark, sf_dir) -> DataFrame.
+`ORACLE_SQL[name]` is the ANSI-SQL equivalent DuckDB runs on the same
+parquet (views pre-registered by the driver). Column names/aliases match the
+Spark output exactly; float aggregates are ROUNDed identically on both sides
+so the order-insensitive value hash is stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import relational as R
+from .tables import load_tables
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, builder, sql: str | None) -> None:
+    def run(spark: SparkSession, sf_dir: str, _b=builder) -> DataFrame:
+        return _b(load_tables(spark, sf_dir))
+
+    QUERIES[name] = run
+    if sql is not None:
+        ORACLE_SQL[name] = sql
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+_register(
+    "a5_pricing_summary",
+    R.pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+_register(
+    "a6_customer_standings",
+    R.customer_standings,
+    """
+    WITH per_cust AS (
+        SELECT o.o_custkey,
+               ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS total_revenue,
+               COUNT(DISTINCT o.o_orderkey) AS num_orders,
+               COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS finished_lines,
+               ROUND(AVG(l.l_quantity), 4) AS avg_quantity
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           p.total_revenue, p.num_orders, p.finished_lines, p.avg_quantity
+    FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+    ORDER BY p.total_revenue DESC, custkey ASC
+    LIMIT 20
+    """,
+)
+
+_register(
+    "a5_team_standings",
+    R.team_standings,
+    """
+    SELECT n.n_name AS team,
+           ROUND(SUM(o.o_totalprice), 2) AS total_points,
+           COUNT(DISTINCT o.o_custkey) AS num_drivers,
+           COUNT(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 END) AS urgent_orders,
+           ROUND(COALESCE(SUM(CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice END), 0.0), 2) AS finished_points,
+           ROUND(AVG(o.o_totalprice), 3) AS avg_points
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+
+_register(
+    "a1_json_group_rollup",
+    R.json_group_rollup,
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COUNT(*) AS n_events,
+           ROUND(MAX(value), 4) AS max_value,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+
+_register(
+    "a2_two_key_rollup",
+    R.two_key_rollup,
+    """
+    SELECT COALESCE(lang, 'orphan') AS lang, source,
+           COUNT(*) AS n_docs,
+           MAX(n_chars) AS max_chars,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+
+_register("a4_distinct_sources", R.distinct_sources, "SELECT DISTINCT source FROM documents")
+
+_register(
+    "a7_correctness_report",
+    R.correctness_report,
+    """
+    WITH judged AS (
+        SELECT lang, (('0x' || substr(md5(text), 1, 15))::BIGINT % 2 = 0) AS correct
+        FROM documents
+    )
+    SELECT 'by_topic' AS scope, lang AS topic,
+           ROUND(AVG(CASE WHEN correct THEN 1.0 ELSE 0.0 END), 4) AS correctness,
+           COUNT(*) AS n
+    FROM judged GROUP BY lang
+    UNION ALL
+    SELECT 'overall' AS scope, 'all' AS topic,
+           ROUND(AVG(CASE WHEN correct THEN 1.0 ELSE 0.0 END), 4) AS correctness,
+           COUNT(*) AS n
+    FROM judged
+    """,
+)
+
+_register(
+    "a9_evaluation_failures",
+    R.evaluation_failures,
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE NOT (('0x' || substr(md5(text), 1, 15))::BIGINT % 2 = 0)
+    """,
+)
+
+_register(
+    "a10_token_usage_fold",
+    R.token_usage_fold,
+    """
+    SELECT source,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+_register(
+    "j2_anti_join_new_rows",
+    R.anti_join_new_rows,
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+
+_register(
+    "j8_semi_join_existing",
+    R.semi_join_existing,
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+
+_register(
+    "j5_multiway_left_join",
+    R.multiway_left_join,
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(c.c_custkey) AS n_customers,
+           ROUND(COALESCE(SUM(c.c_acctbal), 0.0), 2) AS total_acctbal
+    FROM region r
+    JOIN nation n ON r.r_regionkey = n.n_regionkey
+    LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+    """,
+)
+
+_register(
+    "j7_cascade_delete_survivors",
+    R.cascade_delete_survivors,
+    """
+    SELECT l.l_returnflag,
+           COUNT(*) AS surviving_lines,
+           ROUND(SUM(l.l_quantity), 2) AS surviving_qty
+    FROM lineitem l
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+    )
+    GROUP BY l.l_returnflag
+    """,
+)
+
+_register(
+    "j5_composite_key_join",
+    R.composite_key_join,
+    """
+    SELECT p.p_brand AS brand, s.s_nationkey AS supp_nation,
+           ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    """,
+)
+
+
+def _view_on_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.view_on_view_standings(load_tables(spark, sf_dir), spark)
+
+
+QUERIES["j6_view_on_view_standings"] = _view_on_view
+ORACLE_SQL["j6_view_on_view_standings"] = """
+    WITH cust_points AS (
+        SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS points,
+               COUNT(*) AS races
+        FROM orders GROUP BY o_custkey
+    ),
+    nation_standings AS (
+        SELECT c.c_nationkey AS nationkey,
+               ROUND(SUM(p.points), 2) AS nation_points,
+               CAST(SUM(p.races) AS BIGINT) AS nation_races,
+               COUNT(*) AS n_scoring_customers
+        FROM cust_points p JOIN customer c ON p.custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    )
+    SELECT n.n_name AS nation, s.nation_points, s.nation_races,
+           s.n_scoring_customers
+    FROM nation_standings s JOIN nation n ON s.nationkey = n.n_nationkey
+"""
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / top-k, §2.6 set ops, §2.2 predicates
+# ---------------------------------------------------------------------------
+
+_register(
+    "w1_global_topk",
+    R.global_topk,
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    ORDER BY orders.o_totalprice DESC, o_orderkey ASC
+    LIMIT 8
+    """,
+)
+
+_register(
+    "w2_per_group_topk",
+    R.per_group_topk,
+    """
+    SELECT * FROM (
+        SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+               ROUND(c_acctbal, 2) AS acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC
+               ) AS rnk
+        FROM customer
+    ) WHERE rnk <= 5
+    """,
+)
+
+_register(
+    "w3_keep_max_dedup",
+    R.keep_max_dedup,
+    """
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS best_price
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice DESC, l_linenumber ASC
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+
+_register(
+    "w6_ranked_standings",
+    R.ranked_standings,
+    """
+    WITH standings AS (
+        SELECT n.n_name AS team,
+               ROUND(SUM(o.o_totalprice), 2) AS total_points,
+               COUNT(DISTINCT o.o_custkey) AS num_drivers
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT CAST(RANK() OVER (ORDER BY total_points DESC, team ASC) AS INTEGER) AS rank,
+           team, total_points, num_drivers
+    FROM standings
+    """,
+)
+
+_register(
+    "u1_union_grant_targets",
+    R.union_grant_targets,
+    """
+    SELECT 'customer' AS entity_type, c_custkey AS entity_key, c_name AS entity_name
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS entity_type, s_suppkey AS entity_key, s_name AS entity_name
+    FROM supplier
+    """,
+)
+
+_register(
+    "p4_interval_staleness",
+    R.interval_staleness_filter,
+    """
+    SELECT event_type, COUNT(*) AS n_recent, ROUND(SUM(value), 4) AS recent_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+    GROUP BY event_type
+    """,
+)
+
+_register(
+    "p2_json_path_projection",
+    R.json_path_projection,
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) < 10
+    """,
+)

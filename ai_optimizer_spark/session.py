@@ -1,0 +1,51 @@
+"""SparkSession bootstrap tuned for the engine.
+
+The reference keeps per-database connection pools (`src/server/app/database/
+config.py`); in Spark the session *is* the pool. Config choices here are the
+scale levers: AQE for runtime re-planning (skew joins, partition coalescing),
+Arrow for the few Pandas-UDF operators, UTC session time so timestamp
+semantics match the columnar oracle exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults sized for the test harness (local[32], 128 GiB). On a real
+# cluster only `master` changes; shuffle partitions should scale with
+# executor cores (AQE coalesces the excess at runtime).
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(app_name: str = "ai_optimizer_spark") -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Every knob here exists for scale, not convenience:
+      * AQE on: runtime partition coalescing + skew-join splitting means the
+        same plan survives a 100x scale-up without re-tuning.
+      * autoBroadcastJoinThreshold stays at default (10 MB) — dimension
+        tables (region/nation/part at TPC-H shape) broadcast automatically;
+        we also broadcast explicitly where we *know* the side is small.
+      * Arrow enabled: the embed/judge Pandas UDFs move batches, not rows.
+      * UTC session timezone: deterministic timestamp arithmetic that
+        matches the DuckDB correctness oracle bit-for-bit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp — read as long, converted in tables.load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,55 @@
+"""Test-data table loading + view registration.
+
+Mirrors the reference's catalog bootstrap (`src/server/app/database/
+registry.py:29-77` discovers tables then registers them with the app); here
+the "catalog" is the driver-provided parquet directory and registration is
+`createOrReplaceTempView` so both the DataFrame API and `spark.sql`/NL2SQL
+paths see the same relations.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver parquet table as a DataFrame.
+
+    Plain `spark.read.parquet` — schema comes from parquet footers (no
+    inference pass), filters/projections push down to the scan.
+    """
+    tables = {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLE_NAMES}
+    # events.ts is TIMESTAMP(NANOS) in the driver parquet; Spark reads it as
+    # long (nanosAsLong). Truncate ns→µs exactly like DuckDB's TIMESTAMP cast
+    # (integer division, no double round-trip — 2024 epoch-ns overflows the
+    # 53-bit double mantissa).
+    ev = tables["events"]
+    if dict(ev.dtypes).get("ts") == "bigint":
+        tables["events"] = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return tables
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view (the NL2SQL surface)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

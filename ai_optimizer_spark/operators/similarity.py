@@ -1,0 +1,212 @@
+"""Vector similarity retrieval — SURVEY.md §2.3-J1/J9, §2.5-W1/W2, §2.2-P1.
+
+The reference issues per-store `ORDER BY distance FETCH FIRST k` through
+LangChain OracleVS (mcp/tools/vs_retriever.py:245-301), converts distances to
+similarities, filters by threshold, dedups keep-max, and re-sorts globally.
+Here the whole retrieval is ONE declarative plan:
+
+    candidates ⨯ broadcast(queries) → score expr → threshold filter
+    → window top-k per query → (union across stores) → keep-max dedup
+    → global top-k
+
+Scale shape: the query side is always tiny (a handful of vectors) and
+broadcast; the candidate side streams through codegen'd expressions — no
+shuffle until the per-query window, which partitions by query_id (perfectly
+parallel, no skew since every query sees ~equal candidates). With the
+sign-LSH bucket (v6) the scan itself is pruned ~2^bits-fold.
+
+Default parameters mirror the reference: top_k=8, score_threshold=0.65,
+fetch_k=20, lambda_mult=0.5 (core/schemas.py:52-55).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+TOP_K = 8
+SCORE_THRESHOLD = 0.65
+FETCH_K = 20
+LAMBDA_MULT = 0.5
+
+
+def _query_vectors(t: dict[str, DataFrame], vec_ids: list[int]) -> DataFrame:
+    emb = t["embeddings"]
+    return emb.filter(F.col("vec_id").isin(vec_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def cosine_topk(t: dict[str, DataFrame], query_id: int = 0, k: int = TOP_K) -> DataFrame:
+    """J1+W1: single-query cosine top-k. Rounded to 3 like the reference
+    (`round(similarity, 3)`, vs_retriever.py:280); ties broken by vec_id so
+    the result is a deterministic set."""
+    emb = t["embeddings"]
+    q = _query_vectors(t, [query_id])
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def similarity_conversions(t: dict[str, DataFrame], query_id: int = 0) -> DataFrame:
+    """F11/J1: all three metric conversions side by side with the exact
+    reference formulas (vs_retriever.py:268-274), rounded to 3 as the
+    reference does."""
+    emb = t["embeddings"]
+    q = _query_vectors(t, [query_id])
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            (F.round(V.cosine_score("embedding", "query_vec"), 3) + F.lit(0.0)).alias("cosine_sim"),
+            (F.round(V.dot_score("embedding", "query_vec"), 3) + F.lit(0.0)).alias("dot_sim"),
+            (F.round(V.euclidean_score("embedding", "query_vec"), 3) + F.lit(0.0)).alias("euclidean_sim"),
+        )
+    )
+
+
+def threshold_search(
+    t: dict[str, DataFrame], query_id: int = 0, threshold: float = SCORE_THRESHOLD
+) -> DataFrame:
+    """P1: score-threshold filter with the reference default 0.65 on the
+    COSINE-converted similarity (1 - d/2). The filter sits *before* the
+    top-k window, so at scale most candidates die in the scan stage."""
+    emb = t["embeddings"]
+    q = _query_vectors(t, [query_id])
+    sim = F.round(V.cosine_score("embedding", "query_vec"), 3) + F.lit(0.0)
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", sim.alias("similarity"))
+        .filter(F.col("similarity") >= threshold)
+    )
+
+
+def multi_query_topk(
+    t: dict[str, DataFrame], query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5
+) -> DataFrame:
+    """W2: per-query top-k — a *batch* of query vectors against the store in
+    one plan: crossJoin(broadcast(queries)) + window row_number ≤ k.
+    This is the engine's knn-join primitive; the reference runs one Oracle
+    query per (question, store) instead (vs_retriever.py:224)."""
+    emb = t["embeddings"]
+    q = _query_vectors(t, list(query_ids))
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def lsh_bucket_topk(
+    t: dict[str, DataFrame], query_id: int = 0, k: int = 5, n_bits: int = 8
+) -> DataFrame:
+    """O6 scale path: approximate top-k searching only the query's sign-LSH
+    bucket. At 100 TB the store is written clustered by `bucket` so this
+    prunes ~255/256 of the scan via partition pruning; here the bucket
+    predicate demonstrates the plan shape. Exact search (cosine_topk) stays
+    the default, LSH is the opt-in (SURVEY.md §4-O6)."""
+    emb = t["embeddings"].withColumn("bucket", V.sign_bucket("embedding", n_bits))
+    q = (
+        emb.filter(F.col("vec_id") == query_id)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("bucket").alias("query_bucket"),
+        )
+    )
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    return (
+        emb.join(F.broadcast(q), emb.bucket == q.query_bucket)
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", "bucket", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def knn_self_join(t: dict[str, DataFrame], k: int = 3, limit_queries: int = 50) -> DataFrame:
+    """Brute-force kNN join: for each of the first `limit_queries` vectors,
+    its k nearest neighbours (excluding itself). The all-pairs baseline the
+    ANN variants are judged against."""
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < limit_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def mmr_rerank(
+    t: dict[str, DataFrame],
+    query_id: int = 0,
+    k: int = TOP_K,
+    fetch_k: int = FETCH_K,
+    lambda_mult: float = LAMBDA_MULT,
+) -> DataFrame:
+    """J9: Maximal-Marginal-Relevance re-rank. Fetch_k candidates come from
+    the distributed top-k plan; the greedy selection runs on the collected
+    candidate set — exactly the reference's shape (LangChain MMR over ≤20
+    rows, vs_retriever.py:283-294). Candidates are tiny by construction, so
+    driver-side numpy is the right tool; the heavy lifting (scoring all N
+    vectors) stayed in Spark.
+
+    Non-SQL-expressible (iterative greedy) → rows-only driver check.
+    """
+    import numpy as np
+
+    emb = t["embeddings"]
+    spark = emb.sparkSession
+    q = _query_vectors(t, [query_id])
+    sim = V.cosine_similarity("embedding", "query_vec")
+    cands = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", "embedding", sim.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(fetch_k)
+        .collect()
+    )
+    if not cands:
+        return spark.createDataFrame([], "vec_id long, mmr_rank int, relevance double")
+    vecs = np.array([r.embedding for r in cands], dtype=np.float64)
+    rel = np.array([r.rel for r in cands])
+    vnorm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    pair_sim = vnorm @ vnorm.T
+
+    selected: list[int] = [0]  # candidates arrive relevance-sorted
+    while len(selected) < min(k, len(cands)):
+        best_i, best_score = -1, -np.inf
+        for i in range(len(cands)):
+            if i in selected:
+                continue
+            redundancy = max(pair_sim[i][j] for j in selected)
+            score = lambda_mult * rel[i] - (1 - lambda_mult) * redundancy
+            if score > best_score:
+                best_i, best_score = i, score
+        selected.append(best_i)
+
+    rows = [
+        (int(cands[i].vec_id), rank + 1, float(round(rel[i], 3)))
+        for rank, i in enumerate(selected)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, mmr_rank int, relevance double")

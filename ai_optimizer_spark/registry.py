@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import relational as R
+from .operators import similarity as S
 from .tables import load_tables
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -336,6 +337,130 @@ _register(
     FROM supplier
     """,
 )
+
+# ---------------------------------------------------------------------------
+# §2.3-J1/J9 vector similarity retrieval
+# ---------------------------------------------------------------------------
+
+_register(
+    "v1_cosine_topk",
+    S.cosine_topk,
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 3) + 0.0 AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 8
+    """,
+)
+
+_register(
+    "v2_similarity_conversions",
+    S.similarity_conversions,
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(1.0 - (1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qe)) / 2.0, 3) + 0.0 AS cosine_sim,
+           ROUND(list_inner_product(e.embedding::DOUBLE[], q.qe), 3) + 0.0 AS dot_sim,
+           ROUND(1.0 / (1.0 + list_distance(e.embedding::DOUBLE[], q.qe)), 3) + 0.0 AS euclidean_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    """,
+)
+
+_register(
+    "v3_threshold_search",
+    S.threshold_search,
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(1.0 - (1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qe)) / 2.0, 3) + 0.0 AS similarity
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+      AND ROUND(1.0 - (1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qe)) / 2.0, 3) + 0.0 >= 0.65
+    """,
+)
+
+_register(
+    "v4_multi_query_topk",
+    S.multi_query_topk,
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 3) + 0.0 AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT * FROM (
+        SELECT query_id, vec_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+               ) AS INTEGER) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+
+_register(
+    "v6_lsh_bucket_topk",
+    S.lsh_bucket_topk,
+    """
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               CAST((
+                 (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+                 (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+                 (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+                 (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) +
+                 (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) +
+                 (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) +
+                 (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) +
+                 (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)
+               ) AS INTEGER) AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT c.vec_id, c.bucket,
+           ROUND(list_cosine_similarity(c.emb, q.qe), 3) + 0.0 AS cos_sim
+    FROM b c JOIN q ON c.bucket = q.qb
+    WHERE c.vec_id <> 0
+    ORDER BY cos_sim DESC, c.vec_id ASC
+    LIMIT 5
+    """,
+)
+
+_register(
+    "v5_knn_self_join",
+    S.knn_self_join,
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 50
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 3) + 0.0 AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT * FROM (
+        SELECT query_id, vec_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+               ) AS INTEGER) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+
+# MMR greedy selection is iterative — not SQL-expressible → rows-only check.
+_register("j9_mmr_rerank", S.mmr_rerank, None)
 
 _register(
     "p4_interval_staleness",

@@ -1,0 +1,32 @@
+"""Semantic tests for the similarity operators (beyond oracle parity)."""
+
+from __future__ import annotations
+
+from ai_optimizer_spark.operators import similarity as S
+from ai_optimizer_spark.tables import load_tables
+
+
+def test_mmr_is_deterministic_and_diverse(spark, sf_medium):
+    t = load_tables(spark, sf_medium)
+    a = [tuple(r) for r in S.mmr_rerank(t).collect()]
+    b = [tuple(r) for r in S.mmr_rerank(t).collect()]
+    assert a == b
+    assert len(a) == S.TOP_K
+    # rank 1 is the most relevant candidate; ranks are 1..k
+    assert [r[1] for r in a] == list(range(1, S.TOP_K + 1))
+    assert a[0][2] == max(r[2] for r in a)
+
+
+def test_lsh_bucket_is_subset_of_exact_scores(spark, sf_medium):
+    """LSH top-k scores can't beat exact top-k scores (it searches a subset)."""
+    t = load_tables(spark, sf_medium)
+    exact = {r.vec_id: r.cos_sim for r in S.cosine_topk(t, k=500).collect()}
+    approx = S.lsh_bucket_topk(t, k=5).collect()
+    assert all(r.vec_id in exact and abs(exact[r.vec_id] - r.cos_sim) < 1e-9 for r in approx)
+
+
+def test_threshold_default_prunes(spark, sf_medium):
+    t = load_tables(spark, sf_medium)
+    n_all = t["embeddings"].count() - 1
+    n_kept = S.threshold_search(t).count()
+    assert 0 < n_kept < n_all

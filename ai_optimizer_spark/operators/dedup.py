@@ -1,0 +1,226 @@
+"""Deduplication operators over the `documents` corpus — SURVEY.md §2.8 plus
+the LLM-training-pipeline dedup family (BASELINE.json north star): exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design (the whole point of these):
+  * exact dedup — hash-aggregate on content; one shuffle keyed by the text
+    (at 100 TB: key by fingerprint hash, not the raw text, to shrink the
+    shuffle — both provided).
+  * n-gram Jaccard — the *verifier*: all-pairs via an inverted index
+    (explode shingles → self-join on shingle). Quadratic in the worst case;
+    at scale it runs ONLY on LSH candidate pairs.
+  * MinHash+LSH — the scale path: k seeded min-hashes → bands → bucket
+    join. Candidate generation is linear in corpus size; banding keys are
+    small longs, so the shuffle is narrow. Candidates verified with exact
+    Jaccard (on the same shingle sets) before being reported.
+  * SimHash — constant-size signature (one BIGINT), hamming ≤ d pairs.
+  * embedding near-dup — cosine over ARRAY<FLOAT>; at scale pre-bucket with
+    functions.vector.sign_bucket so only same-bucket pairs are compared.
+
+All hashing uses the portable md5-based hash60 so every operator is
+verifiable bit-for-bit against the DuckDB oracle (functions/text.py).
+Reference anchors: exact dedup embed/vector_store.py:112-118 (first-wins);
+the near-dup family is the engine's extension per the driver's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vector as V
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.8
+MINHASH_HASHES = 8
+LSH_BAND_ROWS = 2  # 4 bands of 2 hashes
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 6
+COSINE_NEARDUP_THRESHOLD = 0.45
+
+
+def exact_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """D1: exact dedup by content, first occurrence wins (the reference
+    dedups on page_content with a seen-set before embedding,
+    embed/vector_store.py:112-118 — order = insertion; here "first" =
+    lowest doc_id, the deterministic equivalent)."""
+    w = Window.partitionBy("text").orderBy(F.asc("doc_id"))
+    return (
+        t["documents"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded inverted index + per-doc set size."""
+    return docs.select(
+        "doc_id", F.explode(T.word_shingles("text", SHINGLE_N)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    t: dict[str, DataFrame], threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
+
+    Inverted-index self-join: |intersection| from matching shingles,
+    |union| = |A|+|B|-|∩|. The shingle join key distributes uniformly
+    (hash of text n-grams), so no skew; at 100 TB this exact form runs on
+    LSH candidates only (see minhash_lsh_pairs)."""
+    sh = _shingle_sets(t["documents"])
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 3
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    t: dict[str, DataFrame], threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash+LSH near-dup: k=8 portable min-hashes, banded (r=2 → 4
+    bands); docs sharing any band bucket become candidates; candidates are
+    verified with exact Jaccard before being reported.
+
+    Scale shape: signatures are one narrow row per doc; the band bucket
+    join touches only colliding docs (linear + output-sized), and the
+    quadratic verify runs on the (tiny) candidate set — this is the 100 TB
+    dedup plan, end to end."""
+    docs = t["documents"]
+    shingled = docs.select(
+        "doc_id", T.word_shingles("text", SHINGLE_N).alias("shingles")
+    )
+    sig = shingled.select("doc_id", *T.minhash_signature(F.col("shingles"), MINHASH_HASHES))
+
+    n_bands = MINHASH_HASHES // LSH_BAND_ROWS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"mh{band * LSH_BAND_ROWS + r}")
+                                for r in range(LSH_BAND_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.key") == F.col("bb.key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # verify candidates with exact jaccard on the shingle sets
+    sh = _shingle_sets(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 3
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over shingle hash60s: bit i is the majority of bit i
+    across the set's hashes (ties → 0). Explode+groupBy keeps the bit sums
+    as a partial-aggregable shuffle (scales with docs, not shingles)."""
+    sh = docs.select(
+        "doc_id", F.explode(T.word_shingles("text", SHINGLE_N)).alias("shingle")
+    ).withColumn("h", T.hash60(F.col("shingle")))
+    bit_sums = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(2**i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    t: dict[str, DataFrame], max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ d. The signature is
+    ONE long per doc, so the pair scan is a compact self-join; at scale,
+    block on a signature prefix so only same-prefix pairs are compared."""
+    sig = simhash_signatures(t["documents"])
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    t: dict[str, DataFrame], threshold: float = COSINE_NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cos ≥ threshold. Brute-force
+    pair scan here; the 100 TB plan prepends a sign_bucket equality join
+    (see lsh variant) so only same-bucket pairs are scored."""
+    emb = t["embeddings"]
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = F.round(V.cosine_similarity("ea", "eb"), 3) + F.lit(0.0)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

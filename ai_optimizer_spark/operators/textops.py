@@ -1,0 +1,119 @@
+"""Text-analysis operators over `documents` — the LLM-pipeline text family
+(BASELINE.json north star): token stats, quality scoring, language ID,
+fingerprinting, plus the reference-parity chunker (F3/F4).
+
+Everything is built-in column expressions (codegen, map-only — no shuffle
+except the final display ordering the caller may add). At 100 TB these run
+as narrow transforms fused into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "les", "et", "une"),
+    "de": ("der", "die", "und", "das"),
+}
+
+
+def token_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Token counting (whitespace tokenizer): counts, distinct counts, mean
+    token length — the unit economics of a training corpus."""
+    docs = t["documents"]
+    w = T.words("text")
+    total_len = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_uniq_tokens"),
+        F.round(total_len / F.size(w), 3).alias("avg_token_len"),
+    )
+
+
+def quality_score(t: dict[str, DataFrame]) -> DataFrame:
+    """Heuristic quality scoring: length score (saturating at 50 tokens),
+    lexical diversity, stopword ratio — combined into one [0,1] score.
+    Deterministic arithmetic; the DuckDB oracle runs the same formula."""
+    docs = t["documents"]
+    w = T.words("text")
+    n = F.size(w).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
+    n_uniq = F.size(F.array_distinct(w)).cast("double")
+    len_score = F.least(F.lit(1.0), n / F.lit(50.0))
+    diversity = n_uniq / n
+    stop_ratio = n_stop / n
+    quality = F.round(
+        F.lit(0.4) * len_score + F.lit(0.3) * diversity + F.lit(0.3) * (F.lit(1.0) - stop_ratio),
+        3,
+    )
+    return docs.select(
+        "doc_id",
+        F.round(len_score, 3).alias("len_score"),
+        F.round(diversity, 3).alias("diversity"),
+        F.round(stop_ratio, 3).alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(t: dict[str, DataFrame]) -> DataFrame:
+    """Marker-word language ID (n-gram-heuristic family): count per-language
+    marker hits, argmax with a fixed precedence (en>es>fr>de), 'unknown'
+    when nothing matches. The mechanism is what's verified — the synthetic
+    corpus is English-ish regardless of its `lang` label."""
+    docs = t["documents"]
+    w = T.words("text")
+    def _marker_filter(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return lambda x: F.array_contains(arr, x)
+
+    counts = {
+        lang: F.size(F.filter(w, _marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    en, es, fr, de = counts["en"], counts["es"], counts["fr"], counts["de"]
+    predicted = (
+        F.when((en > 0) & (en >= es) & (en >= fr) & (en >= de), "en")
+        .when((es > 0) & (es >= fr) & (es >= de), "es")
+        .when((fr > 0) & (fr >= de), "fr")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        fr.alias("fr_hits"),
+        de.alias("de_hits"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+def fingerprints(t: dict[str, DataFrame]) -> DataFrame:
+    """F2+document fingerprinting: md5 of the normalized (lowercased,
+    whitespace-collapsed) text + the portable 60-bit hash."""
+    docs = t["documents"]
+    return docs.select(
+        "doc_id",
+        T.fingerprint("text").alias("fingerprint"),
+        T.hash60(T.normalize("text")).alias("fingerprint60"),
+    )
+
+
+def chunk_documents(
+    t: dict[str, DataFrame], chunk_size: int = 100, overlap: int = 20
+) -> DataFrame:
+    """F3+F4: reference-parity sliding-window chunker (embed/document.py:
+    88-99 semantics: emit [start, start+size); stop at the chunk that
+    reaches the end; start = end - overlap) with `{id}_{idx}` chunk ids
+    (document.py:119-123). Pure posexplode — UDTF shape, no Python."""
+    return T.chunk_text(t["documents"], "text", "doc_id", chunk_size, overlap)

@@ -1,0 +1,163 @@
+"""DuckDB oracle SQL for the dedup operator family.
+
+These mirror ai_optimizer_spark.operators.dedup step for step using the
+same portable md5-based hash60, so results match bit-for-bit. The hash in
+DuckDB is ('0x' || substr(md5(s), 1, 15))::BIGINT == Spark
+conv(substr(md5(s),1,15),16,10)::long.
+"""
+
+from __future__ import annotations
+
+from .operators.dedup import (
+    JACCARD_THRESHOLD,
+    LSH_BAND_ROWS,
+    MINHASH_HASHES,
+    SHINGLE_N,
+    SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
+    COSINE_NEARDUP_THRESHOLD,
+)
+
+# distinct n-word shingles per doc (set semantics, identical to
+# functions.text.word_shingles)
+_SHINGLES_CTE = f"""
+    w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, words,
+               unnest(generate_series(1, greatest(len(words) - {SHINGLE_N - 1}, 0))) AS i
+        FROM w
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(words[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+        FROM g
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+EXACT_DEDUP = """
+    SELECT doc_id, source, n_chars
+    FROM (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn = 1
+"""
+
+NGRAM_JACCARD = f"""
+    WITH {_SHINGLES_CTE},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 3) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 3) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _minhash_cols() -> str:
+    cols = []
+    for s in range(MINHASH_HASHES):
+        h = (
+            f"COALESCE(list_aggregate(list_transform(shingles, x -> "
+            f"('0x' || substr(md5('{s}|' || x), 1, 15))::BIGINT), 'min'), "
+            f"4611686018427387904) AS mh{s}"
+        )
+        cols.append(h)
+    return ",\n               ".join(cols)
+
+
+def _bands_union() -> str:
+    n_bands = MINHASH_HASHES // LSH_BAND_ROWS
+    parts = []
+    for band in range(n_bands):
+        key = " || ':' || ".join(
+            f"CAST(mh{band * LSH_BAND_ROWS + r} AS VARCHAR)" for r in range(LSH_BAND_ROWS)
+        )
+        parts.append(f"SELECT doc_id, {band} AS band, {key} AS key FROM sig")
+    return "\n        UNION ALL\n        ".join(parts)
+
+
+MINHASH_LSH = f"""
+    WITH {_SHINGLES_CTE},
+    shingled AS (
+        SELECT doc_id, COALESCE(list(shingle), []) AS shingles
+        FROM sh GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_minhash_cols()}
+        FROM shingled
+    ),
+    bands AS (
+        {_bands_union()}
+    ),
+    candidates AS (
+        SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+        FROM bands ba JOIN bands bb
+          ON ba.band = bb.band AND ba.key = bb.key AND ba.doc_id < bb.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM candidates c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 3) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 3) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _simhash_bit_sums() -> str:
+    return ",\n               ".join(
+        f"SUM((h >> {i}) & 1) AS b{i}" for i in range(SIMHASH_BITS)
+    )
+
+
+def _simhash_assemble() -> str:
+    return " + ".join(
+        f"(CASE WHEN b{i} * 2 > n THEN {2**i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+
+
+SIMHASH_PAIRS = f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        FROM sh
+    ),
+    bit_sums AS (
+        SELECT doc_id, COUNT(*) AS n,
+               {_simhash_bit_sums()}
+        FROM hashed GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id, CAST({_simhash_assemble()} AS BIGINT) AS simhash
+        FROM bit_sums
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+EMBEDDING_NEARDUP = f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) + 0.0 AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) + 0.0
+          >= {COSINE_NEARDUP_THRESHOLD}
+"""

@@ -14,8 +14,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import oracle_dedup as OD
+from .operators import dedup as D
 from .operators import relational as R
 from .operators import similarity as S
+from .operators import textops as TX
 from .tables import load_tables
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -461,6 +464,118 @@ _register(
 
 # MMR greedy selection is iterative — not SQL-expressible → rows-only check.
 _register("j9_mmr_rerank", S.mmr_rerank, None)
+
+# ---------------------------------------------------------------------------
+# §2.8 dedup family (exact + near-dup, the LLM-pipeline signature ops)
+# ---------------------------------------------------------------------------
+
+_register("d1_exact_dedup", D.exact_dedup, OD.EXACT_DEDUP)
+_register("d2_ngram_jaccard_pairs", D.ngram_jaccard_pairs, OD.NGRAM_JACCARD)
+_register("d3_minhash_lsh_pairs", D.minhash_lsh_pairs, OD.MINHASH_LSH)
+_register("d4_simhash_pairs", D.simhash_pairs, OD.SIMHASH_PAIRS)
+_register("d5_embedding_neardup", D.embedding_neardup_pairs, OD.EMBEDDING_NEARDUP)
+
+# ---------------------------------------------------------------------------
+# text analysis family + reference-parity chunker
+# ---------------------------------------------------------------------------
+
+_register(
+    "tx1_token_stats",
+    TX.token_stats,
+    """
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq_tokens,
+           ROUND(list_aggregate(list_transform(words, x -> len(x)), 'sum') * 1.0 / len(words), 3) AS avg_token_len
+    FROM w
+    """,
+)
+
+_register(
+    "tx2_quality_score",
+    TX.quality_score,
+    f"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(words) * 1.0 AS n,
+               len(list_filter(words, x -> x IN {TX.STOPWORDS!r})) * 1.0 AS n_stop,
+               len(list_distinct(words)) * 1.0 AS n_uniq
+        FROM w
+    )
+    SELECT doc_id,
+           ROUND(LEAST(1.0, n / 50.0), 3) AS len_score,
+           ROUND(n_uniq / n, 3) AS diversity,
+           ROUND(n_stop / n, 3) AS stop_ratio,
+           ROUND(0.4 * LEAST(1.0, n / 50.0) + 0.3 * (n_uniq / n) + 0.3 * (1.0 - n_stop / n), 3) AS quality
+    FROM m
+    """,
+)
+
+_register(
+    "tx3_lang_id",
+    TX.lang_id,
+    f"""
+    WITH w AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
+    hits AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(words, x -> x IN {TX.LANG_MARKERS['en']!r})) AS INTEGER) AS en_hits,
+               CAST(len(list_filter(words, x -> x IN {TX.LANG_MARKERS['es']!r})) AS INTEGER) AS es_hits,
+               CAST(len(list_filter(words, x -> x IN {TX.LANG_MARKERS['fr']!r})) AS INTEGER) AS fr_hits,
+               CAST(len(list_filter(words, x -> x IN {TX.LANG_MARKERS['de']!r})) AS INTEGER) AS de_hits
+        FROM w
+    )
+    SELECT doc_id, lang AS labeled_lang, en_hits, es_hits, fr_hits, de_hits,
+           CASE
+             WHEN en_hits > 0 AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+             WHEN es_hits > 0 AND es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+             WHEN fr_hits > 0 AND fr_hits >= de_hits THEN 'fr'
+             WHEN de_hits > 0 THEN 'de'
+             ELSE 'unknown'
+           END AS predicted_lang
+    FROM hits
+    """,
+)
+
+_register(
+    "tx4_fingerprints",
+    TX.fingerprints,
+    """
+    WITH n AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents
+    )
+    SELECT doc_id, md5(norm) AS fingerprint,
+           ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fingerprint60
+    FROM n
+    """,
+)
+
+_register(
+    "tx5_chunk_documents",
+    TX.chunk_documents,
+    """
+    WITH starts AS (
+        SELECT doc_id, text, length(text) AS n,
+               unnest(generate_series(0, CAST(ceil(length(text) / 80.0) AS BIGINT))) AS i
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, text, n, i, i * 80 AS start_index,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS idx
+        FROM starts
+        WHERE (i = 0 AND n > 0) OR (i > 0 AND i * 80 + 20 < n)
+    )
+    SELECT doc_id,
+           doc_id || '_' || CAST(idx AS VARCHAR) AS chunk_id,
+           CAST(start_index AS INTEGER) AS start_index,
+           substr(text, CAST(start_index AS INTEGER) + 1, 100) AS chunk_text,
+           CAST(len(substr(text, CAST(start_index AS INTEGER) + 1, 100)) AS INTEGER) AS chunk_len
+    FROM chunks
+    """,
+)
 
 _register(
     "p4_interval_staleness",

@@ -1,0 +1,90 @@
+"""Unit tests: chunker parity with the reference algorithm, dedup-family
+consistency (mirrors the reference's own unit strategy, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ai_optimizer_spark.functions import text as T
+from ai_optimizer_spark.operators import dedup as D
+from ai_optimizer_spark.tables import load_tables
+
+
+def _reference_split(text: str, chunk_size: int, chunk_overlap: float):
+    """Faithful reimplementation of the reference chunker semantics
+    (src/server/app/embed/document.py:88-99) for property testing."""
+    overlap = int(math.ceil(chunk_overlap))
+    chunks, start, n = [], 0, len(text)
+    while start < n:
+        end = min(n, start + chunk_size)
+        chunks.append((text[start:end], start))
+        if end == n:
+            break
+        start = end - overlap
+    return chunks
+
+
+def test_chunker_matches_reference_semantics(spark):
+    cases = [
+        ("a" * 250, 100, 20),
+        ("b" * 100, 100, 20),   # single chunk, exact boundary
+        ("c" * 101, 100, 20),   # one char past → second chunk
+        ("d" * 99, 100, 20),    # shorter than size
+        ("e" * 7, 5, 2),
+        ("", 100, 20),          # empty → no chunks
+        ("x" * 160, 80, 0),     # zero overlap
+    ]
+    df = spark.createDataFrame(
+        [(i, t, s, o) for i, (t, s, o) in enumerate(cases)], "id long, text string, s int, o int"
+    )
+    for i, (text, size, overlap) in enumerate(cases):
+        got = (
+            T.chunk_text(df.filter(F.col("id") == i), "text", "id", size, overlap)
+            .orderBy("start_index")
+            .collect()
+        )
+        want = _reference_split(text, size, overlap)
+        assert [(r.chunk_text, r.start_index) for r in got] == want, (i, text[:20])
+        # chunk ids are {id}_{1-based idx}
+        assert [r.chunk_id for r in got] == [f"{i}_{j+1}" for j in range(len(want))]
+
+
+def test_chunker_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "abc")], "id long, text string")
+    for size, overlap in [(10, 10), (10, 11), (0, 0)]:
+        try:
+            T.chunk_text(df, "text", "id", size, overlap)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+
+def test_minhash_candidates_superset_of_exact_pairs(spark, sf_medium):
+    """LSH-verified output must equal the exact-jaccard output whenever LSH
+    recall is 1.0 — with the planted near-dups (j ≥ 0.9) and 4 bands of 2,
+    expected recall is ~1-1e-3 per pair, so equality is the expectation."""
+    t = load_tables(spark, sf_medium)
+    exact = {(r.doc_a, r.doc_b) for r in D.ngram_jaccard_pairs(t).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(t).collect()}
+    assert lsh == exact
+    assert len(exact) > 0
+
+
+def test_simhash_finds_planted_dups(spark, sf_medium):
+    t = load_tables(spark, sf_medium)
+    exact = {(r.doc_a, r.doc_b) for r in D.ngram_jaccard_pairs(t).collect()}
+    sim = {(r.doc_a, r.doc_b) for r in D.simhash_pairs(t).collect()}
+    # simhash should recover the planted near-dups with few extras
+    assert exact <= sim
+    assert len(sim) <= len(exact) * 3
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(5, "same", "s1", 4), (2, "same", "s2", 4), (9, "other", "s3", 5)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    out = {r.doc_id for r in D.exact_dedup({"documents": df}).collect()}
+    assert out == {2, 9}

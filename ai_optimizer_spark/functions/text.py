@@ -70,22 +70,27 @@ def word_shingles(col, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(w) >= n, sh).otherwise(F.array()))
 
 
-def minhash_signature(shingles: Column, n_hashes: int) -> list[Column]:
-    """Min-hash per seeded hash function over a shingle-set column. Empty
-    sets get MAX_LONG so they never collide with real signatures."""
-    def _hasher(seed: int):
-        # closure factory: a plain 1-arg lambda (pyspark maps multi-arg
-        # lambdas to (element, index) — a default-arg capture would silently
-        # receive the index column)
-        return lambda x: F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), x)), 1, 15), 16, 10
-        ).cast("long")
+# Universal-hash family over one base hash: h_s(x) = (a_s·(base % P) + b_s) % P.
+# P = 2^31-1 keeps every product < 2^62 — no BIGINT overflow in either engine
+# (Spark wraps silently, DuckDB errors; staying small avoids both). Fixed
+# constants so Spark and the DuckDB oracle agree bit-for-bit. One md5 per
+# shingle total, instead of one per (shingle × hash function).
+MINHASH_P = 2147483647
+MINHASH_A = (1000003, 999331, 998951, 997369, 996293, 995009, 994013, 993319)
+MINHASH_B = (12345, 67891, 24681, 13579, 97531, 86421, 75319, 64207)
+MINHASH_EMPTY = 2**62
 
-    sigs = []
-    for s in range(n_hashes):
-        h = F.array_min(F.transform(shingles, _hasher(s)))
-        sigs.append(F.coalesce(h, F.lit(2**62)).alias(f"mh{s}"))
-    return sigs
+
+def minhash_terms(base: Column, n_hashes: int) -> list[Column]:
+    """The n universal-hash values of one shingle's base hash60. MIN() over
+    these per doc = the minhash signature — expressed as aggregates over
+    exploded shingle rows so Catalyst runs partial (map-side) min before
+    the shuffle."""
+    rem = base % F.lit(MINHASH_P)
+    return [
+        ((F.lit(MINHASH_A[s]) * rem + F.lit(MINHASH_B[s])) % F.lit(MINHASH_P)).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
 
 
 def chunk_starts(n_chars, chunk_size: int, overlap: int) -> Column:

@@ -98,15 +98,20 @@ def minhash_lsh_pairs(
     bands); docs sharing any band bucket become candidates; candidates are
     verified with exact Jaccard before being reported.
 
-    Scale shape: signatures are one narrow row per doc; the band bucket
-    join touches only colliding docs (linear + output-sized), and the
-    quadratic verify runs on the (tiny) candidate set — this is the 100 TB
-    dedup plan, end to end."""
+    Scale shape: one md5 per shingle (the universal-hash family derives the
+    k functions arithmetically); signatures come from partial-aggregable
+    MINs over the exploded shingle index, which is cached and reused for
+    verification; the band bucket join touches only colliding docs — this
+    is the 100 TB dedup plan, end to end."""
     docs = t["documents"]
-    shingled = docs.select(
-        "doc_id", T.word_shingles("text", SHINGLE_N).alias("shingles")
+    sh = _shingle_sets(docs).persist()
+    hashed = sh.withColumn("base", T.hash60(F.col("shingle")))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(term).alias(f"mh{s}")
+            for s, term in enumerate(T.minhash_terms(F.col("base"), MINHASH_HASHES))
+        ]
     )
-    sig = shingled.select("doc_id", *T.minhash_signature(F.col("shingles"), MINHASH_HASHES))
 
     n_bands = MINHASH_HASHES // LSH_BAND_ROWS
     bands = sig.select(
@@ -142,8 +147,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify candidates with exact jaccard on the shingle sets
-    sh = _shingle_sets(docs)
+    # verify candidates with exact jaccard on the (cached) shingle index
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

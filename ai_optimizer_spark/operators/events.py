@@ -1,0 +1,82 @@
+"""Event-stream operators (batch form) — the Spark-native extension over
+the driver's `events` table (SURVEY.md §2.9 note: watermarked/windowed aggs
+are absent in the reference; they're the engine's streaming surface).
+
+The same logic runs streaming in `streaming/event_stream.py`; these batch
+forms are the DuckDB-verifiable equivalents (identical results on a static
+snapshot), which is exactly how Structured Streaming semantics are defined
+(a streaming query = the batch query over the ever-growing table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MINUTES = 30
+
+
+def tumbling_window_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Tumbling 1-hour windows per event type: count + value sum.
+    `date_trunc` keys the window start — partial+final agg, one shuffle of
+    (24·31·5) groups regardless of input size."""
+    ev = t["events"]
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+
+
+def sessionize(t: dict[str, DataFrame]) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): classic lag + cumulative
+    sum of session-break flags, then per-session rollup. Two window passes
+    over one shuffle on user_id — the batch analog of
+    `applyInPandasWithState` session windows, with no Python in the path."""
+    ev = t["events"]
+    w_user = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_sec = SESSION_GAP_MINUTES * 60
+    with_breaks = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w_user)
+            > gap_sec,
+            1,
+        )
+        .otherwise(0),
+    )
+    with_ids = with_breaks.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_ids.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+def session_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Rollup over sessions: per-user session counts and mean session size
+    (the fan-in aggregate a session table feeds)."""
+    sessions = sessionize(t)
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )

@@ -1,0 +1,77 @@
+"""Incremental refresh (CDC-lite) — SURVEY.md §2.9-T1 / §2.3-J4.
+
+The reference's auto-refresh pipeline (api/v1/endpoints/embed.py:1234-1261):
+list the object store, diff against the processed-files map
+(oci/bucket.py:151-181 — new = not in map, modified = etag/mtime differ),
+re-chunk changed files, DELETE stale chunks, anti-join INSERT new ones
+(embed/vector_store.py:239-257).
+
+Here the "object listing" snapshots are derived deterministically from the
+`events` table (user_id ≈ object name, ts ≈ mtime, value ≈ size): the first
+20 days of events are the processed state, the full month is the current
+listing. The diff join is a full-outer on the key with per-side aggregates —
+one shuffle, output-sized result; at 100 TB the snapshots are
+bucket-partitioned by key so the diff is co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SNAPSHOT_CUTOFF = "2024-01-21 00:00:00"
+
+
+def _listing(ev: DataFrame) -> DataFrame:
+    """Aggregate raw events into an object listing: one row per object with
+    mtime = max(ts) and etag ≈ count of touches (deterministic proxy)."""
+    return ev.groupBy(F.col("user_id").alias("obj_key")).agg(
+        F.max("ts").alias("mtime"),
+        F.count(F.lit(1)).alias("etag"),
+        F.round(F.sum("value"), 4).alias("size"),
+    )
+
+
+def detect_changed_objects(t: dict[str, DataFrame]) -> DataFrame:
+    """J4: change-detection diff join. Classifies every current object as
+    new (absent from processed), modified (etag/mtime differ) or unchanged
+    — the exact decision table of oci/bucket.py:151-181."""
+    ev = t["events"]
+    cutoff = F.to_timestamp(F.lit(SNAPSHOT_CUTOFF))
+    processed = _listing(ev.filter(F.col("ts") < cutoff))
+    current = _listing(ev)
+
+    p = processed.select(
+        F.col("obj_key"),
+        F.col("mtime").alias("p_mtime"),
+        F.col("etag").alias("p_etag"),
+    )
+    joined = current.join(p, "obj_key", "left")
+    status = (
+        F.when(F.col("p_etag").isNull(), "new")
+        .when(
+            (F.col("etag") != F.col("p_etag")) | (F.col("mtime") != F.col("p_mtime")),
+            "modified",
+        )
+        .otherwise("unchanged")
+    )
+    return joined.select("obj_key", "etag", "size", status.alias("status"))
+
+
+def incremental_refresh(t: dict[str, DataFrame]) -> DataFrame:
+    """T1: apply the diff — changed (new+modified) objects replace their
+    stale rows: DELETE stale chunks for modified keys + anti-join INSERT
+    (vector_store.py:239-257). Materialized as the post-refresh store state
+    aggregated per status so the result is order-free and verifiable.
+
+    At scale this is a partition-overwrite (`replaceWhere` on the key
+    partitions) or a Delta MERGE; the observable result is identical.
+    """
+    changes = detect_changed_objects(t)
+    # post-refresh state: unchanged rows keep their processed etag; changed
+    # rows carry the current one. Aggregate per status for a stable result.
+    return changes.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_objects"),
+        F.sum("etag").alias("total_etag"),
+        F.round(F.sum("size"), 4).alias("total_size"),
+    )

@@ -64,15 +64,12 @@ NGRAM_JACCARD = f"""
 
 
 def _minhash_cols() -> str:
-    cols = []
-    for s in range(MINHASH_HASHES):
-        h = (
-            f"COALESCE(list_aggregate(list_transform(shingles, x -> "
-            f"('0x' || substr(md5('{s}|' || x), 1, 15))::BIGINT), 'min'), "
-            f"4611686018427387904) AS mh{s}"
-        )
-        cols.append(h)
-    return ",\n               ".join(cols)
+    from .functions.text import MINHASH_A, MINHASH_B, MINHASH_P
+
+    return ",\n               ".join(
+        f"MIN(({MINHASH_A[s]} * (base % {MINHASH_P}) + {MINHASH_B[s]}) % {MINHASH_P}) AS mh{s}"
+        for s in range(MINHASH_HASHES)
+    )
 
 
 def _bands_union() -> str:
@@ -88,14 +85,15 @@ def _bands_union() -> str:
 
 MINHASH_LSH = f"""
     WITH {_SHINGLES_CTE},
-    shingled AS (
-        SELECT doc_id, COALESCE(list(shingle), []) AS shingles
-        FROM sh GROUP BY doc_id
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS base
+        FROM sh
     ),
     sig AS (
         SELECT doc_id,
                {_minhash_cols()}
-        FROM shingled
+        FROM hashed
+        GROUP BY doc_id
     ),
     bands AS (
         {_bands_union()}

@@ -16,10 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import oracle_dedup as OD
 from .operators import dedup as D
+from .operators import events as E
+from .operators import jobs as J
+from .operators import refresh as RF
 from .operators import relational as R
+from .operators import security as SEC
 from .operators import similarity as S
 from .operators import textops as TX
-from .tables import load_tables
+from .plans.nl2sql import run_sql
+from .tables import load_tables, register_views
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -597,3 +602,239 @@ _register(
     WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) < 10
     """,
 )
+
+# ---------------------------------------------------------------------------
+# §2.9 stateful/incremental: refresh diff, job state machine, events
+# ---------------------------------------------------------------------------
+
+_JOB_LOG_CTE = """
+    log AS (
+        SELECT user_id AS job_id, ts, event_id,
+               CASE event_type
+                 WHEN 'signup' THEN 'queued'
+                 WHEN 'click' THEN 'running'
+                 WHEN 'purchase' THEN 'succeeded'
+                 WHEN 'error' THEN 'failed'
+               END AS status
+        FROM events
+    ),
+    agg AS (
+        SELECT job_id, MAX(ts) AS last_seen, COUNT(*) AS n_updates
+        FROM log GROUP BY job_id
+    ),
+    first_term AS (
+        SELECT job_id, status AS term_status FROM (
+            SELECT job_id, status,
+                   ROW_NUMBER() OVER (PARTITION BY job_id ORDER BY ts ASC, event_id ASC) AS rn
+            FROM log WHERE status IN ('succeeded', 'failed')
+        ) WHERE rn = 1
+    ),
+    last_update AS (
+        SELECT job_id, status AS last_status FROM (
+            SELECT job_id, status,
+                   ROW_NUMBER() OVER (PARTITION BY job_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM log WHERE status IS NOT NULL
+        ) WHERE rn = 1
+    ),
+    states AS (
+        SELECT a.job_id, a.last_seen, a.n_updates,
+               COALESCE(f.term_status, l.last_status, 'queued') AS status
+        FROM agg a
+        LEFT JOIN first_term f ON a.job_id = f.job_id
+        LEFT JOIN last_update l ON a.job_id = l.job_id
+    )
+"""
+
+_register(
+    "j4_detect_changed_objects",
+    RF.detect_changed_objects,
+    """
+    WITH processed AS (
+        SELECT user_id AS obj_key, MAX(ts) AS p_mtime, COUNT(*) AS p_etag
+        FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+        GROUP BY user_id
+    ),
+    current AS (
+        SELECT user_id AS obj_key, MAX(ts) AS mtime, COUNT(*) AS etag,
+               ROUND(SUM(value), 4) AS size
+        FROM events GROUP BY user_id
+    )
+    SELECT c.obj_key, c.etag, c.size,
+           CASE
+             WHEN p.p_etag IS NULL THEN 'new'
+             WHEN c.etag <> p.p_etag OR c.mtime <> p.p_mtime THEN 'modified'
+             ELSE 'unchanged'
+           END AS status
+    FROM current c LEFT JOIN processed p ON c.obj_key = p.obj_key
+    """,
+)
+
+_register(
+    "t1_incremental_refresh",
+    RF.incremental_refresh,
+    """
+    WITH processed AS (
+        SELECT user_id AS obj_key, MAX(ts) AS p_mtime, COUNT(*) AS p_etag
+        FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+        GROUP BY user_id
+    ),
+    current AS (
+        SELECT user_id AS obj_key, MAX(ts) AS mtime, COUNT(*) AS etag,
+               ROUND(SUM(value), 4) AS size
+        FROM events GROUP BY user_id
+    ),
+    changes AS (
+        SELECT c.obj_key, c.etag, c.size,
+               CASE
+                 WHEN p.p_etag IS NULL THEN 'new'
+                 WHEN c.etag <> p.p_etag OR c.mtime <> p.p_mtime THEN 'modified'
+                 ELSE 'unchanged'
+               END AS status
+        FROM current c LEFT JOIN processed p ON c.obj_key = p.obj_key
+    )
+    SELECT status, COUNT(*) AS n_objects,
+           CAST(SUM(etag) AS BIGINT) AS total_etag,
+           ROUND(SUM(size), 4) AS total_size
+    FROM changes GROUP BY status
+    """,
+)
+
+_register(
+    "t2_job_states",
+    J.job_states,
+    f"""
+    WITH {_JOB_LOG_CTE}
+    SELECT job_id, last_seen, n_updates, status FROM states
+    """,
+)
+
+_register(
+    "t3_reap_stale_jobs",
+    J.reap_stale_jobs,
+    f"""
+    WITH {_JOB_LOG_CTE}
+    SELECT job_id, last_seen,
+           CASE WHEN status NOT IN ('succeeded','failed')
+                     AND last_seen < TIMESTAMP '2024-01-29 00:00:00'
+                THEN 'failed' ELSE status END AS status,
+           CASE WHEN status NOT IN ('succeeded','failed')
+                     AND last_seen < TIMESTAMP '2024-01-29 00:00:00'
+                THEN 'reaped' ELSE 'live' END AS reap_reason
+    FROM states
+    """,
+)
+
+_register(
+    "t4_ttl_evict",
+    J.ttl_evict,
+    f"""
+    WITH {_JOB_LOG_CTE}
+    SELECT job_id, status, last_seen, n_updates
+    FROM states
+    WHERE NOT (status IN ('succeeded','failed')
+               AND last_seen < TIMESTAMP '2024-01-15 00:00:00')
+    """,
+)
+
+_register(
+    "st1_tumbling_window_counts",
+    E.tumbling_window_counts,
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+_register(
+    "st2_sessionize",
+    E.sessionize,
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS session_value
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+
+_register(
+    "st3_session_stats",
+    E.session_stats,
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_seq, COUNT(*) AS n_events
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT user_id, COUNT(*) AS n_sessions,
+           ROUND(AVG(n_events), 4) AS avg_events_per_session,
+           MAX(n_events) AS max_session_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.2 security policy view + NL2SQL validated execution
+# ---------------------------------------------------------------------------
+
+_register(
+    "p6_policy_view",
+    SEC.customer_policy_view,
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+    FROM customer
+    WHERE c_acctbal > 0 AND c_mktsegment = 'BUILDING'
+    """,
+)
+
+_NL2SQL_DEMO = """
+    SELECT n.n_name AS nation,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           ROUND(SUM(o.o_totalprice), 2) AS total_spend
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY n.n_name
+"""
+
+
+def _nl2sql_validated_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15: the NL2SQL execution contract — an (LLM-generated) SQL string is
+    token-walk validated SELECT-only, parse-checked, then run via spark.sql
+    over the registered views (plans/nl2sql.py)."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _NL2SQL_DEMO)
+
+
+QUERIES["o15_nl2sql_validated_run"] = _nl2sql_validated_run
+ORACLE_SQL["o15_nl2sql_validated_run"] = _NL2SQL_DEMO

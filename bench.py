@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (executes the whole
+plan, no driver collect cost, no column pruning shortcut a bare count()
+would allow).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ai_optimizer_spark.registry import QUERIES  # noqa: E402
+from ai_optimizer_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "a5_pricing_summary",
+    "a6_customer_standings",
+    "j5_composite_key_join",
+    "w3_keep_max_dedup",
+    "p4_interval_staleness",
+    "v1_cosine_topk",
+    "v5_knn_self_join",
+    "d1_exact_dedup",
+    "d3_minhash_lsh_pairs",
+    "d4_simhash_pairs",
+    "tx1_token_stats",
+    "tx5_chunk_documents",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("ai_optimizer_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # one tiny warm-up action so JVM/codegen startup isn't billed to q1
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        materialize(q(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""Vector-store build pipeline + catalog — SURVEY.md §3.2 / §2.1-S11,S13.
+
+The reference's store build (embed/vector_store.py:122-296): create temp
+table → exact-dedup chunks → batch-embed+insert → DELETE stale rows for
+modified files → anti-join INSERT into the real table → drop temp → index;
+store metadata lives in `GENAI: {json}` table comments discovered via
+all_tab_comments (database/registry.py:29-77).
+
+Spark-first shape:
+
+    chunks DF → dropDuplicates(text) → embed (pandas_udf) → write temp dir
+    → anti-join against existing store on id → append atomically (write new
+    + swap) → catalog entry (JSON sidecar ≙ table properties)
+
+On a real lakehouse the merge is a Delta/Iceberg MERGE and the catalog is
+TBLPROPERTIES; on plain parquet (this environment) the same observable
+semantics are write-temp + union + atomic directory swap — SURVEY.md §7.4-4.
+The store table schema matches the reference's: id / text / metadata /
+embedding (vector_store.py:47-88).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..embedding import embed_column
+from ..functions import text as T
+from .nl2sql import validate_identifier
+
+STORE_SCHEMA = "id string, text string, metadata map<string,string>, embedding array<float>"
+
+
+class VectorStoreCatalog:
+    """File-backed store catalog: one JSON entry per store (alias, model,
+    chunk params, distance metric) — the portable analog of `GENAI:` table
+    comments / TBLPROPERTIES."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.json")
+
+    def data_path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def register(self, name: str, config: dict) -> None:
+        validate_identifier(name)
+        with open(self._meta_path(name), "w", encoding="utf-8") as fh:
+            json.dump({"name": name, **config}, fh)
+
+    def discover(self) -> list[dict]:
+        """S13: scan the catalog — every registered store with its config
+        (registry.py:29-77 parses GENAI: comments the same way)."""
+        out = []
+        for fn in sorted(os.listdir(self.root)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.root, fn), encoding="utf-8") as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def drop(self, name: str) -> None:
+        validate_identifier(name)
+        for path in (self._meta_path(name), self.data_path(name)):
+            if os.path.isfile(path):
+                os.remove(path)
+            elif os.path.isdir(path):
+                shutil.rmtree(path)
+
+
+def chunks_from_documents(
+    docs: DataFrame, chunk_size: int = 200, overlap: int = 40
+) -> DataFrame:
+    """documents → chunk rows with the reference chunker + chunk-id
+    synthesis and a metadata map (filename ≙ source, start_index —
+    embed/document.py:113-131)."""
+    chunked = T.chunk_text(
+        docs.select("doc_id", "text", "source"), "text", "doc_id", chunk_size, overlap
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return chunked.select(
+        F.col("chunk_id").alias("id"),
+        F.col("chunk_text").alias("text"),
+        F.create_map(
+            F.lit("source"), F.col("source"),
+            F.lit("filename"), F.concat(F.lit("doc_"), F.col("doc_id")),
+            F.lit("start_index"), F.col("start_index").cast("string"),
+        ).alias("metadata"),
+    )
+
+
+def populate_store(
+    spark: SparkSession,
+    catalog: VectorStoreCatalog,
+    name: str,
+    chunks: DataFrame,
+    distance_metric: str = "COSINE",
+) -> DataFrame:
+    """S11+J2+D1+D3: dedup → embed → anti-join merge → atomic publish.
+
+    Exact dedup before embedding saves model calls (vector_store.py:112-118);
+    the merge inserts only ids absent from the existing store
+    (vector_store.py:250-257); publish is write-new-directory + rename so
+    readers never see a half-written store (staging semantics of
+    embed/staging.py:55-117)."""
+    validate_identifier(name)
+    deduped = chunks.dropDuplicates(["text"])
+    embedded = deduped.withColumn("embedding", embed_column("text")).select(
+        "id", "text", "metadata", "embedding"
+    )
+
+    data_path = catalog.data_path(name)
+    if os.path.exists(data_path):
+        existing = spark.read.parquet(data_path)
+        new_rows = embedded.join(existing, "id", "left_anti")
+        merged = existing.unionByName(new_rows)
+    else:
+        merged = embedded
+
+    tmp_path = f"{data_path}__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp_path)
+    if os.path.exists(data_path):
+        shutil.rmtree(data_path)
+    os.rename(tmp_path, data_path)
+
+    catalog.register(
+        name,
+        {
+            "distance_metric": distance_metric,
+            "embed_model": "hash64",
+            "dim": 64,
+        },
+    )
+    return spark.read.parquet(data_path)
+
+
+def delete_stale_chunks(
+    spark: SparkSession, catalog: VectorStoreCatalog, name: str, filenames: list[str]
+) -> DataFrame:
+    """T1 delete step: drop all chunks belonging to modified files before
+    re-inserting (vector_store.py:239-245 DELETE ... WHERE
+    JSON_VALUE(metadata,'$.filename') IN (...))."""
+    data_path = catalog.data_path(name)
+    existing = spark.read.parquet(data_path)
+    kept = existing.filter(~F.col("metadata")["filename"].isin(filenames))
+    tmp_path = f"{data_path}__tmp_{uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(tmp_path)
+    shutil.rmtree(data_path)
+    os.rename(tmp_path, data_path)
+    return spark.read.parquet(data_path)
+
+
+def search_store(
+    spark: SparkSession,
+    catalog: VectorStoreCatalog,
+    name: str,
+    query_text: str,
+    top_k: int = 8,
+    score_threshold: float = 0.0,
+) -> DataFrame:
+    """J1 read path over a built store: embed query (driver-side, D4) →
+    broadcast → distance expr by the store's registered metric → threshold
+    → top-k. Returns (id, text, similarity) like the retriever's hit list."""
+    from ..embedding import HashEmbedder
+    from ..functions import vector as V
+
+    meta = next(c for c in catalog.discover() if c["name"] == name)
+    store = spark.read.parquet(catalog.data_path(name))
+    qvec = F.array(*[F.lit(float(x)) for x in HashEmbedder().embed_query(query_text)])
+    metric = meta.get("distance_metric", "COSINE").upper()
+    if "COSINE" in metric:
+        sim = F.lit(1.0) - (F.lit(1.0) - V.cosine_similarity(F.col("embedding"), qvec)) / F.lit(2.0)
+    elif "DOT" in metric:
+        sim = V.dot(F.col("embedding"), qvec)
+    else:
+        sim = F.lit(1.0) / (F.lit(1.0) + V.euclidean_distance(F.col("embedding"), qvec))
+    sim = F.round(sim, 3) + F.lit(0.0)
+    out = store.select("id", "text", sim.alias("similarity"))
+    if score_threshold > 0:
+        out = out.filter(F.col("similarity") >= score_threshold)
+    return out.orderBy(F.desc("similarity"), F.asc("id")).limit(top_k)
+
+
+def multi_store_search(
+    spark: SparkSession,
+    catalog: VectorStoreCatalog,
+    names: list[str],
+    query_text: str,
+    top_k: int = 8,
+    score_threshold: float = 0.0,
+) -> DataFrame:
+    """The §3.1 retrieval sub-plan: fan out over ≤3 stores (the reference
+    caps LLM table selection at 3, vs_retriever.py:34), union the hits,
+    keep-max dedup on text (W3: first wins on ties — replace only on
+    strictly higher score, vs_retriever.py:130-151), global re-sort, top-k
+    (W1). One declarative plan; per-store scans run in parallel."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    per_store = [
+        search_store(spark, catalog, n, query_text, top_k, score_threshold).withColumn(
+            "searched_table", F.lit(n)
+        )
+        for n in names[:3]
+    ]
+    merged = reduce(DataFrame.unionByName, per_store)
+    w = Window.partitionBy("text").orderBy(F.desc("similarity"), F.asc("searched_table"), F.asc("id"))
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy(F.desc("similarity"), F.asc("id"))
+        .limit(top_k)
+    )

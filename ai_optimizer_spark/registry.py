@@ -838,3 +838,76 @@ def _nl2sql_validated_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["o15_nl2sql_validated_run"] = _nl2sql_validated_run
 ORACLE_SQL["o15_nl2sql_validated_run"] = _NL2SQL_DEMO
+
+# ---------------------------------------------------------------------------
+# §3.2 end-to-end embed pipeline (build stores → fan-out search). The
+# pandas_udf embedding is not SQL-expressible → rows-only driver check.
+# ---------------------------------------------------------------------------
+
+
+def _e2e_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full write+read path: documents → chunk → dedup → embed → two stores
+    (split by doc parity, D12 filename-alias grouping) → multi-store search
+    with keep-max dedup + global top-k (§3.1 steps 5-6)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .plans.vector_store import (
+        VectorStoreCatalog,
+        chunks_from_documents,
+        multi_store_search,
+        populate_store,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].limit(100)
+    catalog = VectorStoreCatalog(tempfile.mkdtemp(prefix="aio_stores_"))
+    populate_store(
+        spark, catalog, "even_docs",
+        chunks_from_documents(docs.filter(F.col("doc_id") % 2 == 0)),
+    )
+    populate_store(
+        spark, catalog, "odd_docs",
+        chunks_from_documents(docs.filter(F.col("doc_id") % 2 == 1)),
+    )
+    return multi_store_search(
+        spark, catalog, ["even_docs", "odd_docs"], "table join filter fast", top_k=8
+    )
+
+
+QUERIES["e2e_vector_search"] = _e2e_vector_search
+
+# ---------------------------------------------------------------------------
+# multimodal binary metadata (the oracle-checkable half of the media path;
+# the mapInPandas feature extraction is covered rows-only via e2e + tests)
+# ---------------------------------------------------------------------------
+
+
+def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads: size + digest + kind —
+    the pruned (no-decode) branch of the multimodal pipeline."""
+    from pyspark.sql import functions as F
+
+    from .sources.multimodal import documents_as_media
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = documents_as_media(docs)
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("payload").cast("long").alias("byte_len"),
+        F.md5("payload").alias("digest"),
+    )
+
+
+QUERIES["mm1_binary_meta"] = _mm_binary_meta
+ORACLE_SQL["mm1_binary_meta"] = """
+    SELECT 'm_' || CAST(doc_id AS VARCHAR) AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS digest
+    FROM documents
+"""

@@ -19,6 +19,38 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make ``ai_optimizer_spark`` importable on Spark python workers.
+
+    The driver harness may create the SparkSession from any cwd, so workers
+    deserializing a pandas UDF that references this package by module path
+    would hit ModuleNotFoundError. Shipping a zip via ``addPyFile`` pins the
+    package onto every worker's sys.path — the same mechanism a real cluster
+    deploy would use (``spark-submit --py-files``).
+    """
+    sc = spark.sparkContext
+    if sc.applicationId in _SHIPPED_APPS:
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"ai_optimizer_spark-{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _SHIPPED_APPS.add(sc.applicationId)
+
+
+_SHIPPED_APPS: set[str] = set()
+
+
 def get_spark(app_name: str = "ai_optimizer_spark") -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 

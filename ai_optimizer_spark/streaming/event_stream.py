@@ -1,0 +1,103 @@
+"""Structured Streaming surface — SURVEY.md §2.9.
+
+The reference has no true stream processor; its stateful patterns (job
+heartbeats T2-T4, progress events T5, incremental refresh T1) are polling
+loops over Oracle tables. The Spark-native expression is Structured
+Streaming: the SAME logical plan as the batch operators in
+`operators/events.py`, run incrementally with watermarks — results on a
+static snapshot are identical by construction, which is how the streaming
+variants are tested.
+
+Pieces:
+  * `events_stream`     — file-source stream over the events parquet
+                          (handles the TIMESTAMP(NANOS) → µs conversion the
+                          same way tables.load_tables does).
+  * `windowed_counts`   — tumbling 1 h window + 2 h watermark (the late-data
+                          policy the reference never had).
+  * `run_to_memory`     — availableNow micro-batch run into a memory sink:
+                          processes everything currently available, then
+                          stops — the batch-parity harness.
+  * `ProgressRecorder`  — StreamingQueryListener capturing per-batch progress
+                          (T5 progress events analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the driver's events parquet with the ns→µs fix."""
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # file streams need a directory source; scope to events.parquet by glob
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time windows with a 2-hour watermark: counts +
+    value sums per (window, event_type). The watermark bounds state: at
+    100 TB/day ingest, state is (types × open windows), not input size."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def run_to_memory(
+    spark: SparkSession, plan: DataFrame, name: str, timeout_sec: int = 120
+) -> DataFrame:
+    """Execute a streaming plan with Trigger.AvailableNow into a memory
+    sink (complete mode), block until done, return the result table."""
+    q = (
+        plan.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(name)
+
+
+class ProgressRecorder(StreamingQueryListener):
+    """T5 analog: capture per-micro-batch progress (rows/sec, batch id) the
+    way the reference stamps stage transitions onto the job row
+    (api/v1/endpoints/embed.py:719-775)."""
+
+    def __init__(self) -> None:
+        self.progress: list[dict] = []
+        self.started: list[str] = []
+        self.terminated: list[str] = []
+
+    def onQueryStarted(self, event) -> None:
+        self.started.append(event.id)
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        self.progress.append({"batch_id": p.batchId, "num_input_rows": p.numInputRows})
+
+    def onQueryIdle(self, event) -> None:  # pragma: no cover
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        self.terminated.append(event.id)

@@ -1,0 +1,54 @@
+"""Multimodal plumbing + document-loader dispatch tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ai_optimizer_spark.sources.documents import load_documents
+from ai_optimizer_spark.sources.multimodal import (
+    documents_as_media,
+    extract_features,
+)
+from ai_optimizer_spark.tables import load_tables
+
+
+def test_media_feature_extraction(spark, sf_small):
+    docs = load_tables(spark, sf_small)["documents"].limit(20)
+    media = documents_as_media(docs)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 20
+    r0 = next(r for r in rows if r.media_id == "m_0")
+    doc0 = docs.filter(F.col("doc_id") == 0).collect()[0]
+    payload = doc0.text.encode("utf-8")
+    assert r0.byte_len == len(payload)
+    assert r0.sha256 == hashlib.sha256(payload).hexdigest()
+    assert len(r0.feature) == 8 and r0.decode_status == "stub_decoded"
+    # deterministic: same payload → same stub feature
+    digest = hashlib.sha256(payload).digest()
+    assert [round(x, 6) for x in r0.feature] == [round(b / 255.0, 6) for b in digest[:8]]
+
+
+def test_unknown_kind_survives(spark):
+    media = spark.createDataFrame(
+        [("m1", "hologram", b"xyz", None)],
+        "media_id string, kind string, payload binary, meta struct<mime:string, width:int, height:int, duration_ms:int>",
+    )
+    row = extract_features(media).collect()[0]
+    assert row.decode_status == "unsupported" and row.feature is None
+
+
+def test_loader_dispatch(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("plain text body")
+    (tmp_path / "b.md").write_text("# heading")
+    (tmp_path / "weird.xyz").write_text("???")
+    # a fake pdf: pypdf is absent in this container → loader_unavailable
+    (tmp_path / "c.pdf").write_bytes(b"%PDF-1.4 fake")
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    out = {r.filename: r for r in load_documents(files).collect()}
+    assert out["a.txt"].status == "ok" and out["a.txt"].page_content == "plain text body"
+    assert out["b.md"].status == "ok"
+    assert out["weird.xyz"].status == "unsupported:xyz"
+    assert out["c.pdf"].status in ("loader_unavailable:pdf", "error:PdfReadError")

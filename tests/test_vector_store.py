@@ -1,0 +1,100 @@
+"""Vector-store pipeline tests: populate/merge idempotence, stale-chunk
+delete, search semantics, catalog discovery, multi-store fan-out — the
+engine's write path (SURVEY.md §3.2)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_optimizer_spark.embedding import HashEmbedder, embed_column
+from ai_optimizer_spark.plans.vector_store import (
+    VectorStoreCatalog,
+    chunks_from_documents,
+    delete_stale_chunks,
+    multi_store_search,
+    populate_store,
+    search_store,
+)
+from ai_optimizer_spark.tables import load_tables
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return VectorStoreCatalog(str(tmp_path / "stores"))
+
+
+def _docs(spark, sf):
+    return load_tables(spark, sf)["documents"].limit(50)
+
+
+def test_embedder_is_deterministic_and_normalized(spark):
+    e = HashEmbedder()
+    a, b = e.embed_query("hello world join"), e.embed_query("hello world join")
+    assert a == b
+    assert abs(sum(x * x for x in a) - 1.0) < 1e-5
+    # spark-side UDF matches the driver-side client
+    df = spark.createDataFrame([("hello world join",)], "text string")
+    udf_vec = df.select(embed_column("text").alias("e")).collect()[0].e
+    assert [round(x, 5) for x in udf_vec] == [round(x, 5) for x in a]
+
+
+def test_populate_then_merge_is_idempotent(spark, sf_small, catalog):
+    chunks = chunks_from_documents(_docs(spark, sf_small))
+    first = populate_store(spark, catalog, "store_a", chunks)
+    n1 = first.count()
+    again = populate_store(spark, catalog, "store_a", chunks)  # anti-join: no dup ids
+    assert again.count() == n1
+    assert first.columns == ["id", "text", "metadata", "embedding"]
+
+
+def test_delete_stale_then_reinsert(spark, sf_small, catalog):
+    chunks = chunks_from_documents(_docs(spark, sf_small))
+    store = populate_store(spark, catalog, "store_b", chunks)
+    total = store.count()
+    doc0 = "doc_0"
+    n_doc0 = store.filter(F.col("metadata")["filename"] == doc0).count()
+    assert n_doc0 > 0
+    kept = delete_stale_chunks(spark, catalog, "store_b", [doc0])
+    assert kept.count() == total - n_doc0
+    restored = populate_store(spark, catalog, "store_b", chunks)
+    assert restored.count() == total
+
+
+def test_search_matches_bruteforce(spark, sf_small, catalog):
+    chunks = chunks_from_documents(_docs(spark, sf_small))
+    store = populate_store(spark, catalog, "store_c", chunks)
+    hits = search_store(spark, catalog, "store_c", "table join filter", top_k=5).collect()
+    assert len(hits) == 5
+    assert all(hits[i].similarity >= hits[i + 1].similarity for i in range(4))
+    # threshold semantics: only rows >= threshold survive (P1)
+    thr = hits[2].similarity
+    filtered = search_store(
+        spark, catalog, "store_c", "table join filter", top_k=100, score_threshold=thr
+    ).collect()
+    assert all(h.similarity >= thr for h in filtered)
+
+
+def test_multi_store_dedup_keeps_best(spark, sf_small, catalog):
+    docs = _docs(spark, sf_small)
+    chunks = chunks_from_documents(docs)
+    populate_store(spark, catalog, "s1", chunks)
+    populate_store(spark, catalog, "s2", chunks)  # identical stores → all dup texts
+    merged = multi_store_search(spark, catalog, ["s1", "s2"], "table join filter", top_k=8)
+    rows = merged.collect()
+    texts = [r.text for r in rows]
+    assert len(texts) == len(set(texts))  # keep-max dedup collapsed duplicates
+    assert len(rows) == 8
+
+
+def test_catalog_discovery(spark, sf_small, catalog):
+    chunks = chunks_from_documents(_docs(spark, sf_small))
+    populate_store(spark, catalog, "alpha", chunks, distance_metric="DOT")
+    populate_store(spark, catalog, "beta", chunks)
+    found = {c["name"]: c for c in catalog.discover()}
+    assert set(found) == {"alpha", "beta"}
+    assert found["alpha"]["distance_metric"] == "DOT"
+    catalog.drop("alpha")
+    assert [c["name"] for c in catalog.discover()] == ["beta"]

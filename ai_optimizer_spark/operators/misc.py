@@ -1,0 +1,164 @@
+"""Small operators completing the SURVEY.md §2 line-by-line inventory:
+listing/probe windows (W4/W5), governance & gating filters (P3/P5/P8),
+counting aggregations (A3/A11), and the scalar-function families the
+reference leans on (F1/F6/F8/F14). All pure built-in column expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SUPPORTED_EXTENSIONS = ("pdf", "docx", "txt", "md")
+ENABLED_MODELS = ("en", "fr", "zh")
+
+
+def plain_count(t: dict[str, DataFrame]) -> DataFrame:
+    """A3: total chunk count per store (embed/vector_store.py:360-372
+    `SELECT COUNT(*)`) — the degenerate aggregation, still distributed
+    (partial counts per partition, one final merge)."""
+    return t["lineitem"].agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def heartbeat_rowcount(t: dict[str, DataFrame]) -> DataFrame:
+    """A11: accumulated heartbeat rowcount (embed/jobs.py:502-516 sums
+    executemany rowcounts) — batch "update" as join + per-owner count.
+    Owners = users who signed up; each click by an owner is one bumped row."""
+    ev = t["events"]
+    owners = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    clicks = ev.filter(F.col("event_type") == "click")
+    return (
+        clicks.join(F.broadcast(owners), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("bumped"))
+    )
+
+
+def extension_filter(t: dict[str, DataFrame]) -> DataFrame:
+    """P3: supported-extension filter (oci/bucket.py:134-136). Filenames are
+    synthesized from doc identity; the filter + lower() matches the
+    reference's case-insensitive extension check."""
+    docs = t["documents"]
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in ("PDF", "docx", "zip", "txt", "exe", "md")]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    named = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit("/doc_"), F.col("doc_id"), F.lit("."), ext).alias(
+            "filename"
+        ),
+        F.lower(ext).alias("ext"),
+    )
+    return named.filter(F.col("ext").isin(*SUPPORTED_EXTENSIONS))
+
+
+def model_usability_filter(t: dict[str, DataFrame]) -> DataFrame:
+    """P5: keep stores whose embed model is enabled & reachable
+    (mcp/tools/vs_discovery.py:41-44) — semi-join of the store catalog
+    against the enabled-model set (lang ≙ model id). The enabled set is a
+    tiny literal DataFrame → broadcast semi-join, no shuffle of the left."""
+    docs = t["documents"]
+    spark = docs.sparkSession
+    enabled = spark.createDataFrame([(m,) for m in ENABLED_MODELS], "lang string")
+    stores = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return stores.join(F.broadcast(enabled), "lang", "left_semi")
+
+
+def history_filter(t: dict[str, DataFrame]) -> DataFrame:
+    """P8: replayable-history filter (runtime/langgraph/chat.py:344-356 drops
+    turns stamped history_enabled=False). Error events are the non-replayable
+    turns."""
+    ev = t["events"]
+    return ev.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def ordered_listing(t: dict[str, DataFrame], limit: int = 50) -> DataFrame:
+    """W4: order-by listing (jobs by created DESC, embed/jobs.py:229-247).
+    Ties broken by id so the page is deterministic; Catalyst turns
+    sort+limit into TakeOrderedAndProject (no full sort at scale)."""
+    ev = t["events"]
+    return (
+        ev.select("event_id", "ts", "event_type")
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(limit)
+    )
+
+
+def limit_probe(t: dict[str, DataFrame]) -> DataFrame:
+    """W5: ROWNUM=1 existence/version probe (deepsec/database.py:111-114) —
+    deterministic via ORDER BY before LIMIT 1."""
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy(F.asc("o_orderkey"))
+        .limit(1)
+    )
+
+
+def identifier_normalize(t: dict[str, DataFrame], max_len: int = 25) -> DataFrame:
+    """F1: identifier normalization (embed/vector_store.py:71-74 `re.sub
+    (r"\\W","_").upper()`) with the sha256-suffix overflow compaction of
+    api/v1/endpoints/embed.py:101-111: identifiers longer than `max_len`
+    keep a prefix plus an 8-hex content hash so distinct names stay
+    distinct after truncation."""
+    part = t["part"]
+    ident = F.upper(F.regexp_replace(F.col("p_name"), r"[^A-Za-z0-9]", "_"))
+    compact = F.when(
+        F.length(ident) > max_len,
+        F.concat(
+            F.substring(ident, 1, max_len - 9),
+            F.lit("_"),
+            F.substring(F.sha2(ident, 256), 1, 8),
+        ),
+    ).otherwise(ident)
+    return part.select("p_partkey", compact.alias("identifier"))
+
+
+def timestamp_iso(t: dict[str, DataFrame]) -> DataFrame:
+    """F6: ISO timestamp formatting (testbed/database.py:21,31 to_char
+    'YYYY-MM-DD"T"HH24:MI:SS') + epoch seconds — session tz is UTC so both
+    engines render identically."""
+    orders = t["orders"]
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("created_iso"),
+        F.unix_timestamp("o_orderdate").alias("created_epoch"),
+    )
+
+
+def hex_roundtrip(t: dict[str, DataFrame]) -> DataFrame:
+    """F8: hex↔raw id handling (testbed/database.py:24-26 binds
+    bytes.fromhex and renders .hex()). Round-trips the name through
+    hex/unhex and proves losslessness in-plan."""
+    cust = t["customer"]
+    hexed = F.hex(F.encode(F.col("c_name"), "UTF-8"))
+    return cust.select(
+        "c_custkey",
+        hexed.alias("name_hex"),
+        F.decode(F.unhex(hexed), "UTF-8").alias("name_back"),
+        (F.decode(F.unhex(hexed), "UTF-8") == F.col("c_name")).alias("lossless"),
+    )
+
+
+def session_history(t: dict[str, DataFrame]) -> DataFrame:
+    """F14+T7: per-client conversation history rendered to the wire format
+    (runtime/common.py:99-117 "User: q\\nAssistant: a" joined with
+    newlines), replay-filtered per P8. Ordering inside each client is by
+    (ts, event_id) — array_sort on a struct keeps the whole fold in
+    codegen; one shuffle on user_id."""
+    ev = t["events"].filter(F.col("event_type") != "error")
+    line = F.struct(
+        F.col("ts"), F.col("event_id"),
+        F.concat(F.col("event_type"), F.lit("#"), F.col("event_id")).alias("line"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(line)).alias("turns"))
+        .select(
+            "user_id",
+            F.array_join(F.transform("turns", lambda x: x["line"]), "\n").alias("history"),
+            F.size("turns").alias("n_turns"),
+        )
+    )

@@ -156,6 +156,90 @@ def knn_self_join(t: dict[str, DataFrame], k: int = 3, limit_queries: int = 50) 
     )
 
 
+def ivf_topk(
+    t: dict[str, DataFrame],
+    query_id: int = 0,
+    k: int = TOP_K,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """O6 scale path #2: IVF-style ANN. Coarse centroids are a fixed subset
+    of the corpus (deterministic stand-in for k-means — the assignment and
+    probe plan shapes are identical); every vector is assigned to its
+    nearest centroid, the query probes only the `n_probe` nearest cells.
+
+    Scale shape: assignment is a write-path cost — at 100 TB the store is
+    written clustered/partitioned by `cid`, so the probe semi-join becomes
+    partition pruning and the scan reads n_probe/n_centroids of the data.
+    The argmin is `min(struct(dist, cid))` — a partial-aggregatable
+    map-side combine, cheaper than a window sort. Recall is traded against
+    `n_probe` exactly as in FAISS-style IVF-Flat.
+    """
+    emb = t["embeddings"]
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    dist = V.euclidean_distance("embedding", "ce")
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.struct(dist.alias("dist"), F.col("cid")).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min("dc").alias("best"),
+            F.first("label").alias("label"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "label", "embedding", F.col("best.cid").alias("cid"))
+    )
+    q = _query_vectors(t, [query_id])
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", V.euclidean_distance("ce", "query_vec").alias("qdist"))
+        .orderBy(F.asc("qdist"), F.asc("cid"))
+        .limit(n_probe)
+        .select("cid")
+    )
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    return (
+        assigned.join(F.broadcast(probe), "cid", "left_semi")
+        .filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "cid", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def union_store_results(t: dict[str, DataFrame], query_id: int = 0, k: int = 5) -> DataFrame:
+    """U2: result concatenation across fan-out store searches
+    (vs_retriever.py:240-242 extends one hit list per searched table).
+    Two "stores" = label partitions of the corpus; per-store top-k plans
+    union into one distributed result — no driver-side list append."""
+    emb = t["embeddings"]
+    q = _query_vectors(t, [query_id])
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+
+    def store_topk(store: DataFrame, name: str) -> DataFrame:
+        return (
+            store.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != query_id)
+            .select(
+                F.lit(name).alias("searched_table"), "vec_id", sim.alias("cos_sim")
+            )
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(k)
+        )
+
+    low = store_topk(emb.filter(F.col("label") < 5), "store_low")
+    high = store_topk(emb.filter(F.col("label") >= 5), "store_high")
+    return low.unionByName(high)
+
+
 def mmr_rerank(
     t: dict[str, DataFrame],
     query_id: int = 0,

@@ -911,3 +911,320 @@ ORACLE_SQL["mm1_binary_meta"] = """
            md5(text) AS digest
     FROM documents
 """
+
+# ---------------------------------------------------------------------------
+# §2 completion sweep: LLM-op doubles (D5/D7/D11, F15/F16), IVF ANN (O6),
+# fan-out union (U2), and the small W/P/A/F operators — operators/misc.py,
+# operators/llm_doubles.py, similarity.ivf_topk/union_store_results.
+# ---------------------------------------------------------------------------
+
+from .operators import llm_doubles as LD  # noqa: E402
+from .operators import misc as M  # noqa: E402
+
+_register(
+    "d11_query_classification",
+    LD.query_classification,
+    """
+    SELECT doc_id,
+           CASE
+             WHEN (lower(text) LIKE '%sum%' OR lower(text) LIKE '%count%'
+                   OR lower(text) LIKE '%total%' OR lower(text) LIKE '%group%')
+              AND (lower(text) LIKE '%similar%' OR lower(text) LIKE '%search%'
+                   OR lower(text) LIKE '%find%' OR lower(text) LIKE '%query%')
+               THEN 'both'
+             WHEN (lower(text) LIKE '%sum%' OR lower(text) LIKE '%count%'
+                   OR lower(text) LIKE '%total%' OR lower(text) LIKE '%group%')
+               THEN 'nl2sql'
+             WHEN (lower(text) LIKE '%similar%' OR lower(text) LIKE '%search%'
+                   OR lower(text) LIKE '%find%' OR lower(text) LIKE '%query%')
+               THEN 'vecsearch'
+             ELSE 'both'
+           END AS route
+    FROM documents
+    """,
+)
+
+_register(
+    "d7_grade_blanking",
+    LD.grade_blanking,
+    """
+    SELECT doc_id,
+           CASE WHEN lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%'
+                THEN 'yes' ELSE 'no' END AS grade,
+           CASE WHEN lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%'
+                THEN text ELSE '' END AS graded_text
+    FROM documents
+    """,
+)
+
+_register(
+    "d5_semantic_routing",
+    LD.semantic_routing,
+    """
+    WITH scores AS (
+        SELECT source,
+               COUNT(CASE WHEN lower(text) LIKE '%window%'
+                            OR lower(text) LIKE '%stream%' THEN 1 END) AS hits,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY source
+    )
+    SELECT source, hits, n_docs, rnk FROM (
+        SELECT source, hits, n_docs,
+               ROW_NUMBER() OVER (ORDER BY hits DESC, source ASC) AS rnk
+        FROM scores
+    ) WHERE rnk <= 3
+    """,
+)
+
+_register(
+    "f15_fenced_json_extract",
+    LD.fenced_json_extract,
+    """
+    SELECT event_id,
+           regexp_extract('```json ' || props || ' ```',
+                          '```json\\s*(\\{.*\\})\\s*```', 1) AS payload,
+           CAST(json_extract_string(
+                regexp_extract('```json ' || props || ' ```',
+                               '```json\\s*(\\{.*\\})\\s*```', 1), '$.k')
+                AS INTEGER) AS k
+    FROM events
+    """,
+)
+
+_register(
+    "f16_single_line_guard",
+    LD.single_line_guard,
+    """
+    WITH cand AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 3 = 0
+                    THEN substr(text, 1, 20) || chr(10) || substr(text, 21, 20)
+                    ELSE upper(substr(text, 1, 40)) END AS candidate
+        FROM documents
+    )
+    SELECT doc_id,
+           candidate LIKE '%' || chr(10) || '%' AS rejected,
+           CASE WHEN candidate LIKE '%' || chr(10) || '%' THEN text
+                ELSE candidate END AS question
+    FROM cand
+    """,
+)
+
+_register(
+    "v7_ivf_topk",
+    S.ivf_topk,
+    """
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    assigned AS (
+        SELECT vec_id, label, ee, cid FROM (
+            SELECT e.vec_id, e.label, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT c.cid FROM cents c, q
+        ORDER BY list_distance(c.ce, q.qe) ASC, c.cid ASC
+        LIMIT 4
+    )
+    SELECT a.vec_id, a.label, a.cid,
+           ROUND(list_cosine_similarity(a.ee, q.qe), 3) + 0.0 AS cos_sim
+    FROM assigned a JOIN probe p ON a.cid = p.cid, q
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id ASC
+    LIMIT 8
+    """,
+)
+
+_register(
+    "u2_union_store_results",
+    S.union_store_results,
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    low AS (
+        SELECT 'store_low' AS searched_table, e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 3) + 0.0 AS cos_sim
+        FROM embeddings e, q WHERE e.label < 5 AND e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 5
+    ),
+    high AS (
+        SELECT 'store_high' AS searched_table, e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 3) + 0.0 AS cos_sim
+        FROM embeddings e, q WHERE e.label >= 5 AND e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 5
+    )
+    SELECT * FROM low UNION ALL SELECT * FROM high
+    """,
+)
+
+_register(
+    "a3_plain_count",
+    M.plain_count,
+    "SELECT COUNT(*) AS n_rows FROM lineitem",
+)
+
+_register(
+    "a11_heartbeat_rowcount",
+    M.heartbeat_rowcount,
+    """
+    SELECT user_id, COUNT(*) AS bumped
+    FROM events
+    WHERE event_type = 'click'
+      AND user_id IN (SELECT user_id FROM events WHERE event_type = 'signup')
+    GROUP BY user_id
+    """,
+)
+
+_register(
+    "p3_extension_filter",
+    M.extension_filter,
+    """
+    WITH named AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 6 AS INTEGER)
+                 WHEN 0 THEN 'PDF' WHEN 1 THEN 'docx' WHEN 2 THEN 'zip'
+                 WHEN 3 THEN 'txt' WHEN 4 THEN 'exe' ELSE 'md'
+               END AS ext0,
+               source
+        FROM documents
+    )
+    SELECT doc_id,
+           source || '/doc_' || CAST(doc_id AS VARCHAR) || '.' || ext0 AS filename,
+           lower(ext0) AS ext
+    FROM named
+    WHERE lower(ext0) IN ('pdf', 'docx', 'txt', 'md')
+    """,
+)
+
+_register(
+    "p5_model_usability",
+    M.model_usability_filter,
+    """
+    SELECT source, lang, COUNT(*) AS n_docs
+    FROM documents
+    WHERE lang IN ('en', 'fr', 'zh')
+    GROUP BY source, lang
+    """,
+)
+
+_register(
+    "p8_history_filter",
+    M.history_filter,
+    """
+    SELECT event_id, user_id, event_type FROM events WHERE event_type <> 'error'
+    """,
+)
+
+_register(
+    "w4_ordered_listing",
+    M.ordered_listing,
+    """
+    SELECT event_id, ts, event_type FROM events
+    ORDER BY ts DESC, event_id ASC LIMIT 50
+    """,
+)
+
+_register(
+    "w5_limit_probe",
+    M.limit_probe,
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey ASC LIMIT 1
+    """,
+)
+
+_register(
+    "f1_identifier_normalize",
+    M.identifier_normalize,
+    """
+    WITH ident AS (
+        SELECT p_partkey, upper(regexp_replace(p_name, '[^A-Za-z0-9]', '_', 'g')) AS i
+        FROM part
+    )
+    SELECT p_partkey,
+           CASE WHEN length(i) > 25
+                THEN substr(i, 1, 16) || '_' || substr(sha256(i), 1, 8)
+                ELSE i END AS identifier
+    FROM ident
+    """,
+)
+
+_register(
+    "f6_timestamp_iso",
+    M.timestamp_iso,
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS created_iso,
+           CAST(epoch(o_orderdate) AS BIGINT) AS created_epoch
+    FROM orders
+    """,
+)
+
+_register(
+    "f8_hex_roundtrip",
+    M.hex_roundtrip,
+    """
+    SELECT c_custkey,
+           hex(c_name) AS name_hex,
+           decode(unhex(hex(c_name))) AS name_back,
+           decode(unhex(hex(c_name))) = c_name AS lossless
+    FROM customer
+    """,
+)
+
+_register(
+    "t7_session_history",
+    M.session_history,
+    """
+    SELECT user_id,
+           string_agg(event_type || '#' || CAST(event_id AS VARCHAR),
+                      chr(10) ORDER BY ts, event_id) AS history,
+           CAST(COUNT(*) AS INTEGER) AS n_turns
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY user_id
+    """,
+)
+
+
+def _store_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: store-catalog discovery (database/registry.py:29-77 parses GENAI:
+    table comments) — build two stores, then scan the catalog back as a
+    DataFrame. Filesystem round-trip → rows-only driver check."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .plans.vector_store import (
+        VectorStoreCatalog,
+        chunks_from_documents,
+        populate_store,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(40)
+    catalog = VectorStoreCatalog(tempfile.mkdtemp(prefix="aio_catalog_"))
+    populate_store(
+        spark, catalog, "alpha", chunks_from_documents(docs.filter(F.col("doc_id") % 2 == 0))
+    )
+    populate_store(
+        spark, catalog, "beta",
+        chunks_from_documents(docs.filter(F.col("doc_id") % 2 == 1)),
+        distance_metric="EUCLIDEAN",
+    )
+    return spark.createDataFrame(
+        [
+            (c["name"], c["distance_metric"], c["embed_model"], c["dim"])
+            for c in catalog.discover()
+        ],
+        "name string, distance_metric string, embed_model string, dim int",
+    )
+
+
+QUERIES["s13_store_catalog"] = _store_catalog_scan

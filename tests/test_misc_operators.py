@@ -1,0 +1,84 @@
+"""Semantic unit tests for the §2 completion sweep — properties the parity
+hash can't see: ANN recall, fallback semantics, guard behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_optimizer_spark.operators import llm_doubles as LD
+from ai_optimizer_spark.operators import misc as M
+from ai_optimizer_spark.operators import similarity as S
+from ai_optimizer_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    return load_tables(spark, SF_DIR)
+
+
+def test_ivf_recall_against_brute_force(t):
+    """IVF with a wide probe must recover most of the exact top-8; with all
+    cells probed it must match exactly (IVF-Flat degenerates to flat)."""
+    exact = {r.vec_id for r in S.cosine_topk(t, query_id=0, k=8).collect()}
+    full_probe = {
+        r.vec_id
+        for r in S.ivf_topk(t, query_id=0, k=8, n_centroids=16, n_probe=16).collect()
+    }
+    assert full_probe == exact
+    partial = {
+        r.vec_id
+        for r in S.ivf_topk(t, query_id=0, k=8, n_centroids=16, n_probe=4).collect()
+    }
+    # partial probe returns a subset of the corpus ranked identically:
+    # anything it returns that is also in exact must be correct, and
+    # recall should be non-trivial on clustered synthetic data.
+    assert len(partial & exact) >= 2
+
+
+def test_classification_domain_and_fallback(t):
+    routes = {r.route for r in LD.query_classification(t).select("route").distinct().collect()}
+    assert routes <= {"nl2sql", "vecsearch", "both"}
+    # fallback: a doc with no hint words lands on "both"
+    spark = t["documents"].sparkSession
+    blank = {"documents": spark.createDataFrame([(1, "zzz xyzzy", "en", "s", 9)],
+                                                t["documents"].schema)}
+    assert LD.query_classification(blank).first().route == "both"
+
+
+def test_grade_blanking_contract(t):
+    graded = LD.grade_blanking(t)
+    bad = graded.filter((F.col("grade") == "no") & (F.col("graded_text") != "")).count()
+    assert bad == 0
+
+
+def test_semantic_routing_caps_at_three(t):
+    assert LD.semantic_routing(t).count() <= 3
+
+
+def test_single_line_guard_never_emits_newline(t):
+    out = LD.single_line_guard(t)
+    assert out.filter(F.col("question").contains("\n")).count() == 0
+    # rejected rows fall back to the original text
+    docs = t["documents"]
+    joined = out.join(docs, "doc_id").filter(F.col("rejected"))
+    assert joined.filter(F.col("question") != F.col("text")).count() == 0
+
+
+def test_hex_roundtrip_lossless(t):
+    assert M.hex_roundtrip(t).filter(~F.col("lossless")).count() == 0
+
+
+def test_identifier_normalize_bounded_and_distinct(t):
+    out = M.identifier_normalize(t)
+    assert out.filter(F.length("identifier") > 25).count() == 0
+    # compaction must not collapse distinct names
+    n_names = t["part"].select("p_name").distinct().count()
+    assert out.select("identifier").distinct().count() == n_names
+
+
+def test_session_history_ordered(t):
+    row = M.session_history(t).orderBy("user_id").first()
+    assert row.n_turns == len(row.history.split("\n"))

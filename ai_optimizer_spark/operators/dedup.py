@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..functions import vector as V
+from ..tables import widen_scan
 
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.8
@@ -55,7 +56,10 @@ def exact_dedup(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def _shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) exploded inverted index + per-doc set size."""
+    """(doc_id, shingle) exploded inverted index + per-doc set size.
+    The scan is widened first: one md5 per shingle is the dominant map cost
+    and must fan out across cores (no-op on real multi-row-group tables)."""
+    docs = widen_scan(docs)
     return docs.select(
         "doc_id", F.explode(T.word_shingles("text", SHINGLE_N)).alias("shingle")
     )
@@ -174,7 +178,7 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash over shingle hash60s: bit i is the majority of bit i
     across the set's hashes (ties → 0). Explode+groupBy keeps the bit sums
     as a partial-aggregable shuffle (scales with docs, not shingles)."""
-    sh = docs.select(
+    sh = widen_scan(docs).select(
         "doc_id", F.explode(T.word_shingles("text", SHINGLE_N)).alias("shingle")
     ).withColumn("h", T.hash60(F.col("shingle")))
     bit_sums = sh.groupBy("doc_id").agg(

@@ -83,6 +83,52 @@ def semantic_routing(t: dict[str, DataFrame], query_terms=("window", "stream")) 
     )
 
 
+def qa_generation(t: dict[str, DataFrame]) -> DataFrame:
+    """D9: Q&A testset generation (testbed/generation.py:66-109 — chunk the
+    corpus, generate a question per chunk with topic metadata). Double: the
+    chunking is the reference's real 512/10%-overlap split; the "LLM" is a
+    template over (source, chunk idx); reference_answer is the chunk head.
+    Output matches the QARecord shape (testbed/schemas.py:35-54)."""
+    from ..functions.text import chunk_text
+
+    docs = t["documents"]
+    chunks = chunk_text(
+        docs.select("doc_id", "text"), "text", "doc_id", 512, 51
+    ).join(docs.select("doc_id", "lang", "source"), "doc_id")
+    return chunks.select(
+        F.col("chunk_id").alias("qa_id"),
+        F.concat(
+            F.lit("What does "),
+            F.col("source"),
+            F.lit(" passage "),
+            F.element_at(F.split("chunk_id", "_"), -1),
+            F.lit(" describe?"),
+        ).alias("question"),
+        F.substring("chunk_text", 1, 50).alias("reference_answer"),
+        F.col("lang").alias("topic"),
+    )
+
+
+def answer_synthesis(t: dict[str, DataFrame], query_terms=("join", "merge")) -> DataFrame:
+    """D10+D11 composition: combined-route answer synthesis
+    (runtime/langgraph/multi_tool.py:73-139) — when the relevance grade says
+    "no" the SQL answer stands alone; otherwise the two answers are merged
+    through the synthesis template. Answers are deterministic projections of
+    the doc; the *branching contract* is the operator."""
+    docs = t["documents"]
+    relevant = _contains_any(F.col("text"), query_terms)
+    sql_answer = F.concat(F.lit("sql:"), F.upper(F.substring("text", 1, 20)))
+    search_answer = F.concat(F.lit("vs:"), F.substring("text", 21, 20))
+    synthesized = F.when(
+        relevant, F.concat(sql_answer, F.lit(" | "), search_answer)
+    ).otherwise(sql_answer)
+    return docs.select(
+        "doc_id",
+        F.when(relevant, "synthesized").otherwise("sql_only").alias("route"),
+        synthesized.alias("answer"),
+    )
+
+
 def fenced_json_extract(t: dict[str, DataFrame]) -> DataFrame:
     """F15: fenced-JSON extraction (vs_retriever.py:106-111 strips ```json
     fences from LLM output before parsing). The fenced payload is

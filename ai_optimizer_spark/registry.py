@@ -1228,3 +1228,102 @@ def _store_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["s13_store_catalog"] = _store_catalog_scan
+
+# ---------------------------------------------------------------------------
+# §2.9 T2 as arbitrary stateful processing (pandas fold); shares the window
+# implementation's oracle — two independent engines, three implementations.
+# ---------------------------------------------------------------------------
+
+from .streaming.stateful import track_jobs_batch  # noqa: E402
+
+_register("t2p_job_states_pandas", track_jobs_batch, None)
+ORACLE_SQL["t2p_job_states_pandas"] = ORACLE_SQL["t2_job_states"]
+
+# ---------------------------------------------------------------------------
+# D9/D10 doubles + S6 sink/source round-trip
+# ---------------------------------------------------------------------------
+
+_register(
+    "d9_qa_generation",
+    LD.qa_generation,
+    """
+    WITH starts AS (
+        SELECT doc_id, text, lang, source, length(text) AS n,
+               unnest(generate_series(0, CAST(ceil(length(text) / 461.0) AS BIGINT))) AS i
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, text, lang, source, n, i, i * 461 AS start_index,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS idx
+        FROM starts
+        WHERE (i = 0 AND n > 0) OR (i > 0 AND i * 461 + 51 < n)
+    )
+    SELECT doc_id || '_' || CAST(idx AS VARCHAR) AS qa_id,
+           'What does ' || source || ' passage ' || CAST(idx AS VARCHAR)
+             || ' describe?' AS question,
+           substr(text, CAST(start_index AS INTEGER) + 1, 512)[1:50] AS reference_answer,
+           lang AS topic
+    FROM chunks
+    """,
+)
+
+_register(
+    "d10_answer_synthesis",
+    LD.answer_synthesis,
+    """
+    SELECT doc_id,
+           CASE WHEN lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%'
+                THEN 'synthesized' ELSE 'sql_only' END AS route,
+           CASE WHEN lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%'
+                THEN 'sql:' || upper(substr(text, 1, 20)) || ' | ' || 'vs:' || substr(text, 21, 20)
+                ELSE 'sql:' || upper(substr(text, 1, 20)) END AS answer
+    FROM documents
+    """,
+)
+
+
+def _chunk_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: chunk → JSON sink → JSON source with explicit schema; the result
+    must equal the chunks that went in (oracle = the chunker SQL), proving
+    the sink/source pair is lossless including the metadata map."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .plans.vector_store import chunks_from_documents
+    from .sources.files import read_chunks_json, write_chunks_json
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    chunks = chunks_from_documents(docs).withColumnRenamed("text", "page_content")
+    path = tempfile.mkdtemp(prefix="aio_chunks_json_")
+    write_chunks_json(chunks, path)
+    back = read_chunks_json(spark, path)
+    return back.select(
+        "id",
+        F.col("page_content").alias("text"),
+        F.col("metadata")["source"].alias("source"),
+        F.col("metadata")["filename"].alias("filename"),
+        F.col("metadata")["start_index"].cast("int").alias("start_index"),
+    )
+
+
+QUERIES["s6_chunk_json_roundtrip"] = _chunk_json_roundtrip
+ORACLE_SQL["s6_chunk_json_roundtrip"] = """
+    WITH starts AS (
+        SELECT doc_id, text, source, length(text) AS n,
+               unnest(generate_series(0, CAST(ceil(length(text) / 160.0) AS BIGINT))) AS i
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, text, source, n, i, i * 160 AS start_index,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS idx
+        FROM starts
+        WHERE (i = 0 AND n > 0) OR (i > 0 AND i * 160 + 40 < n)
+    )
+    SELECT doc_id || '_' || CAST(idx AS VARCHAR) AS id,
+           substr(text, CAST(start_index AS INTEGER) + 1, 200) AS text,
+           source,
+           'doc_' || CAST(doc_id AS VARCHAR) AS filename,
+           CAST(start_index AS INTEGER) AS start_index
+    FROM chunks
+    """

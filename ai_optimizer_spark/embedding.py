@@ -67,15 +67,35 @@ class HashEmbedder:
         return self._embed_one(text).tolist()
 
 
-def embed_column(text_col: str | Column, dim: int = EMBED_DIM) -> Column:
+def embed_column(
+    text_col: str | Column, dim: int = EMBED_DIM, rate_limit: int = 0
+) -> Column:
     """Vectorized embedding of a text column via a scalar-iterator
     pandas_udf: client built once per task, Arrow batches in/out — the
-    10-100x-over-row-UDF path when Python is unavoidable."""
+    10-100x-over-row-UDF path when Python is unavoidable.
+
+    `rate_limit` > 0 throttles like the reference (sleep 60/rate_limit
+    between provider batches, embed/vector_store.py:183-186) — a per-task
+    token-bucket so N executor tasks respect N×limit aggregate, matching
+    how provider quotas are usually per-connection (SURVEY.md §4-O8)."""
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import time
+
         client = HashEmbedder(dim)
+        interval = 60.0 / rate_limit if rate_limit > 0 else 0.0
+        next_call = 0.0
         for batch in batches:
-            yield pd.Series(client.embed_documents(batch.fillna("").tolist()))
+            texts = batch.fillna("").tolist()
+            out: list[list[float]] = []
+            for i in range(0, len(texts), PROVIDER_BATCH):
+                if interval:
+                    now = time.monotonic()
+                    if now < next_call:
+                        time.sleep(next_call - now)
+                    next_call = time.monotonic() + interval
+                out.extend(client.embed_documents(texts[i : i + PROVIDER_BATCH]))
+            yield pd.Series(out)
 
     return _embed(F.col(text_col) if isinstance(text_col, str) else text_col)

@@ -1327,3 +1327,25 @@ ORACLE_SQL["s6_chunk_json_roundtrip"] = """
            CAST(start_index AS INTEGER) AS start_index
     FROM chunks
     """
+
+
+def _sql_to_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+S12: the SQL-query→CSV source path (embed/utils.py:73-145) — a
+    validated SELECT spooled to a CSV staging dir, then read back with an
+    explicit schema. The oracle is the SQL itself: the sink/source pair
+    must be lossless for the spooled types."""
+    import tempfile
+
+    from .sources.files import read_csv, write_csv
+
+    register_views(spark, sf_dir)
+    df = run_sql(spark, _NL2SQL_DEMO)
+    path = tempfile.mkdtemp(prefix="aio_sql_csv_")
+    write_csv(df, path)
+    return read_csv(
+        spark, path, "nation string, n_customers long, total_spend double"
+    )
+
+
+QUERIES["s8_sql_to_csv_source"] = _sql_to_csv_source
+ORACLE_SQL["s8_sql_to_csv_source"] = _NL2SQL_DEMO

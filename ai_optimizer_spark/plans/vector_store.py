@@ -101,6 +101,8 @@ def populate_store(
     name: str,
     chunks: DataFrame,
     distance_metric: str = "COSINE",
+    cluster_by_bucket: bool = False,
+    bucket_bits: int = 8,
 ) -> DataFrame:
     """S11+J2+D1+D3: dedup → embed → anti-join merge → atomic publish.
 
@@ -108,7 +110,15 @@ def populate_store(
     the merge inserts only ids absent from the existing store
     (vector_store.py:250-257); publish is write-new-directory + rename so
     readers never see a half-written store (staging semantics of
-    embed/staging.py:55-117)."""
+    embed/staging.py:55-117).
+
+    `cluster_by_bucket` is the 100 TB layout (SURVEY.md §7.4-1): rows are
+    written `partitionBy(bucket)` where bucket = sign-LSH of the embedding,
+    so a bucketed search prunes ~(2^bits - 1)/2^bits of the scan as Hive
+    partition pruning — the Spark analog of the reference's ANN index
+    (HNSW/IVF per store, embed/vector_store.py:235-237)."""
+    from ..functions import vector as V
+
     validate_identifier(name)
     deduped = chunks.dropDuplicates(["text"])
     embedded = deduped.withColumn("embedding", embed_column("text")).select(
@@ -117,14 +127,20 @@ def populate_store(
 
     data_path = catalog.data_path(name)
     if os.path.exists(data_path):
-        existing = spark.read.parquet(data_path)
+        existing = spark.read.parquet(data_path).select(
+            "id", "text", "metadata", "embedding"
+        )
         new_rows = embedded.join(existing, "id", "left_anti")
         merged = existing.unionByName(new_rows)
     else:
         merged = embedded
 
     tmp_path = f"{data_path}__tmp_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp_path)
+    writer = merged.write.mode("overwrite")
+    if cluster_by_bucket:
+        merged = merged.withColumn("bucket", V.sign_bucket("embedding", bucket_bits))
+        writer = merged.write.mode("overwrite").partitionBy("bucket")
+    writer.parquet(tmp_path)
     if os.path.exists(data_path):
         shutil.rmtree(data_path)
     os.rename(tmp_path, data_path)
@@ -135,6 +151,8 @@ def populate_store(
             "distance_metric": distance_metric,
             "embed_model": "hash64",
             "dim": 64,
+            "clustered": cluster_by_bucket,
+            "bucket_bits": bucket_bits if cluster_by_bucket else None,
         },
     )
     return spark.read.parquet(data_path)
@@ -172,7 +190,15 @@ def search_store(
 
     meta = next(c for c in catalog.discover() if c["name"] == name)
     store = spark.read.parquet(catalog.data_path(name))
-    qvec = F.array(*[F.lit(float(x)) for x in HashEmbedder().embed_query(query_text)])
+    q_emb = HashEmbedder().embed_query(query_text)
+    qvec = F.array(*[F.lit(float(x)) for x in q_emb])
+    if meta.get("clustered"):
+        # bucket is a Hive partition column → this predicate prunes
+        # directories before any row is read (the ANN scale path)
+        bits = int(meta.get("bucket_bits") or 8)
+        # python mirror of functions.vector.sign_bucket (first `bits` dims)
+        q_bucket = sum((1 << i) for i in range(bits) if q_emb[i] >= 0)
+        store = store.filter(F.col("bucket") == q_bucket)
     metric = meta.get("distance_metric", "COSINE").upper()
     if "COSINE" in metric:
         sim = F.lit(1.0) - (F.lit(1.0) - V.cosine_similarity(F.col("embedding"), qvec)) / F.lit(2.0)

@@ -1349,3 +1349,30 @@ def _sql_to_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["s8_sql_to_csv_source"] = _sql_to_csv_source
 ORACLE_SQL["s8_sql_to_csv_source"] = _NL2SQL_DEMO
+
+
+def _e2e_clustered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 scale layout end-to-end: build a store partitionBy(sign-LSH
+    bucket), search with the bucket predicate → Hive partition pruning
+    stands in for the ANN index. Store build is a pandas_udf pipeline →
+    rows-only driver check (pruning semantics are unit-verified against the
+    brute-force-in-bucket result in tests/test_vector_store.py)."""
+    import tempfile
+
+    from .plans.vector_store import (
+        VectorStoreCatalog,
+        chunks_from_documents,
+        populate_store,
+        search_store,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(120)
+    catalog = VectorStoreCatalog(tempfile.mkdtemp(prefix="aio_clustered_"))
+    populate_store(
+        spark, catalog, "clustered", chunks_from_documents(docs),
+        cluster_by_bucket=True, bucket_bits=4,
+    )
+    return search_store(spark, catalog, "clustered", "table join filter fast", top_k=8)
+
+
+QUERIES["e2e_clustered_search"] = _e2e_clustered_search

@@ -57,7 +57,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # events.ts is TIMESTAMP(NANOS) in the driver parquet; Spark reads it as
     # long (nanosAsLong). Truncate ns→µs exactly like DuckDB's TIMESTAMP cast
     # (integer division, no double round-trip — 2024 epoch-ns overflows the
-    # 53-bit double mantissa).
+    # 53-bit double mantissa). Known cost: predicates on the derived ts can't
+    # push into the scan (the filter sits above timestamp_micros()); a real
+    # deployment stores µs timestamps and gets pushdown for free.
     ev = tables["events"]
     if dict(ev.dtypes).get("ts") == "bigint":
         tables["events"] = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -98,3 +98,57 @@ def test_catalog_discovery(spark, sf_small, catalog):
     assert found["alpha"]["distance_metric"] == "DOT"
     catalog.drop("alpha")
     assert [c["name"] for c in catalog.discover()] == ["beta"]
+
+
+def test_clustered_store_partition_prunes(spark, sf_small, tmp_path):
+    """The bucket-clustered layout must (a) physically partition-prune the
+    scan — visible as PartitionFilters on the parquet relation — and
+    (b) return exactly the same hits as brute-force search restricted to
+    the query's bucket."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.embedding import HashEmbedder
+    from ai_optimizer_spark.functions import vector as V
+    from ai_optimizer_spark.plans.vector_store import (
+        VectorStoreCatalog,
+        chunks_from_documents,
+        populate_store,
+        search_store,
+    )
+    from ai_optimizer_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_small)["documents"].limit(120)
+    catalog = VectorStoreCatalog(str(tmp_path / "stores"))
+    populate_store(
+        spark, catalog, "clustered", chunks_from_documents(docs),
+        cluster_by_bucket=True, bucket_bits=4,
+    )
+    query = "table join filter fast"
+    pruned = search_store(spark, catalog, "clustered", query, top_k=5)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # semantics: equal to scoring the full store filtered to the bucket
+    q_emb = HashEmbedder().embed_query(query)
+    q_bucket = sum((1 << i) for i in range(4) if q_emb[i] >= 0)
+    full = spark.read.parquet(catalog.data_path("clustered"))
+    qvec = F.array(*[F.lit(float(x)) for x in q_emb])
+    sim = F.round(
+        F.lit(1.0) - (F.lit(1.0) - V.cosine_similarity(F.col("embedding"), qvec)) / F.lit(2.0), 3
+    ) + F.lit(0.0)
+    want = (
+        full.filter(F.col("bucket") == q_bucket)
+        .select("id", "text", sim.alias("similarity"))
+        .orderBy(F.desc("similarity"), F.asc("id"))
+        .limit(5)
+    )
+    got = {(r.id, r.text, r.similarity) for r in pruned.collect()}
+    expected = {(r.id, r.text, r.similarity) for r in want.collect()}
+    assert got == expected and len(got) > 0

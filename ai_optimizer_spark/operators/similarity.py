@@ -156,26 +156,11 @@ def knn_self_join(t: dict[str, DataFrame], k: int = 3, limit_queries: int = 50) 
     )
 
 
-def ivf_topk(
-    t: dict[str, DataFrame],
-    query_id: int = 0,
-    k: int = TOP_K,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-) -> DataFrame:
-    """O6 scale path #2: IVF-style ANN. Coarse centroids are a fixed subset
-    of the corpus (deterministic stand-in for k-means — the assignment and
-    probe plan shapes are identical); every vector is assigned to its
-    nearest centroid, the query probes only the `n_probe` nearest cells.
-
-    Scale shape: assignment is a write-path cost — at 100 TB the store is
-    written clustered/partitioned by `cid`, so the probe semi-join becomes
-    partition pruning and the scan reads n_probe/n_centroids of the data.
-    The argmin is `min(struct(dist, cid))` — a partial-aggregatable
-    map-side combine, cheaper than a window sort. Recall is traded against
-    `n_probe` exactly as in FAISS-style IVF-Flat.
-    """
-    emb = t["embeddings"]
+def _ivf_assign(emb: DataFrame, n_centroids: int):
+    """(centroids, cell assignment) for IVF: centroids are a fixed corpus
+    subset; each vector's cell is argmin euclidean distance, computed as
+    `min(struct(dist, cid))` — a partial-aggregatable map-side combine,
+    cheaper than a window sort."""
     cents = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
@@ -196,6 +181,30 @@ def ivf_topk(
         )
         .select("vec_id", "label", "embedding", F.col("best.cid").alias("cid"))
     )
+    return cents, assigned
+
+
+def ivf_topk(
+    t: dict[str, DataFrame],
+    query_id: int = 0,
+    k: int = TOP_K,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """O6 scale path #2: IVF-style ANN. Coarse centroids are a fixed subset
+    of the corpus (deterministic stand-in for k-means — the assignment and
+    probe plan shapes are identical); every vector is assigned to its
+    nearest centroid, the query probes only the `n_probe` nearest cells.
+
+    Scale shape: assignment is a write-path cost — at 100 TB the store is
+    written clustered/partitioned by `cid`, so the probe semi-join becomes
+    partition pruning and the scan reads n_probe/n_centroids of the data.
+    The argmin is `min(struct(dist, cid))` — a partial-aggregatable
+    map-side combine, cheaper than a window sort. Recall is traded against
+    `n_probe` exactly as in FAISS-style IVF-Flat.
+    """
+    emb = t["embeddings"]
+    cents, assigned = _ivf_assign(emb, n_centroids)
     q = _query_vectors(t, [query_id])
     probe = (
         cents.crossJoin(F.broadcast(q))
@@ -212,6 +221,49 @@ def ivf_topk(
         .select("vec_id", "label", "cid", sim.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def ivf_knn_join(
+    t: dict[str, DataFrame],
+    n_queries: int = 20,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Batch ANN: the kNN *join* over IVF cells — every query probes its
+    `n_probe` nearest cells; candidates are scored and top-k'd per query.
+    This is the training-pipeline shape (dedup/retrieval over millions of
+    queries): one cell assignment is shared by ALL queries, the probe list
+    is a tiny broadcast, and the per-query window parallelizes on query_id.
+    At scale with the store partitioned by `cid`, each query reads
+    n_probe/n_centroids of the data — same plan, pruned scan."""
+    emb = t["embeddings"]
+    cents, assigned = _ivf_assign(emb, n_centroids)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.asc("qdist"), F.asc("cid"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            "query_id",
+            "query_vec",
+            V.euclidean_distance("ce", "query_vec").alias("qdist"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("cid", "query_id", "query_vec")
+    )
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        assigned.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cid", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w_k))
+        .filter(F.col("rnk") <= k)
     )
 
 

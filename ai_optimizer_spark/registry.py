@@ -1376,3 +1376,50 @@ def _e2e_clustered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["e2e_clustered_search"] = _e2e_clustered_search
+
+_register(
+    "v8_ivf_knn_join",
+    S.ivf_knn_join,
+    """
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 20
+    ),
+    assigned AS (
+        SELECT vec_id, label, ee, cid FROM (
+            SELECT e.vec_id, e.label, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT cid, query_id, qe FROM (
+            SELECT c.cid, qq.query_id, qq.qe,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qq.query_id
+                       ORDER BY list_distance(c.ce, qq.qe) ASC, c.cid ASC
+                   ) AS rn
+            FROM cents c CROSS JOIN q qq
+        ) WHERE rn <= 4
+    )
+    SELECT query_id, vec_id, cid, cos_sim, rnk FROM (
+        SELECT p.query_id, a.vec_id, a.cid,
+               ROUND(list_cosine_similarity(a.ee, p.qe), 3) + 0.0 AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY ROUND(list_cosine_similarity(a.ee, p.qe), 3) + 0.0 DESC,
+                            a.vec_id ASC
+               ) AS rnk
+        FROM assigned a JOIN probe p ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id
+    ) WHERE rnk <= 3
+    """,
+)

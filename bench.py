@@ -30,6 +30,7 @@ HEADLINE = [
     "v1_cosine_topk",
     "v5_knn_self_join",
     "v7_ivf_topk",
+    "v8_ivf_knn_join",
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
     "d4_simhash_pairs",

@@ -174,6 +174,73 @@ def delete_stale_chunks(
     return spark.read.parquet(data_path)
 
 
+def refresh_store(
+    spark: SparkSession,
+    catalog: VectorStoreCatalog,
+    name: str,
+    current_docs: DataFrame,
+    chunk_size: int = 200,
+    overlap: int = 40,
+) -> DataFrame:
+    """T1: incremental refresh (embed/refresh.py:28-143 + oci/bucket.py:
+    151-181): diff the current corpus against what the store already holds
+    (per-file fingerprint), DELETE stale chunks of changed files, re-chunk
+    and anti-join-INSERT only the changed/new files. Unchanged files are
+    never re-embedded — the whole point of the reference's etag/mtime diff.
+
+    The store-side state is the per-file md5 fingerprint carried in chunk
+    metadata; the diff join is J4: full outer on filename → new (left-anti)
+    ∪ modified (inner where fingerprints differ)."""
+    from ..functions import text as T
+
+    current = current_docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("filename"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    data_path = catalog.data_path(name)
+    if os.path.exists(data_path):
+        held = (
+            spark.read.parquet(data_path)
+            .select(
+                F.col("metadata")["filename"].alias("filename"),
+                F.col("metadata")["fingerprint"].alias("fp"),
+            )
+            .dropDuplicates(["filename"])
+        )
+        diff = current.alias("cur").join(
+            held.alias("old"), F.col("cur.filename") == F.col("old.filename"), "left"
+        )
+        changed = diff.filter(
+            F.col("old.filename").isNull() | (F.col("cur.fp") != F.col("old.fp"))
+        ).select(F.col("cur.filename").alias("filename"))
+        changed_names = [r.filename for r in changed.collect()]
+        if not changed_names:
+            return spark.read.parquet(data_path)
+        delete_stale_chunks(spark, catalog, name, changed_names)
+        to_embed = current_docs.filter(
+            F.concat(F.lit("doc_"), F.col("doc_id")).isin(changed_names)
+        )
+    else:
+        to_embed = current_docs
+    fps = to_embed.select(
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("filename"),
+        T.fingerprint(F.col("text")).alias("doc_fp"),
+    )
+    chunks = (
+        chunks_from_documents(to_embed, chunk_size, overlap)
+        .withColumn("filename", F.col("metadata")["filename"])
+        .join(F.broadcast(fps), "filename")
+        .withColumn(
+            "metadata",
+            F.map_concat(
+                "metadata", F.create_map(F.lit("fingerprint"), F.col("doc_fp"))
+            ),
+        )
+        .drop("filename", "doc_fp")
+    )
+    return populate_store(spark, catalog, name, chunks)
+
+
 def search_store(
     spark: SparkSession,
     catalog: VectorStoreCatalog,

@@ -1423,3 +1423,34 @@ _register(
     ) WHERE rnk <= 3
     """,
 )
+
+
+def _e2e_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 on real stores: build → modify one file + add one → refresh; only
+    changed files are re-embedded (embed/refresh.py:28-143 semantics).
+    Pandas-UDF write path → rows-only driver check (the incremental
+    invariants are asserted in tests/test_vector_store.py)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .plans.vector_store import VectorStoreCatalog, refresh_store
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(60).select(
+        "doc_id", "text", "source"
+    )
+    catalog = VectorStoreCatalog(tempfile.mkdtemp(prefix="aio_refresh_"))
+    refresh_store(spark, catalog, "store_r", docs)
+    modified = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.lit("fresh text for doc zero")).otherwise(
+            F.col("text")
+        ),
+    )
+    final = refresh_store(spark, catalog, "store_r", modified)
+    return final.select(
+        "id", F.col("metadata")["filename"].alias("filename"), "text"
+    )
+
+
+QUERIES["e2e_incremental_refresh"] = _e2e_incremental_refresh

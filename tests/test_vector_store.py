@@ -152,3 +152,47 @@ def test_clustered_store_partition_prunes(spark, sf_small, tmp_path):
     got = {(r.id, r.text, r.similarity) for r in pruned.collect()}
     expected = {(r.id, r.text, r.similarity) for r in want.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_refresh_store_incremental(spark, sf_small, catalog):
+    """T1 end-to-end: only changed/new files are re-chunked+re-embedded;
+    unchanged files keep their rows; a no-change refresh is a no-op."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.plans.vector_store import refresh_store
+
+    docs = _docs(spark, sf_small).select("doc_id", "text", "source")
+    store1 = refresh_store(spark, catalog, "store_r", docs)
+    n1 = store1.count()
+    assert n1 > 0
+
+    # no changes → identical store
+    store2 = refresh_store(spark, catalog, "store_r", docs)
+    assert store2.count() == n1
+    ids1 = {r.id for r in store1.select("id").collect()}
+    assert {r.id for r in store2.select("id").collect()} == ids1
+
+    # snapshot an untouched doc's chunk ids BEFORE the swap invalidates
+    # store1's file listing (the atomic publish replaces the directory)
+    before = {r.id for r in store1.filter(F.col("metadata")["filename"] == "doc_1").collect()}
+
+    # modify doc 0, add doc 9999
+    modified = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.lit("completely new text for doc zero")).otherwise(
+            F.col("text")
+        ),
+    )
+    extra = spark.createDataFrame(
+        [(9999, "brand new doc about merges and joins", "srcX")],
+        "doc_id long, text string, source string",
+    )
+    store3 = refresh_store(spark, catalog, "store_r", modified.unionByName(extra))
+
+    doc0 = store3.filter(F.col("metadata")["filename"] == "doc_0")
+    assert doc0.count() == 1
+    assert "completely new text" in doc0.first().text
+    assert store3.filter(F.col("metadata")["filename"] == "doc_9999").count() == 1
+    # an untouched doc keeps its exact chunk ids
+    after = {r.id for r in store3.filter(F.col("metadata")["filename"] == "doc_1").collect()}
+    assert before == after and before

@@ -1454,3 +1454,34 @@ def _e2e_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["e2e_incremental_refresh"] = _e2e_incremental_refresh
+
+
+def _e2e_vecsearch_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 lifecycle in one call: rephrase-guard → store routing →
+    multi-store top-k → grade/blank, compiled once per settings identity
+    (plans/flow.py). Rows-only (pandas-UDF store build)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .plans.flow import VecsearchFlow, VecsearchSettings
+    from .plans.vector_store import (
+        VectorStoreCatalog,
+        chunks_from_documents,
+        populate_store,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(80)
+    catalog = VectorStoreCatalog(tempfile.mkdtemp(prefix="aio_flow_"))
+    populate_store(spark, catalog, "table_docs",
+                   chunks_from_documents(docs.filter(F.col("doc_id") % 2 == 0)))
+    populate_store(spark, catalog, "stream_docs",
+                   chunks_from_documents(docs.filter(F.col("doc_id") % 2 == 1)))
+    flow = VecsearchFlow(spark, catalog)
+    return flow.run(
+        "driver", "table join filter fast",
+        VecsearchSettings(top_k=8), history=["prior q", "prior a"],
+    )
+
+
+QUERIES["e2e_vecsearch_flow"] = _e2e_vecsearch_flow

@@ -1485,3 +1485,49 @@ def _e2e_vecsearch_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["e2e_vecsearch_flow"] = _e2e_vecsearch_flow
+
+
+def _e2e_evaluation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 end to end: D9 testset → deterministic answer double (echo the
+    reference answer for even doc ids, garbage otherwise) → pandas-UDF
+    judge → A7/A8 report. The oracle derives correctness independently
+    from qa parity — the judge UDF must agree exactly."""
+    from pyspark.sql import functions as F
+
+    from .operators.llm_doubles import qa_generation
+    from .plans.testbed import evaluate_testset
+
+    testset = qa_generation(load_tables(spark, sf_dir))
+    answers = testset.select(
+        "qa_id",
+        F.when(
+            F.element_at(F.split("qa_id", "_"), 1).cast("long") % 2 == 0,
+            F.col("reference_answer"),
+        ).otherwise(F.lit("zzz_unrelated_answer"))
+        .alias("agent_answer"),
+    )
+    report, _failures = evaluate_testset(testset, answers)
+    return report
+
+
+QUERIES["e2e_evaluation_report"] = _e2e_evaluation_report
+ORACLE_SQL["e2e_evaluation_report"] = """
+    WITH starts AS (
+        SELECT doc_id, text, lang, length(text) AS n,
+               unnest(generate_series(0, CAST(ceil(length(text) / 461.0) AS BIGINT))) AS i
+        FROM documents
+    ),
+    qa AS (
+        SELECT doc_id, lang AS topic,
+               CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS correct
+        FROM starts
+        WHERE (i = 0 AND n > 0) OR (i > 0 AND i * 461 + 51 < n)
+    )
+    SELECT 'by_topic' AS scope, topic,
+           ROUND(AVG(correct), 4) AS correctness, COUNT(*) AS n
+    FROM qa GROUP BY topic
+    UNION ALL
+    SELECT 'overall' AS scope, 'all' AS topic,
+           ROUND(AVG(correct), 4) AS correctness, COUNT(*) AS n
+    FROM qa
+"""

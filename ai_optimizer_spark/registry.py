@@ -1531,3 +1531,25 @@ ORACLE_SQL["e2e_evaluation_report"] = """
            ROUND(AVG(correct), 4) AS correctness, COUNT(*) AS n
     FROM qa
 """
+
+
+def _mm2_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm2: the full media pipeline — payload-sized repartition → video
+    frame sampling (1→N mapInPandas) → resize → feature extraction.
+    Stubbed kernels, real plumbing; rows-only driver check (invariants
+    asserted in tests/test_multimodal_loaders.py)."""
+    from .sources.multimodal import (
+        documents_as_media,
+        extract_features,
+        repartition_for_payloads,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = repartition_for_payloads(documents_as_media(docs), target_bytes=1 << 20)
+    frames = resize_images(sample_frames(media, every_ms=100, max_frames=3))
+    return extract_features(frames)
+
+
+QUERIES["mm2_frame_features"] = _mm2_frame_features

@@ -81,6 +81,89 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize as mapInPandas: image rows get a re-encoded payload and
+    updated (width, height) metadata; non-image rows pass through
+    untouched. The stub kernel derives a deterministic payload of
+    width*height//64 bytes from the source digest — a real PIL
+    `Image.resize` replaces only the kernel. Output schema == input schema,
+    so resize composes anywhere in the media pipeline."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_bytes = max(width * height // 64, 8)
+        for pdf in batches:
+            payloads, metas = [], []
+            for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                if kind != "image":
+                    payloads.append(payload)
+                    metas.append(meta)
+                    continue
+                seed = hashlib.sha256(bytes(payload or b"")).digest()
+                payloads.append((seed * (n_bytes // len(seed) + 1))[:n_bytes])
+                m = dict(meta) if meta is not None else {}
+                m.update({"mime": "image/raw", "width": width, "height": height})
+                metas.append(m)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(_resize, MEDIA_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 5
+) -> DataFrame:
+    """Video frame sampling as a 1→N mapInPandas (the UDTF shape): each
+    video row yields up to `max_frames` image rows, one per `every_ms` of
+    (stub) duration; non-video rows are dropped. Frame payloads are
+    deterministic functions of (source digest, frame index); a real
+    ffmpeg/pyav extractor replaces only the kernel."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "video":
+                    continue
+                blob = bytes(payload or b"")
+                # stub duration: 1 ms per payload byte
+                n_frames = min(max(len(blob) // max(every_ms, 1), 1), max_frames)
+                digest = hashlib.sha256(blob).digest()
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "media_id": f"{media_id}_f{i}",
+                            "kind": "image",
+                            "payload": hashlib.sha256(digest + bytes([i])).digest(),
+                            "meta": {
+                                "mime": "image/raw",
+                                "width": None,
+                                "height": None,
+                                "duration_ms": i * every_ms,
+                            },
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return media.mapInPandas(_sample, MEDIA_SCHEMA)
+
+
+def repartition_for_payloads(media: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
+    """Size the Arrow batches: repartition so each partition carries about
+    `target_bytes` of payload (one count+sum action over the pruned
+    length-only projection — payload bytes are NOT collected). At 100 TB
+    this keeps decode UDF memory bounded regardless of media size skew."""
+    stats = media.select(F.sum(F.length("payload")).alias("total")).first()
+    total = stats.total or 0
+    n_parts = max(int(total // target_bytes) + 1, 1)
+    return media.repartition(n_parts)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as opaque payloads so the media
     path is exercisable on the driver corpus (utf-8 encode ≙ the opaque

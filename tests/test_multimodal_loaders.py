@@ -52,3 +52,53 @@ def test_loader_dispatch(spark, tmp_path):
     assert out["b.md"].status == "ok"
     assert out["weird.xyz"].status == "unsupported:xyz"
     assert out["c.pdf"].status in ("loader_unavailable:pdf", "error:PdfReadError")
+
+
+def test_resize_updates_images_only(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.sources.multimodal import documents_as_media, resize_images
+    from ai_optimizer_spark.tables import load_tables
+
+    media = documents_as_media(load_tables(spark, sf_small)["documents"].limit(30))
+    out = resize_images(media, width=64, height=64)
+    assert out.schema.simpleString() == media.schema.simpleString()  # schema-stable
+    imgs = out.filter(F.col("kind") == "image")
+    assert imgs.count() > 0
+    assert imgs.filter(F.col("meta.width") != 64).count() == 0
+    assert imgs.filter(F.length("payload") != 64 * 64 // 64).count() == 0
+    # non-images untouched: payload still decodes to the original text
+    audio_in = {r.media_id: bytes(r.payload) for r in media.filter(F.col("kind") == "audio").collect()}
+    audio_out = {r.media_id: bytes(r.payload) for r in out.filter(F.col("kind") == "audio").collect()}
+    assert audio_in == audio_out
+
+
+def test_frame_sampling_is_one_to_n_and_deterministic(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.sources.multimodal import documents_as_media, sample_frames
+    from ai_optimizer_spark.tables import load_tables
+
+    media = documents_as_media(load_tables(spark, sf_small)["documents"].limit(30))
+    n_videos = media.filter(F.col("kind") == "video").count()
+    frames = sample_frames(media, every_ms=100, max_frames=3)
+    assert n_videos > 0
+    assert frames.count() > n_videos  # 1→N expansion happened
+    assert frames.filter(F.col("kind") != "image").count() == 0
+    # deterministic: same input → same frame payload digests
+    a = {r.media_id: bytes(r.payload) for r in frames.collect()}
+    b = {r.media_id: bytes(r.payload) for r in sample_frames(media, 100, 3).collect()}
+    assert a == b
+
+
+def test_repartition_for_payloads(spark, sf_small):
+    from ai_optimizer_spark.sources.multimodal import (
+        documents_as_media,
+        repartition_for_payloads,
+    )
+    from ai_optimizer_spark.tables import load_tables
+
+    media = documents_as_media(load_tables(spark, sf_small)["documents"])
+    sized = repartition_for_payloads(media, target_bytes=10_000)
+    assert sized.rdd.getNumPartitions() >= 2
+    assert sized.count() == media.count()

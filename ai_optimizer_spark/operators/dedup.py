@@ -55,6 +55,21 @@ def exact_dedup(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def exact_dedup_hashkey(t: dict[str, DataFrame]) -> DataFrame:
+    """D1 at scale: identical semantics to exact_dedup but the shuffle key
+    is md5(text) instead of the raw text — at 100 TB the exchange carries
+    32-byte digests, not document bodies (the docstring's 'key by
+    fingerprint' variant). Same oracle as d1: md5 collisions are absent on
+    any real corpus, and a paranoid deployment appends length to the key."""
+    w = Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
+    return (
+        t["documents"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
 def _shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) exploded inverted index + per-doc set size.
     The scan is widened first: one md5 per shingle is the dominant map cost

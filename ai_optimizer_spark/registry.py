@@ -922,6 +922,12 @@ from .operators import llm_doubles as LD  # noqa: E402
 from .operators import misc as M  # noqa: E402
 
 _register(
+    "d1h_exact_dedup_hashkey",
+    D.exact_dedup_hashkey,
+    OD.EXACT_DEDUP,
+)
+
+_register(
     "d11_query_classification",
     LD.query_classification,
     """

@@ -429,3 +429,40 @@ def json_path_projection(t: dict[str, DataFrame]) -> DataFrame:
         F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
         "event_type",
     ).filter(F.col("k") < 10)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-defeating equi-join: the fact side gets a deterministic salt
+    (hash of the full row mod n_salt), the dim side is replicated once per
+    salt value, and the join key becomes (key, salt) — a hot key's rows
+    spread over n_salt reducers instead of one. Result is identical to the
+    plain join; use when a handful of keys dominate and AQE's skew split
+    (enabled in session.py) isn't available or granular enough.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+    salted_fact = fact.withColumn("_salt", salt)
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return salted_fact.join(replicated_dim, [key, "_salt"]).drop("_salt")
+
+
+def skewed_nation_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """J-skew demo: orders ⋈ customer ⋈ nation via the salted join on the
+    (naturally skewed) customer key, rolled up per nation — same result as
+    the plain join, verified by the oracle."""
+    orders, cust = t["orders"], t["customer"]
+    dim = cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    joined = salted_join(orders, dim, "o_custkey")
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -922,6 +922,17 @@ from .operators import llm_doubles as LD  # noqa: E402
 from .operators import misc as M  # noqa: E402
 
 _register(
+    "j10_salted_skew_join",
+    R.skewed_nation_rollup,
+    """
+    SELECT c.c_nationkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+
+_register(
     "d1h_exact_dedup_hashkey",
     D.exact_dedup_hashkey,
     OD.EXACT_DEDUP,

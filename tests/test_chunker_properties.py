@@ -1,0 +1,67 @@
+"""Property-based chunker verification (hypothesis): the reference's
+sliding-window semantics (embed/document.py:88-99) hold for ALL sizes, not
+just the fixtures — boundary coverage, overlap arithmetic, reconstruction."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from ai_optimizer_spark.functions import text as T
+
+
+def reference_chunker(text: str, size: int, overlap: int) -> list[tuple[int, str]]:
+    """Direct python port of the reference loop (document.py:88-99):
+    emit text[start:start+size]; stop once the end is reached; else
+    start = end - overlap."""
+    out = []
+    start, n = 0, len(text)
+    while start < n:
+        end = min(start + size, n)
+        out.append((start, text[start:end]))
+        if end >= n:
+            break
+        start = end - overlap
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=2000),
+    size=st.integers(min_value=1, max_value=300),
+    overlap=st.integers(min_value=0, max_value=299),
+)
+def test_chunk_starts_match_reference_loop(n, size, overlap, spark):
+    if overlap >= size:
+        return  # chunk_text validates this precondition separately
+    text = "x" * n
+    want = [s for s, _ in reference_chunker(text, size, overlap)]
+    row = spark.range(1).selectExpr(f"{n} as n").select(
+        T.chunk_starts("n", size, overlap).alias("starts")
+    ).first()
+    assert list(row.starts) == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    text=st.text(alphabet="ab c", min_size=0, max_size=400),
+    size=st.integers(min_value=2, max_value=120),
+)
+def test_chunks_cover_text_exactly(text, size, spark):
+    overlap = size // 3
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"id": [1], "text": [text]}))
+    rows = (
+        T.chunk_text(df, "text", "id", size, overlap)
+        .orderBy("start_index")
+        .collect()
+    )
+    want = reference_chunker(text, size, overlap)
+    got = [(r.start_index, r.chunk_text) for r in rows]
+    assert got == want
+    if text:
+        # every char position is covered by at least one chunk
+        covered = set()
+        for s, c in got:
+            covered.update(range(s, s + len(c)))
+        assert covered == set(range(len(text)))

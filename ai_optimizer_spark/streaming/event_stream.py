@@ -63,6 +63,37 @@ def windowed_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def session_window_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming sessionization via the built-in session_window: gap-based
+    session aggregation with watermark-bounded state — the incremental form
+    of operators/events.sessionize (same 30-min gap). `session_end` is
+    derived back from the window end (end = last event + gap) so the output
+    aligns with the batch operator's (min ts, max ts) session bounds.
+
+    Append mode + watermark means a session only emits once the watermark
+    passes its close — sessions near the end of the stream stay in state
+    (exactly the late-data semantics batch jobs don't have to think about).
+    """
+    w = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr(f"INTERVAL {gap_minutes} MINUTES")).alias(
+                "session_end"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def run_to_memory(
     spark: SparkSession, plan: DataFrame, name: str, timeout_sec: int = 120
 ) -> DataFrame:

@@ -28,3 +28,37 @@ def test_streaming_matches_batch(spark, sf_small):
         spark.streams.removeListener(listener)
     assert len(listener.started) >= 1
     assert sum(p["num_input_rows"] for p in listener.progress) > 0
+
+
+def test_session_windows_match_batch_sessionize(spark, sf_small):
+    """Streaming session_window sessions must agree with the batch
+    lag+cumsum sessionization on every session the watermark finalized
+    (append mode withholds sessions still open near the stream's end)."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.operators.events import sessionize
+    from ai_optimizer_spark.streaming.event_stream import session_window_stats
+
+    plan = session_window_stats(events_stream(spark, sf_small))
+    q = (
+        plan.writeStream.format("memory")
+        .queryName("session_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.session_value)
+        for r in spark.table("session_stream_test").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.session_value)
+        for r in sessionize(load_tables(spark, sf_small)).collect()
+    }
+    assert len(got) > 0
+    assert got <= want  # every emitted session is a real batch session
+    # and the withheld remainder is only the un-finalized tail
+    max_ts = max(w[2] for w in want)
+    finalized = {w for w in want if (max_ts - w[2]).total_seconds() > 2 * 3600 + 30 * 60}
+    assert finalized <= got

@@ -292,6 +292,76 @@ def union_store_results(t: dict[str, DataFrame], query_id: int = 0, k: int = 5) 
     return low.unionByName(high)
 
 
+def _mmr_select(vecs, rel, k: int, lambda_mult: float) -> list[int]:
+    """Greedy MMR over one candidate set (numpy); shared by the driver-side
+    single-query path and the grouped batch path."""
+    import numpy as np
+
+    vnorm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    pair_sim = vnorm @ vnorm.T
+    selected = [0]  # candidates arrive relevance-sorted
+    while len(selected) < min(k, len(rel)):
+        best_i, best_score = -1, -np.inf
+        for i in range(len(rel)):
+            if i in selected:
+                continue
+            redundancy = max(pair_sim[i][j] for j in selected)
+            score = lambda_mult * rel[i] - (1 - lambda_mult) * redundancy
+            if score > best_score:
+                best_i, best_score = i, score
+        selected.append(best_i)
+    return selected
+
+
+def mmr_rerank_batch(
+    t: dict[str, DataFrame],
+    n_queries: int = 10,
+    k: int = TOP_K,
+    fetch_k: int = FETCH_K,
+    lambda_mult: float = LAMBDA_MULT,
+) -> DataFrame:
+    """J9 at pipeline scale: MMR for MANY queries at once. The distributed
+    top-fetch_k plan produces ≤fetch_k candidates per query; a grouped
+    applyInPandas runs the greedy selection per query in parallel — each
+    group is tiny (≤20 rows) so the Python cost is bounded while thousands
+    of queries re-rank concurrently. This is what the reference's one-query-
+    at-a-time LangChain MMR (vs_retriever.py:283-294) becomes on Spark."""
+    import numpy as np
+    import pandas as pd
+
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rel_col = V.cosine_similarity("embedding", "query_vec")
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cands = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "embedding", rel_col.alias("rel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= fetch_k)
+    )
+
+    def _rerank(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rn"]).reset_index(drop=True)
+        vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+        rel = pdf["rel"].to_numpy()
+        order = _mmr_select(vecs, rel, k, lambda_mult)
+        return pd.DataFrame(
+            {
+                "query_id": key[0],
+                "vec_id": pdf.loc[order, "vec_id"].astype("int64").values,
+                "mmr_rank": range(1, len(order) + 1),
+                "relevance": [round(float(rel[i]), 3) for i in order],
+            }
+        )
+
+    return cands.groupBy("query_id").applyInPandas(
+        _rerank, "query_id long, vec_id long, mmr_rank int, relevance double"
+    )
+
+
 def mmr_rerank(
     t: dict[str, DataFrame],
     query_id: int = 0,
@@ -326,20 +396,7 @@ def mmr_rerank(
         return spark.createDataFrame([], "vec_id long, mmr_rank int, relevance double")
     vecs = np.array([r.embedding for r in cands], dtype=np.float64)
     rel = np.array([r.rel for r in cands])
-    vnorm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-    pair_sim = vnorm @ vnorm.T
-
-    selected: list[int] = [0]  # candidates arrive relevance-sorted
-    while len(selected) < min(k, len(cands)):
-        best_i, best_score = -1, -np.inf
-        for i in range(len(cands)):
-            if i in selected:
-                continue
-            redundancy = max(pair_sim[i][j] for j in selected)
-            score = lambda_mult * rel[i] - (1 - lambda_mult) * redundancy
-            if score > best_score:
-                best_i, best_score = i, score
-        selected.append(best_i)
+    selected = _mmr_select(vecs, rel, k, lambda_mult)
 
     rows = [
         (int(cands[i].vec_id), rank + 1, float(round(rel[i], 3)))

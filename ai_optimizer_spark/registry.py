@@ -932,6 +932,8 @@ _register(
     """,
 )
 
+_register("j9b_mmr_rerank_batch", S.mmr_rerank_batch, None)
+
 _register(
     "d1h_exact_dedup_hashkey",
     D.exact_dedup_hashkey,

@@ -30,3 +30,21 @@ def test_threshold_default_prunes(spark, sf_medium):
     n_all = t["embeddings"].count() - 1
     n_kept = S.threshold_search(t).count()
     assert 0 < n_kept < n_all
+
+
+def test_batch_mmr_matches_single_query_mmr(spark, sf_small):
+    """The grouped applyInPandas MMR must produce exactly the driver-side
+    MMR result for each query it covers."""
+    from ai_optimizer_spark.operators.similarity import mmr_rerank, mmr_rerank_batch
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    batch = mmr_rerank_batch(t, n_queries=3)
+    got = {
+        (r.query_id, r.mmr_rank): (r.vec_id, r.relevance)
+        for r in batch.collect()
+    }
+    for qid in range(3):
+        single = mmr_rerank(t, query_id=qid)
+        for r in single.collect():
+            assert got[(qid, r.mmr_rank)] == (r.vec_id, r.relevance)

@@ -162,3 +162,42 @@ def session_history(t: dict[str, DataFrame]) -> DataFrame:
             F.size("turns").alias("n_turns"),
         )
     )
+
+
+def rolling_user_value(t: dict[str, DataFrame]) -> DataFrame:
+    """W7 (engine extension): frame-spec windows — rolling 4-event sum and
+    mean per user ordered by event time. Frames are absent from the
+    reference itself but arrive via the NL2SQL surface (SURVEY.md §2.5);
+    Spark SQL supplies them natively."""
+    from pyspark.sql import Window
+
+    ev = t["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("rolling_sum4"),
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg4"),
+    )
+
+
+def rollup_totals(t: dict[str, DataFrame]) -> DataFrame:
+    """A12 (engine extension): hierarchical ROLLUP totals — per (nation,
+    segment), per nation, and grand total in one pass. The reference's
+    NL2SQL surface gets cube/rollup free from Spark (SURVEY.md §2.4)."""
+    orders, cust, nation = t["orders"], t["customer"], t["nation"]
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.rollup(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

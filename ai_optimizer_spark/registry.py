@@ -935,6 +935,35 @@ _register(
 _register("j9b_mmr_rerank_batch", S.mmr_rerank_batch, None)
 
 _register(
+    "w7_rolling_frames",
+    M.rolling_user_value,
+    """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER w, 4) AS rolling_sum4,
+           ROUND(AVG(value) OVER w, 4) AS rolling_avg4
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+
+_register(
+    "a12_rollup_totals",
+    M.rollup_totals,
+    """
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    """,
+)
+
+_register("v9_ivf_kmeans_topk", S.ivf_kmeans_topk, None)
+
+_register(
     "d1h_exact_dedup_hashkey",
     D.exact_dedup_hashkey,
     OD.EXACT_DEDUP,

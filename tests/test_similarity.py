@@ -48,3 +48,23 @@ def test_batch_mmr_matches_single_query_mmr(spark, sf_small):
         single = mmr_rerank(t, query_id=qid)
         for r in single.collect():
             assert got[(qid, r.mmr_rank)] == (r.vec_id, r.relevance)
+
+
+def test_kmeans_refined_ivf_recall(spark, sf_small):
+    """Refined cells must keep (usually improve) recall vs the exact top-k;
+    with all cells probed the result must equal brute force."""
+    from ai_optimizer_spark.operators.similarity import cosine_topk, ivf_kmeans_topk
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    exact = {r.vec_id for r in cosine_topk(t, query_id=0, k=8).collect()}
+    full = {
+        r.vec_id
+        for r in ivf_kmeans_topk(t, query_id=0, k=8, n_centroids=8, n_probe=8).collect()
+    }
+    assert full == exact
+    partial = {
+        r.vec_id
+        for r in ivf_kmeans_topk(t, query_id=0, k=8, n_centroids=8, n_probe=3).collect()
+    }
+    assert len(partial & exact) >= 2

@@ -201,3 +201,17 @@ def rollup_totals(t: dict[str, DataFrame]) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+def quantile_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """A13 (engine extension): exact percentile aggregation — median and
+    p95 order value per priority (the load-harness metric shape,
+    docs/demo/racing-championship/load/_chat_common.py:330-383 reports
+    p50/p95). Exact interpolated percentiles; at 100 TB swap in
+    approx_percentile for one-pass sketching at bounded memory."""
+    orders = t["orders"]
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -964,6 +964,19 @@ _register(
 _register("v9_ivf_kmeans_topk", S.ivf_kmeans_topk, None)
 
 _register(
+    "a13_quantile_summary",
+    M.quantile_summary,
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+
+_register(
     "d1h_exact_dedup_hashkey",
     D.exact_dedup_hashkey,
     OD.EXACT_DEDUP,

@@ -111,3 +111,62 @@ def schema_information(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, table_type string, column_name string, data_type string"
     )
+
+
+# ---------------------------------------------------------------------------
+# NL→SQL generation double: the deterministic stand-in for the ReAct agent
+# (agentspec/agent_nl2sql.py:22-75 — LLM consults schema info, emits SQL,
+# executes via a restricted toolbox). The contract this double preserves:
+# (1) generation consults the catalog, never hallucinating table/column
+# names; (2) output is a single SELECT; (3) execution goes through the
+# validator. A real LLM replaces only generate_sql.
+# ---------------------------------------------------------------------------
+
+_TEMPLATES: list[tuple[tuple[str, ...], str]] = [
+    (
+        ("revenue", "nation"),
+        """SELECT n.n_name AS nation, ROUND(SUM(o.o_totalprice), 2) AS revenue
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY n.n_name""",
+    ),
+    (
+        ("count", "orders", "priority"),
+        """SELECT o_orderpriority, COUNT(*) AS n_orders
+           FROM orders GROUP BY o_orderpriority""",
+    ),
+    (
+        ("top", "customers",),
+        """SELECT c.c_name, ROUND(SUM(o.o_totalprice), 2) AS spend
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY c.c_name ORDER BY spend DESC, c.c_name LIMIT 10""",
+    ),
+]
+
+_FALLBACK = "SELECT COUNT(*) AS n_rows FROM orders"
+
+
+def generate_sql(spark: SparkSession, question: str) -> str:
+    """Keyword→template generation, validated against the live catalog:
+    every table a template references must exist (the agent's
+    schema_information consultation). Unknown questions get the safe
+    fallback — mirroring the classifier's default-on-failure posture."""
+    q = question.lower()
+    known = {t.name.lower() for t in spark.catalog.listTables()}
+    for keywords, sql in _TEMPLATES:
+        if all(w in q for w in keywords):
+            import re as _re
+
+            tables = set(
+                m.group(1).lower()
+                for m in _re.finditer(r"(?:FROM|JOIN)\s+(\w+)", sql, _re.IGNORECASE)
+            )
+            if tables <= known:
+                return sql
+    return _FALLBACK
+
+
+def answer_question(spark: SparkSession, question: str) -> DataFrame:
+    """The full NL2SQL path: generate (double) → validate → parse-check →
+    execute. Views must be registered first (tables.register_views)."""
+    return run_sql(spark, generate_sql(spark, question))

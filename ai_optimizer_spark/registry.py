@@ -1614,3 +1614,23 @@ def _mm2_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["mm2_frame_features"] = _mm2_frame_features
+
+
+def _nl2sql_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """o15b: question → schema-validated template SQL → validated
+    execution (the NL2SQL agent loop with a deterministic generation
+    double, agentspec/agent_nl2sql.py:22-75). Generation is deterministic,
+    so the oracle is the exact SQL the double emits for this question."""
+    from .plans.nl2sql import answer_question
+
+    register_views(spark, sf_dir)
+    return answer_question(spark, "total revenue by nation please")
+
+
+QUERIES["o15b_nl2sql_generated"] = _nl2sql_generated
+ORACLE_SQL["o15b_nl2sql_generated"] = """
+    SELECT n.n_name AS nation, ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""

@@ -86,3 +86,18 @@ def test_policy_view_row_and_column(spark, sf_small):
 
     only = apply_policy(t["customer"], allowed_columns=["c_custkey", "c_name"])
     assert only.columns == ["c_custkey", "c_name"]
+
+
+def test_generate_sql_consults_catalog_and_falls_back(spark, sf_small):
+    from ai_optimizer_spark.plans.nl2sql import answer_question, generate_sql
+    from ai_optimizer_spark.tables import register_views
+
+    register_views(spark, sf_small)
+    sql = generate_sql(spark, "what is the total revenue by nation")
+    assert "n_name" in sql and sql.lstrip().upper().startswith("SELECT")
+    # unknown question → safe fallback, still runnable
+    fb = generate_sql(spark, "how about the weather")
+    assert fb == "SELECT COUNT(*) AS n_rows FROM orders"
+    assert answer_question(spark, "how about the weather").first().n_rows > 0
+    # count-by-priority template
+    assert "o_orderpriority" in generate_sql(spark, "count orders by priority")

@@ -24,6 +24,9 @@ from ai_optimizer_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "a5_pricing_summary",
     "a6_customer_standings",
+    "a12_rollup_totals",
+    "a13_quantile_summary",
+    "j10_salted_skew_join",
     "j5_composite_key_join",
     "w3_keep_max_dedup",
     "p4_interval_staleness",

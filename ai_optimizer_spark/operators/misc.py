@@ -215,3 +215,22 @@ def quantile_summary(t: dict[str, DataFrame]) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+def intersect_sources(t: dict[str, DataFrame]) -> DataFrame:
+    """U4 (engine extension): INTERSECT — sources that publish in both
+    English and German. Set ops beyond UNION are absent from the reference
+    (SURVEY.md §2.6) but belong to the NL2SQL surface."""
+    docs = t["documents"]
+    en = docs.filter(F.col("lang") == "en").select("source")
+    de = docs.filter(F.col("lang") == "de").select("source")
+    return en.intersect(de)
+
+
+def except_sources(t: dict[str, DataFrame]) -> DataFrame:
+    """U5 (engine extension): EXCEPT — sources with English docs but no
+    Chinese ones."""
+    docs = t["documents"]
+    en = docs.filter(F.col("lang") == "en").select("source")
+    zh = docs.filter(F.col("lang") == "zh").select("source")
+    return en.subtract(zh)  # EXCEPT (set semantics, not EXCEPT ALL)

@@ -977,6 +977,25 @@ _register(
 )
 
 _register(
+    "u4_intersect_sources",
+    M.intersect_sources,
+    """
+    SELECT source FROM documents WHERE lang = 'en'
+    INTERSECT
+    SELECT source FROM documents WHERE lang = 'de'
+    """,
+)
+
+_register(
+    "u5_except_sources",
+    M.except_sources,
+    """
+    SELECT DISTINCT source FROM documents WHERE lang = 'en'
+    AND source NOT IN (SELECT source FROM documents WHERE lang = 'zh')
+    """,
+)
+
+_register(
     "d1h_exact_dedup_hashkey",
     D.exact_dedup_hashkey,
     OD.EXACT_DEDUP,

@@ -29,8 +29,6 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType
 
-from .functions import text as T
-
 EMBED_DIM = 64
 PROVIDER_BATCH = 96  # OCI Cohere lower bound across providers (litellm_embeddings.py:15-17)
 

@@ -40,13 +40,16 @@ def sessionize(t: dict[str, DataFrame]) -> DataFrame:
     `applyInPandasWithState` session windows, with no Python in the path."""
     ev = t["events"]
     w_user = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # >= gap starts a new session — matching Spark's session_window merge
+    # rule (merge only while next event < last + gap), so the streaming
+    # variant in streaming/event_stream.py agrees at exact-gap boundaries
     gap_sec = SESSION_GAP_MINUTES * 60
     with_breaks = ev.withColumn(
         "new_session",
         F.when(
             F.col("ts").cast("long")
             - F.lag(F.col("ts").cast("long")).over(w_user)
-            > gap_sec,
+            >= gap_sec,
             1,
         )
         .otherwise(0),

@@ -227,6 +227,20 @@ def ivf_kmeans_topk(
         cents = _lloyd_update(assigned)
         assigned = _assign_cells(emb, cents)
     q = _query_vectors(t, [query_id])
+    return _probe_and_search(cents, assigned, q, query_id, k, n_probe)
+
+
+def _probe_and_search(
+    cents: DataFrame,
+    assigned: DataFrame,
+    q: DataFrame,
+    query_id: int,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF tail: rank cells by query-centroid distance, semi-join the
+    n_probe nearest into the assignment, score with the rounding contract
+    the DuckDB oracle mirrors, take the top-k."""
     probe = (
         cents.crossJoin(F.broadcast(q))
         .select("cid", V.euclidean_distance("ce", "query_vec").alias("qdist"))
@@ -260,29 +274,12 @@ def ivf_topk(
     Scale shape: assignment is a write-path cost — at 100 TB the store is
     written clustered/partitioned by `cid`, so the probe semi-join becomes
     partition pruning and the scan reads n_probe/n_centroids of the data.
-    The argmin is `min(struct(dist, cid))` — a partial-aggregatable
-    map-side combine, cheaper than a window sort. Recall is traded against
-    `n_probe` exactly as in FAISS-style IVF-Flat.
+    Recall is traded against `n_probe` exactly as in FAISS-style IVF-Flat.
     """
     emb = t["embeddings"]
     cents, assigned = _ivf_assign(emb, n_centroids)
     q = _query_vectors(t, [query_id])
-    probe = (
-        cents.crossJoin(F.broadcast(q))
-        .select("cid", V.euclidean_distance("ce", "query_vec").alias("qdist"))
-        .orderBy(F.asc("qdist"), F.asc("cid"))
-        .limit(n_probe)
-        .select("cid")
-    )
-    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
-    return (
-        assigned.join(F.broadcast(probe), "cid", "left_semi")
-        .filter(F.col("vec_id") != query_id)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", "label", "cid", sim.alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(k)
-    )
+    return _probe_and_search(cents, assigned, q, query_id, k, n_probe)
 
 
 def ivf_knn_join(

@@ -57,6 +57,8 @@ def combined_route(
     """Execute the classified route(s) and synthesize the reply
     (multi_tool.py:73-139): grade-blanked search → SQL answer stands alone;
     otherwise the synthesis template merges both."""
+    from concurrent.futures import ThreadPoolExecutor
+
     route = classify_question(question)
     sql_df = run_sql(spark, sql) if sql and route in ("nl2sql", "both") else None
     hits = (
@@ -65,15 +67,26 @@ def combined_route(
         else None
     )
 
+    # collect the two branches concurrently — Spark schedules jobs from
+    # separate threads in parallel, the asyncio.gather analog
+    def _sql_head():
+        return sql_df.limit(3).collect() if sql_df is not None else None
+
+    def _hit_head():
+        return hits.limit(3).collect() if hits is not None else None
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        sql_head_f, hit_head_f = pool.submit(_sql_head), pool.submit(_hit_head)
+        sql_head, hit_head = sql_head_f.result(), hit_head_f.result()
+
     sql_answer = None
-    if sql_df is not None:
-        head = sql_df.limit(3).collect()
+    if sql_head is not None:
         sql_answer = "sql:" + "; ".join(
-            ",".join(str(v) for v in row) for row in head
+            ",".join(str(v) for v in row) for row in sql_head
         )
     search_answer = None
-    if hits is not None:
-        texts = [r.text for r in hits.limit(3).collect() if r.text]
+    if hit_head is not None:
+        texts = [r.text for r in hit_head if r.text]
         search_answer = "vs:" + " | ".join(texts) if texts else None  # blanked → None
 
     if sql_answer and search_answer:

@@ -100,29 +100,47 @@ def populate_store(
     catalog: VectorStoreCatalog,
     name: str,
     chunks: DataFrame,
-    distance_metric: str = "COSINE",
-    cluster_by_bucket: bool = False,
-    bucket_bits: int = 8,
+    distance_metric: str | None = None,
+    cluster_by_bucket: bool | None = None,
+    bucket_bits: int | None = None,
 ) -> DataFrame:
-    """S11+J2+D1+D3: dedup → embed → anti-join merge → atomic publish.
+    """S11+J2+D1+D3: dedup → anti-join → embed only NEW rows → merge →
+    atomic publish.
 
-    Exact dedup before embedding saves model calls (vector_store.py:112-118);
-    the merge inserts only ids absent from the existing store
-    (vector_store.py:250-257); publish is write-new-directory + rename so
-    readers never see a half-written store (staging semantics of
-    embed/staging.py:55-117).
+    Exact dedup (deterministic min-id winner) happens before embedding, and
+    the anti-join against the existing store happens BEFORE the embedding
+    UDF too — re-populating an unchanged corpus embeds nothing, which is
+    the reference's whole reason for the dedup+merge order
+    (vector_store.py:112-118, 250-257). Publish is write-new-directory +
+    rename so readers never see a half-written store (embed/staging.py:
+    55-117). Config params left as None inherit the store's existing
+    catalog entry — a refresh can't silently reset the metric or layout.
 
     `cluster_by_bucket` is the 100 TB layout (SURVEY.md §7.4-1): rows are
     written `partitionBy(bucket)` where bucket = sign-LSH of the embedding,
     so a bucketed search prunes ~(2^bits - 1)/2^bits of the scan as Hive
     partition pruning — the Spark analog of the reference's ANN index
     (HNSW/IVF per store, embed/vector_store.py:235-237)."""
+    from pyspark.sql import Window
+
     from ..functions import vector as V
 
     validate_identifier(name)
-    deduped = chunks.dropDuplicates(["text"])
-    embedded = deduped.withColumn("embedding", embed_column("text")).select(
-        "id", "text", "metadata", "embedding"
+    existing_meta = next((c for c in catalog.discover() if c["name"] == name), {})
+    if distance_metric is None:
+        distance_metric = existing_meta.get("distance_metric", "COSINE")
+    if cluster_by_bucket is None:
+        cluster_by_bucket = bool(existing_meta.get("clustered", False))
+    if bucket_bits is None:
+        bucket_bits = int(existing_meta.get("bucket_bits") or 8)
+
+    # deterministic exact dedup: lowest id wins per text (stable across
+    # runs, unlike dropDuplicates), so the id-keyed merge stays idempotent
+    w = Window.partitionBy("text").orderBy(F.asc("id"))
+    deduped = (
+        chunks.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
     data_path = catalog.data_path(name)
@@ -130,10 +148,15 @@ def populate_store(
         existing = spark.read.parquet(data_path).select(
             "id", "text", "metadata", "embedding"
         )
-        new_rows = embedded.join(existing, "id", "left_anti")
-        merged = existing.unionByName(new_rows)
+        to_embed = deduped.join(existing.select("id"), "id", "left_anti")
     else:
-        merged = embedded
+        existing = None
+        to_embed = deduped
+
+    embedded = to_embed.withColumn("embedding", embed_column("text")).select(
+        "id", "text", "metadata", "embedding"
+    )
+    merged = existing.unionByName(embedded) if existing is not None else embedded
 
     tmp_path = f"{data_path}__tmp_{uuid.uuid4().hex[:8]}"
     writer = merged.write.mode("overwrite")
@@ -181,6 +204,7 @@ def refresh_store(
     current_docs: DataFrame,
     chunk_size: int = 200,
     overlap: int = 40,
+    remove_missing: bool = False,
 ) -> DataFrame:
     """T1: incremental refresh (embed/refresh.py:28-143 + oci/bucket.py:
     151-181): diff the current corpus against what the store already holds
@@ -189,8 +213,14 @@ def refresh_store(
     never re-embedded — the whole point of the reference's etag/mtime diff.
 
     The store-side state is the per-file md5 fingerprint carried in chunk
-    metadata; the diff join is J4: full outer on filename → new (left-anti)
-    ∪ modified (inner where fingerprints differ)."""
+    metadata; the diff join is J4 (left join from current): new files are
+    unmatched, modified files have differing fingerprints. Store rows with
+    NO fingerprint (written by a direct populate_store) are treated as
+    modified, not unchanged — the comparison is null-safe. Like the
+    reference, files absent from `current_docs` are left in place (the
+    bucket diff never sees deletions); pass remove_missing=True to also
+    drop their chunks — only valid when current_docs is the FULL corpus,
+    not a delta batch."""
     from ..functions import text as T
 
     current = current_docs.select(
@@ -211,12 +241,21 @@ def refresh_store(
             held.alias("old"), F.col("cur.filename") == F.col("old.filename"), "left"
         )
         changed = diff.filter(
-            F.col("old.filename").isNull() | (F.col("cur.fp") != F.col("old.fp"))
+            F.col("old.filename").isNull()
+            | ~F.col("cur.fp").eqNullSafe(F.col("old.fp"))
         ).select(F.col("cur.filename").alias("filename"))
         changed_names = [r.filename for r in changed.collect()]
+        stale_names = list(changed_names)
+        if remove_missing:
+            missing = held.join(
+                current.select("filename"), "filename", "left_anti"
+            ).select("filename")
+            stale_names += [r.filename for r in missing.collect()]
+        if not stale_names:
+            return spark.read.parquet(data_path)
+        delete_stale_chunks(spark, catalog, name, stale_names)
         if not changed_names:
             return spark.read.parquet(data_path)
-        delete_stale_chunks(spark, catalog, name, changed_names)
         to_embed = current_docs.filter(
             F.concat(F.lit("doc_"), F.col("doc_id")).isin(changed_names)
         )
@@ -255,7 +294,9 @@ def search_store(
     from ..embedding import HashEmbedder
     from ..functions import vector as V
 
-    meta = next(c for c in catalog.discover() if c["name"] == name)
+    meta = next((c for c in catalog.discover() if c["name"] == name), None)
+    if meta is None:
+        raise KeyError(f"unknown vector store: {name!r} (not in catalog)")
     store = spark.read.parquet(catalog.data_path(name))
     q_emb = HashEmbedder().embed_query(query_text)
     qvec = F.array(*[F.lit(float(x)) for x in q_emb])

@@ -752,7 +752,7 @@ _register(
     """
     WITH flagged AS (
         SELECT user_id, ts, event_id, value,
-               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -778,7 +778,7 @@ _register(
     """
     WITH flagged AS (
         SELECT user_id, ts, event_id, value,
-               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

@@ -196,3 +196,63 @@ def test_refresh_store_incremental(spark, sf_small, catalog):
     # an untouched doc keeps its exact chunk ids
     after = {r.id for r in store3.filter(F.col("metadata")["filename"] == "doc_1").collect()}
     assert before == after and before
+
+
+def test_refresh_preserves_config_and_refreshes_unfingerprinted(spark, sf_small, catalog):
+    """Regressions: (a) a refresh must not reset the store's registered
+    metric/layout; (b) store rows without fingerprint metadata (direct
+    populate) must be treated as modified, not silently unchanged."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.plans.vector_store import refresh_store
+
+    docs = _docs(spark, sf_small).select("doc_id", "text", "source")
+    populate_store(
+        spark, catalog, "store_cfg", chunks_from_documents(docs),
+        distance_metric="EUCLIDEAN",
+    )
+    modified = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.lit("edited text zero")).otherwise(F.col("text")),
+    )
+    store = refresh_store(spark, catalog, "store_cfg", modified)
+    doc0 = store.filter(F.col("metadata")["filename"] == "doc_0")
+    assert doc0.count() == 1 and "edited text zero" in doc0.first().text
+    meta = next(c for c in catalog.discover() if c["name"] == "store_cfg")
+    assert meta["distance_metric"] == "EUCLIDEAN"  # refresh didn't reset it
+
+
+def test_refresh_remove_missing(spark, sf_small, catalog):
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.plans.vector_store import refresh_store
+
+    docs = _docs(spark, sf_small).select("doc_id", "text", "source")
+    refresh_store(spark, catalog, "store_rm", docs)
+    shrunk = docs.filter(F.col("doc_id") < 5)
+    store = refresh_store(spark, catalog, "store_rm", shrunk, remove_missing=True)
+    kept = {
+        r.filename
+        for r in store.select(F.col("metadata")["filename"].alias("filename"))
+        .distinct()
+        .collect()
+    }
+    assert kept == {f"doc_{i}" for i in range(5)}
+
+
+def test_populate_idempotent_with_duplicate_texts(spark, catalog):
+    """Deterministic dedup winner: duplicate texts must pick the same chunk
+    id on every populate, keeping the id-keyed merge idempotent."""
+    dup = spark.createDataFrame(
+        [(3, "identical text body here", "s"), (7, "identical text body here", "s"),
+         (9, "a different text", "s")],
+        "doc_id long, text string, source string",
+    )
+    chunks = chunks_from_documents(dup)
+    first = populate_store(spark, catalog, "store_dup", chunks)
+    n1 = first.count()
+    ids1 = {r.id for r in first.select("id").collect()}
+    again = populate_store(spark, catalog, "store_dup", chunks)
+    assert again.count() == n1
+    assert {r.id for r in again.select("id").collect()} == ids1
+    assert "3_1" in ids1 and "7_1" not in ids1  # lowest doc id wins

@@ -33,6 +33,30 @@ def tumbling_window_counts(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def sliding_window_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes per event type — batch form of
+    `F.window(ts, "1 hour", "30 minutes")`. Each event lands in exactly two
+    epoch-aligned windows; the explode is built-in (no UDF) and the agg stays
+    partial+final over a bounded group count."""
+    ev = t["events"]
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def sessionize(t: dict[str, DataFrame]) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): classic lag + cumulative
     sum of session-break flags, then per-session rollup. Two window passes

@@ -203,6 +203,60 @@ def rollup_totals(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def cube_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """A14 (engine extension): CUBE — all grouping-set combinations of
+    (status, priority) in one pass. Null grouping keys are re-labelled
+    'ALL' so the output keys stay non-null (both key columns are non-null
+    in the data, so the sentinel is unambiguous)."""
+    orders = t["orders"]
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def path_functions(t: dict[str, DataFrame]) -> DataFrame:
+    """F5: path manipulation as pure column expressions — basename, stem,
+    extension, and flattened object key (the oci/bucket.py:120-122 `/`→`_`
+    flattening), demonstrated over synthesized document paths."""
+    docs = t["documents"]
+    path = F.concat(
+        F.lit("/data/"), F.col("source"), F.lit("/doc_"), F.col("doc_id"), F.lit(".txt")
+    )
+    with_path = docs.select("doc_id", path.alias("path"))
+    basename = F.element_at(F.split(F.col("path"), "/"), -1)
+    return with_path.select(
+        "doc_id",
+        "path",
+        basename.alias("basename"),
+        F.regexp_replace(basename, r"\.[^.]*$", "").alias("stem"),
+        F.regexp_extract(basename, r"\.([^.]*)$", 1).alias("extension"),
+        F.regexp_replace(F.expr("substring(path, 2)"), "/", "_").alias("flat_key"),
+    )
+
+
+def json_roundtrip(t: dict[str, DataFrame]) -> DataFrame:
+    """F9: JSON parse + canonical re-serialize (the OSON re-encode shape,
+    embed/vector_store.py:189-206) — extract a typed field from the props
+    JSON and emit a canonical single-key re-encoding."""
+    ev = t["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.to_json(F.struct(k.alias("k"))).alias("canonical_props"),
+    )
+
+
 def quantile_summary(t: dict[str, DataFrame]) -> DataFrame:
     """A13 (engine extension): exact percentile aggregation — median and
     p95 order value per priority (the load-harness metric shape,

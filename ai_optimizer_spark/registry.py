@@ -1653,3 +1653,97 @@ ORACLE_SQL["o15b_nl2sql_generated"] = """
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (engine extension — SURVEY.md §2.3 notes these are absent
+# from the reference; a 100 TB event pipeline needs them first-class)
+# ---------------------------------------------------------------------------
+
+from .operators import temporal as TM  # noqa: E402
+
+_register(
+    "j11_asof_join",
+    TM.asof_join_last_error,
+    """
+    WITH errors_d AS (
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'error') WHERE rn = 1
+    ), clicks AS (
+        SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT c.user_id, c.event_id AS click_event_id, c.ts AS click_ts,
+           c.value AS click_value, e.ts AS last_error_ts, e.value AS last_error_value
+    FROM clicks c ASOF LEFT JOIN errors_d e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+
+_register(
+    "j12_banded_range_join",
+    TM.banded_range_join,
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           COUNT(c.user_id) AS n_clicks_10m,
+           ROUND(COALESCE(SUM(c.value), 0), 4) AS click_value_10m
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 600 SECOND
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+)
+
+_register(
+    "st4_sliding_window_counts",
+    E.sliding_window_counts,
+    """
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - s.i * INTERVAL '30 minutes' AS window_start,
+           event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
+    FROM events CROSS JOIN (VALUES (0), (1)) AS s(i)
+    GROUP BY 1, 2
+    """,
+)
+
+_register(
+    "a14_cube_summary",
+    M.cube_summary,
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+
+_register(
+    "f5_path_functions",
+    M.path_functions,
+    r"""
+    WITH p AS (
+        SELECT doc_id,
+               '/data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path
+        FROM documents
+    ), b AS (
+        SELECT doc_id, path, regexp_extract(path, '([^/]+)$', 1) AS basename FROM p
+    )
+    SELECT doc_id, path, basename,
+           regexp_replace(basename, '\.[^.]*$', '') AS stem,
+           regexp_extract(basename, '\.([^.]*)$', 1) AS extension,
+           replace(substring(path, 2), '/', '_') AS flat_key
+    FROM b
+    """,
+)
+
+_register(
+    "f9_json_roundtrip",
+    M.json_roundtrip,
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT)))
+               AS canonical_props
+    FROM events
+    """,
+)

@@ -49,3 +49,25 @@ def test_similarity_conversions_shuffle_free(spark):
 def test_anti_join_builds_broadcast(spark):
     plan = plan_of(spark, "j2_anti_join_new_rows")
     assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    plan = plan_of(spark, "j11_asof_join")
+    # union + window carry: no join operator at all, and the only wide ops
+    # are the hashpartitionings on user_id for the two window passes
+    assert "Join" not in plan
+    assert "NestedLoop" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_banded_range_join_avoids_nested_loop(spark):
+    plan = plan_of(spark, "j12_banded_range_join")
+    # the band turns the interval predicate into an equi-join
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_sliding_window_is_partial_final_agg(spark):
+    plan = plan_of(spark, "st4_sliding_window_counts")
+    assert "Expand" in plan or "Generate" in plan  # built-in window explode
+    assert "partial" in plan.lower()  # map-side combine before the shuffle

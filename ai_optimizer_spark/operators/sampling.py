@@ -1,0 +1,100 @@
+"""Deterministic sampling & dataset-split operators for training-data
+pipelines (engine extension — north-star LLM-pipeline surface).
+
+RNG-based `df.sample()` is partition-order-dependent and unstable under
+incremental ingest; every operator here keys off the portable md5-based
+`hash60` instead, so:
+
+- assignments are **stable**: a document keeps its split forever, across
+  re-partitioning, re-ingest, and engine versions;
+- the ops are **narrow maps** (split/mix: no shuffle at all) or one
+  bounded shuffle (stratified: one window per stratum);
+- results are bit-for-bit reproducible in any engine with md5 — which is
+  exactly how the DuckDB oracle verifies them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60
+
+TRAIN_PCT = 80
+VAL_PCT = 10  # test = remainder
+STRATUM_K = 20
+MIX_PERMILLE = {"src0": 1000, "src1": 500, "src2": 250}  # per-source keep rates
+
+
+def _bucket(col, salt: str, mod: int):
+    """Deterministic bucket in [0, mod): hash60 of salt|key."""
+    return hash60(F.concat(F.lit(f"{salt}|"), col.cast("string"))) % mod
+
+
+def hash_split(t: dict[str, DataFrame]) -> DataFrame:
+    """Train/val/test assignment by hashed doc_id (80/10/10). Pure
+    projection — no shuffle, no RNG; the split column can be computed at
+    scan time on 100 TB and used as a partition column for the write."""
+    docs = t["documents"]
+    b = _bucket(F.col("doc_id"), "split", 100)
+    return docs.select(
+        "doc_id",
+        "source",
+        b.alias("bucket"),
+        F.when(b < TRAIN_PCT, "train")
+        .when(b < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def stratified_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Class-balanced sample: exactly min(K, |stratum|) rows per label,
+    chosen by hash order (not arrival order) so the pick is uniform-ish and
+    stable. One shuffle on label; per-stratum top-k via row_number, which
+    Catalyst executes as a partial top-k per partition before the shuffle
+    at scale (WindowGroupLimit)."""
+    emb = t["embeddings"]
+    w = Window.partitionBy("label").orderBy(
+        _bucket(F.col("vec_id"), "strat", 1_000_000_000).asc(), F.col("vec_id").asc()
+    )
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_K)
+        .select("label", "vec_id", F.col("rn").alias("pick_rank"))
+    )
+
+
+def weighted_mix(t: dict[str, DataFrame]) -> DataFrame:
+    """Dataset mixing: each source contributes at its configured rate
+    (per-mille keep probability) — the training-corpus recipe step. The
+    rate table is a literal broadcast map; the filter is a narrow map, so
+    mixing N sources at 100 TB costs one scan."""
+    docs = t["documents"]
+    rate = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(r))
+            for s, r in MIX_PERMILLE.items()
+        ],
+        F.lit(0),
+    )
+    b = _bucket(F.col("doc_id"), "mix", 1000)
+    return (
+        docs.withColumn("keep_rate", rate)
+        .filter(b < F.col("keep_rate"))
+        .select("doc_id", "source", "keep_rate")
+    )
+
+
+def quality_bins(t: dict[str, DataFrame]) -> DataFrame:
+    """Curriculum binning: per-language length quartiles via ntile — the
+    quality-tier assignment a curriculum sampler consumes. Deterministic
+    tie-break on doc_id keeps the bin edges stable."""
+    docs = t["documents"]
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.ntile(4).over(w).alias("quality_bin"),
+    )

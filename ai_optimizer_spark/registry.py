@@ -1747,3 +1747,70 @@ _register(
     FROM events
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / dataset splits (engine extension — training-data
+# pipeline surface; hash-keyed so the DuckDB oracle matches bit-for-bit)
+# ---------------------------------------------------------------------------
+
+from .operators import sampling as SMP  # noqa: E402
+
+_H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _h60(expr: str) -> str:
+    return _H60.format(expr=expr)
+
+
+_register(
+    "smp1_hash_split",
+    SMP.hash_split,
+    f"""
+    SELECT doc_id, source,
+           {_h60("'split|' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+           CASE WHEN {_h60("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                WHEN {_h60("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+
+_register(
+    "smp2_stratified_sample",
+    SMP.stratified_sample,
+    f"""
+    SELECT label, vec_id, rn AS pick_rank FROM (
+        SELECT label, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY label
+                   ORDER BY {_h60("'strat|' || CAST(vec_id AS VARCHAR)")} % 1000000000 ASC,
+                            vec_id ASC) AS rn
+        FROM embeddings)
+    WHERE rn <= 20
+    """,
+)
+
+_register(
+    "smp3_weighted_mix",
+    SMP.weighted_mix,
+    f"""
+    WITH rated AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+                           WHEN 'src2' THEN 250 ELSE 0 END AS keep_rate
+        FROM documents)
+    SELECT doc_id, source, keep_rate FROM rated
+    WHERE {_h60("'mix|' || CAST(doc_id AS VARCHAR)")} % 1000 < keep_rate
+    """,
+)
+
+_register(
+    "tx6_quality_bins",
+    SMP.quality_bins,
+    """
+    SELECT doc_id, lang, n_chars,
+           NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS quality_bin
+    FROM documents
+    """,
+)

@@ -71,3 +71,13 @@ def test_sliding_window_is_partial_final_agg(spark):
     plan = plan_of(spark, "st4_sliding_window_counts")
     assert "Expand" in plan or "Generate" in plan  # built-in window explode
     assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_hash_split_is_shuffle_free(spark):
+    plan = plan_of(spark, "smp1_hash_split")
+    assert "Exchange" not in plan  # pure projection: computable at scan time
+
+
+def test_weighted_mix_is_shuffle_free(spark):
+    plan = plan_of(spark, "smp3_weighted_mix")
+    assert "Exchange" not in plan  # narrow filter over one scan

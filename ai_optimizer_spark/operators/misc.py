@@ -271,6 +271,26 @@ def quantile_summary(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def approx_sketch_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """A15 (engine extension): sketch aggregates — HyperLogLog++ distinct
+    users and a quantile sketch of value per event type. One pass, bounded
+    memory (KB-size sketches per group), mergeable across partitions —
+    the 100 TB form of `a13_quantile_summary`'s exact percentiles.
+    Rows-only check (approximate results have no exact SQL oracle); the
+    unit test bounds the error against exact answers instead."""
+    ev = t["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.round(
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 4
+        ).alias("p50_value_sketch"),
+        F.round(
+            F.percentile_approx("value", F.lit(0.95), F.lit(10000)), 4
+        ).alias("p95_value_sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def intersect_sources(t: dict[str, DataFrame]) -> DataFrame:
     """U4 (engine extension): INTERSECT — sources that publish in both
     English and German. Set ops beyond UNION are absent from the reference

@@ -1814,3 +1814,5 @@ _register(
     FROM documents
     """,
 )
+
+_register("a15_approx_sketch_stats", M.approx_sketch_stats, None)  # rows-only: sketches

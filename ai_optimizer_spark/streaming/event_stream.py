@@ -63,6 +63,28 @@ def windowed_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_windowed_counts(events: DataFrame) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes with a 2-hour watermark —
+    the streaming form of `operators.events.sliding_window_counts`. Each
+    event updates exactly two window states; the watermark finalizes and
+    evicts a window 2 h after its end, so state stays (types × open
+    windows) regardless of ingest volume."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def session_window_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Streaming sessionization via the built-in session_window: gap-based
     session aggregation with watermark-bounded state — the incremental form

@@ -34,6 +34,9 @@ HEADLINE = [
     "v5_knn_self_join",
     "v7_ivf_topk",
     "v8_ivf_knn_join",
+    "j11_asof_join",
+    "j12_banded_range_join",
+    "st4_sliding_window_counts",
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
     "d4_simhash_pairs",

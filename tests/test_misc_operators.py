@@ -82,3 +82,27 @@ def test_identifier_normalize_bounded_and_distinct(t):
 def test_session_history_ordered(t):
     row = M.session_history(t).orderBy("user_id").first()
     assert row.n_turns == len(row.history.split("\n"))
+
+
+def test_sketch_stats_bound_error_vs_exact(t):
+    """HLL distinct within 5% of exact; sketch percentiles within 10% of
+    exact interpolated percentiles (sf0.001 groups are small, so the
+    quantile sketch at accuracy 10000 is effectively exact)."""
+    got = {r.event_type: r for r in M.approx_sketch_stats(t).collect()}
+    exact = {
+        r.event_type: r
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) > 0
+    for et, e in exact.items():
+        g = got[et]
+        assert abs(g.approx_users - e.users) <= max(1, 0.05 * e.users)
+        assert abs(g.p50_value_sketch - e.p50) <= 0.10 * max(1.0, e.p50)
+        assert abs(g.p95_value_sketch - e.p95) <= 0.10 * max(1.0, e.p95)

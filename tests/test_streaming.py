@@ -62,3 +62,15 @@ def test_session_windows_match_batch_sessionize(spark, sf_small):
     max_ts = max(w[2] for w in want)
     finalized = {w for w in want if (max_ts - w[2]).total_seconds() > 2 * 3600 + 30 * 60}
     assert finalized <= got
+
+
+def test_sliding_windows_match_batch(spark, sf_small):
+    from ai_optimizer_spark.operators.events import sliding_window_counts
+    from ai_optimizer_spark.streaming.event_stream import sliding_windowed_counts
+
+    stream_plan = sliding_windowed_counts(events_stream(spark, sf_small))
+    got = run_to_memory(spark, stream_plan, "sliding_counts_test")
+    want = sliding_window_counts(load_tables(spark, sf_small))
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0

@@ -247,3 +247,54 @@ def embedding_neardup_pairs(
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def dedup_clusters(t: dict[str, DataFrame], max_iters: int = 15) -> DataFrame:
+    """Near-dup *clustering*: LSH pairs → connected components → canonical
+    pick (min doc_id per component). Pairs alone under-delete — if A~B and
+    B~C, keeping "one of each pair" can still keep two of {A,B,C}; the
+    component is the dedup unit.
+
+    Components via iterative min-label propagation: each round every node
+    takes the min label among itself and its neighbors — one shuffle join
+    per round, converging in O(component diameter) rounds. LSH components
+    are band-bucket cliques overlapped into dense blobs, so diameters are
+    tiny (2-3 rounds in practice); `localCheckpoint` truncates lineage each
+    round so the loop's plan doesn't snowball. The driver loop only runs
+    the convergence probe; all data work is distributed.
+    """
+    pairs = minhash_lsh_pairs(t).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .persist()
+    )
+    labels = t["documents"].select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        msgs = edges.join(labels, edges["a"] == labels["doc_id"]).select(
+            F.col("b").alias("doc_id"), "cluster_id"
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+        )
+        done = changed.isEmpty()
+        labels = new_labels
+        if done:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -159,3 +159,26 @@ EMBEDDING_NEARDUP = f"""
     WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) + 0.0
           >= {COSINE_NEARDUP_THRESHOLD}
 """
+
+# connected components over the LSH pairs via recursive label spreading:
+# every node's label set = initial labels of all reachable nodes (edges are
+# symmetric), so MIN(label) per node is the component's min doc_id —
+# identical to the Spark min-label-propagation fixpoint.
+DEDUP_CLUSTERS = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({MINHASH_LSH}) q
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    cc AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.b AS node, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           (node = MIN(label)) AS is_canonical
+    FROM cc GROUP BY node
+"""

@@ -1816,3 +1816,5 @@ _register(
 )
 
 _register("a15_approx_sketch_stats", M.approx_sketch_stats, None)  # rows-only: sketches
+
+_register("d6_dedup_clusters", D.dedup_clusters, OD.DEDUP_CLUSTERS)

@@ -88,3 +88,37 @@ def test_exact_dedup_keeps_first(spark):
     )
     out = {r.doc_id for r in D.exact_dedup({"documents": df}).collect()}
     assert out == {2, 9}
+
+
+def test_dedup_clusters_component_invariants(spark, sf_medium):
+    """Clusters must be closed over LSH pairs (both endpoints share a
+    cluster), labelled by their minimum member, with exactly one canonical
+    doc per cluster — and chains must collapse transitively (A~B, B~C ⇒
+    one cluster), which pairwise dedup can't guarantee."""
+    t = load_tables(spark, sf_medium)
+    labels = {r.doc_id: r.cluster_id for r in D.dedup_clusters(t).collect()}
+    pairs = [(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(t).collect()]
+    assert len(pairs) > 0
+    for a, b in pairs:
+        assert labels[a] == labels[b]
+    # union-find ground truth on the driver (tiny pair list)
+    parent = {d: d for d in labels}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for d, c in labels.items():
+        root = find(d)
+        members = [x for x in labels if find(x) == root]
+        assert c == min(members)
+    canon = {}
+    for r in D.dedup_clusters(t).collect():
+        if r.is_canonical:
+            assert r.doc_id == r.cluster_id
+            assert r.cluster_id not in canon
+            canon[r.cluster_id] = r.doc_id

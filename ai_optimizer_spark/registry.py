@@ -1818,3 +1818,63 @@ _register(
 _register("a15_approx_sketch_stats", M.approx_sketch_stats, None)  # rows-only: sketches
 
 _register("d6_dedup_clusters", D.dedup_clusters, OD.DEDUP_CLUSTERS)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation (the north-star training-data recipe)
+# ---------------------------------------------------------------------------
+
+from .plans.curation import curation_pipeline, curation_stats  # noqa: E402
+
+_SPLIT_H = "('0x' || substr(md5('split|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+_CURATION_SQL = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({OD.MINHASH_LSH}) lsh
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    cc AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.b AS node, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    ),
+    canon AS (SELECT node AS doc_id FROM cc GROUP BY node HAVING node = MIN(label)),
+    wq AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
+    m AS (
+        SELECT doc_id, len(words) * 1.0 AS n,
+               len(list_filter(words, x -> x IN {TX.STOPWORDS!r})) * 1.0 AS n_stop,
+               len(list_distinct(words)) * 1.0 AS n_uniq,
+               CAST(len(words) AS BIGINT) AS n_tokens
+        FROM wq
+    ),
+    scored AS (
+        SELECT doc_id, n_tokens,
+               ROUND(0.4 * LEAST(1.0, n / 50.0) + 0.3 * (n_uniq / n)
+                     + 0.3 * (1.0 - n_stop / n), 3) AS quality
+        FROM m
+    )
+    SELECT d.doc_id, d.source, s.n_tokens, s.quality,
+           CASE WHEN {_SPLIT_H} < 80 THEN 'train'
+                WHEN {_SPLIT_H} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d
+    JOIN canon USING (doc_id)
+    JOIN scored s USING (doc_id)
+    WHERE d.lang = 'en' AND s.quality >= 0.5
+"""
+
+_register("e2e_curation_pipeline", curation_pipeline, _CURATION_SQL)
+
+_register(
+    "e2e_curation_stats",
+    curation_stats,
+    f"""
+    SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           ROUND(AVG(quality), 4) AS avg_quality
+    FROM ({_CURATION_SQL}) c GROUP BY split
+    """,
+)

@@ -42,6 +42,7 @@ HEADLINE = [
     "d4_simhash_pairs",
     "tx1_token_stats",
     "tx5_chunk_documents",
+    "e2e_curation_pipeline",
 ]
 N_PASSES = 2  # report min-of-N: isolates plan cost from JIT/codegen warm-up
 

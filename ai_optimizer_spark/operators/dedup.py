@@ -263,15 +263,50 @@ def dedup_clusters(t: dict[str, DataFrame], max_iters: int = 15) -> DataFrame:
     round so the loop's plan doesn't snowball. The driver loop only runs
     the convergence probe; all data work is distributed.
     """
+    labels, edges = _propagate_labels(t, max_iters)
+    # Nodes outside every LSH pair never receive a message: they keep their
+    # own id as label. Skip them in the loop entirely (the iterated joins
+    # touch only the near-dup subgraph — a vanishing fraction of a deduped
+    # corpus) and re-attach them here with one anti-join.
+    singletons = (
+        t["documents"]
+        .join(labels, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    edges.unpersist()
+    return labels.union(singletons).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def dedup_losers(t: dict[str, DataFrame], max_iters: int = 15) -> DataFrame:
+    """Just the doc_ids to DROP (non-canonical component members) — the set
+    a curation plan anti-joins against. Stays entirely on the near-dup
+    subgraph: never materializes a full-corpus label table."""
+    labels, edges = _propagate_labels(t, max_iters)
+    losers = labels.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    edges.unpersist()
+    return losers
+
+
+def _propagate_labels(t: dict[str, DataFrame], max_iters: int):
+    """Min-label propagation over the LSH-pair subgraph only. Returns
+    (labels, edges) — labels covers exactly the edge-endpoint nodes; edges
+    is still persisted (caller unpersists)."""
     pairs = minhash_lsh_pairs(t).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .persist()
     )
-    labels = t["documents"].select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iters):
         msgs = edges.join(labels, edges["a"] == labels["doc_id"]).select(
@@ -292,9 +327,4 @@ def dedup_clusters(t: dict[str, DataFrame], max_iters: int = 15) -> DataFrame:
         labels = new_labels
         if done:
             break
-    edges.unpersist()
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-    )
+    return labels, edges

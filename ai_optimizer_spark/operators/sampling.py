@@ -31,6 +31,17 @@ def _bucket(col, salt: str, mod: int):
     return hash60(F.concat(F.lit(f"{salt}|"), col.cast("string"))) % mod
 
 
+def split_expr(id_col):
+    """train/val/test column (80/10/10) from a stable id — shared by
+    hash_split and the curation plan so both hash identically."""
+    b = _bucket(id_col, "split", 100)
+    return (
+        F.when(b < TRAIN_PCT, "train")
+        .when(b < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
 def hash_split(t: dict[str, DataFrame]) -> DataFrame:
     """Train/val/test assignment by hashed doc_id (80/10/10). Pure
     projection — no shuffle, no RNG; the split column can be computed at
@@ -41,10 +52,7 @@ def hash_split(t: dict[str, DataFrame]) -> DataFrame:
         "doc_id",
         "source",
         b.alias("bucket"),
-        F.when(b < TRAIN_PCT, "train")
-        .when(b < TRAIN_PCT + VAL_PCT, "val")
-        .otherwise("test")
-        .alias("split"),
+        split_expr(F.col("doc_id")).alias("split"),
     )
 
 

@@ -38,12 +38,10 @@ def token_stats(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def quality_score(t: dict[str, DataFrame]) -> DataFrame:
-    """Heuristic quality scoring: length score (saturating at 50 tokens),
-    lexical diversity, stopword ratio — combined into one [0,1] score.
-    Deterministic arithmetic; the DuckDB oracle runs the same formula."""
-    docs = t["documents"]
-    w = T.words("text")
+def quality_parts(w):
+    """(len_score, diversity, stop_ratio, quality) column exprs from a
+    words-array column — shared by quality_score and the curation plan so
+    both compute the identical formula."""
     n = F.size(w).cast("double")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
@@ -55,6 +53,16 @@ def quality_score(t: dict[str, DataFrame]) -> DataFrame:
         F.lit(0.4) * len_score + F.lit(0.3) * diversity + F.lit(0.3) * (F.lit(1.0) - stop_ratio),
         3,
     )
+    return len_score, diversity, stop_ratio, quality
+
+
+def quality_score(t: dict[str, DataFrame]) -> DataFrame:
+    """Heuristic quality scoring: length score (saturating at 50 tokens),
+    lexical diversity, stopword ratio — combined into one [0,1] score.
+    Deterministic arithmetic; the DuckDB oracle runs the same formula."""
+    docs = t["documents"]
+    w = T.words("text")
+    len_score, diversity, stop_ratio, quality = quality_parts(w)
     return docs.select(
         "doc_id",
         F.round(len_score, 3).alias("len_score"),

@@ -8,11 +8,12 @@ Every stage is deterministic (portable-hash dedup + splits, arithmetic
 quality score), so the WHOLE pipeline hash-verifies against a single
 DuckDB oracle — including the recursive-CTE connected components.
 
-Scale shape: language/quality/token/split stages are narrow maps over one
-scan; dedup contributes its banded-LSH + label-propagation cost; the final
-assembly is doc_id equi-joins that AQE plans as broadcasts once the
-curated side shrinks. The output is the corpus manifest a trainer consumes
-(doc, source, tokens, quality, split).
+Scale shape: quality, token count, and split are computed in ONE
+projection fused into the parquet scan — no join carries them. The only
+join in the plan is the dedup anti-join, and its build side is just the
+non-canonical members of LSH components (a vanishing fraction of a
+deduped corpus), so AQE plans it as a broadcast. The output is the corpus
+manifest a trainer consumes (doc, source, tokens, quality, split).
 """
 
 from __future__ import annotations
@@ -20,28 +21,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import dedup_clusters
-from ..operators.sampling import hash_split
-from ..operators.textops import quality_score, token_stats
+from ..functions import text as T
+from ..operators.dedup import dedup_losers
+from ..operators.sampling import split_expr
+from ..operators.textops import quality_parts
 
 QUALITY_FLOOR = 0.5
 KEEP_LANG = "en"
 
 
 def curation_pipeline(t: dict[str, DataFrame]) -> DataFrame:
-    docs = t["documents"]
-    canon = dedup_clusters(t).filter(F.col("is_canonical")).select("doc_id")
-    quality = quality_score(t).select("doc_id", "quality")
-    tokens = token_stats(t).select("doc_id", "n_tokens")
-    split = hash_split(t).select("doc_id", "split")
+    losers = dedup_losers(t)
+    w = T.words("text")
+    _, _, _, quality = quality_parts(w)
     return (
-        docs.filter(F.col("lang") == KEEP_LANG)
-        .join(canon, "doc_id", "left_semi")
-        .join(quality, "doc_id")
+        t["documents"]
+        .filter(F.col("lang") == KEEP_LANG)
+        .select(
+            "doc_id",
+            "source",
+            F.size(w).cast("long").alias("n_tokens"),
+            quality.alias("quality"),
+            split_expr(F.col("doc_id")).alias("split"),
+        )
         .filter(F.col("quality") >= QUALITY_FLOOR)
-        .join(tokens, "doc_id")
-        .join(split, "doc_id")
-        .select("doc_id", "source", "n_tokens", "quality", "split")
+        .join(losers, "doc_id", "left_anti")
     )
 
 

@@ -328,3 +328,52 @@ def _propagate_labels(t: dict[str, DataFrame], max_iters: int):
         if done:
             break
     return labels, edges
+
+
+def simhash_pairs_blocked(
+    t: dict[str, DataFrame], max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """SimHash pairs via pigeonhole blocking — the 100 TB form of
+    simhash_pairs with the IDENTICAL result set (same oracle): split the
+    signature into max_hamming+1 bit blocks; any pair within hamming d
+    must agree exactly on at least one block, so candidates come from an
+    equi-join on (block_id, block_value) instead of an all-pairs scan.
+    Verification (full hamming ≤ d) removes the false positives; the
+    distinct() dedups pairs colliding in several blocks. Candidate volume
+    scales with bucket occupancy, not n² — the same banding argument as
+    MinHash LSH, with zero false negatives because blocking is exact."""
+    n_blocks = max_hamming + 1
+    sig = simhash_signatures(t["documents"])
+    base, extra = divmod(SIMHASH_BITS, n_blocks)
+    blocks, off = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+        )
+        off += width
+    keyed = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*blocks)).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

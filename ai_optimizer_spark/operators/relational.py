@@ -466,3 +466,42 @@ def skewed_nation_rollup(t: dict[str, DataFrame]) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+def local_supplier_volume(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q5 shape — the deepest NL2SQL join the demo corpus implies
+    (schema.sql's standings views compose 3-4 relations; this is the 6-way
+    generalization): revenue per nation where customer and supplier are
+    co-national, customers restricted to one region, orders to one year.
+
+    Plan shape at 100 TB: region/nation/supplier/customer are broadcast
+    dims (region filter prunes nation before the fact join); the only
+    fact-fact shuffle is orders⋈lineitem, and the date filter is pushed to
+    the orders parquet scan so the shuffle carries one year, not the
+    history. The co-national predicate rides the supplier join — no extra
+    exchange.
+    """
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    nation = t["nation"].join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = t["customer"].join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    li, supp = t["lineitem"], t["supplier"]
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(revenue_expr()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )

@@ -1878,3 +1878,27 @@ _register(
     FROM ({_CURATION_SQL}) c GROUP BY split
     """,
 )
+
+_register(
+    "j13_local_supplier_volume",
+    R.local_supplier_volume,
+    """
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation ASC
+    """,
+)
+
+# d4 at scale: pigeonhole-blocked candidate generation, same result set →
+# verified against the SAME oracle as the all-pairs form.
+_register("d4b_simhash_pairs_blocked", D.simhash_pairs_blocked, OD.SIMHASH_PAIRS)

@@ -1,0 +1,83 @@
+"""Bucketed co-located fact-fact joins — the storage-level shuffle
+eliminator for the engine's biggest repeated cost.
+
+orders⋈lineitem on orderkey is the one unavoidable fact-fact shuffle in
+every standings/revenue plan (see operators/relational.py). At 100 TB that
+exchange moves the whole fact table across the network *every query*. The
+fix is layout, not plan: write both facts bucketed (hash-clustered and
+sorted) on the join key with the same bucket count. Catalyst then plans
+the join as a co-located SortMergeJoin — each task reads bucket i of
+both sides locally — and any aggregation keyed on the same column reuses
+the clustering, so join+groupBy runs with NO shuffle exchange at all
+(`tests/test_plan_quality.py` asserts exactly that plan shape; at test SF
+Catalyst rightly broadcasts the tiny orders side instead, and the agg
+still rides the bucketed scan's clustering shuffle-free).
+
+This is the Spark analog of the reference pushing per-file rollups into
+Oracle so "the API process never materializes per-chunk metadata"
+(embed/vector_store.py:375-383): put the expensive clustering where the
+data lives, pay it once at write time, reuse it every read.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import revenue_expr
+from ..tables import load_tables
+
+N_BUCKETS = 8
+
+_BUCKET_SPECS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+
+
+def ensure_bucketed_facts(
+    spark: SparkSession, sf_dir: str, n_buckets: int = N_BUCKETS
+) -> dict[str, str]:
+    """Create (once per session/warehouse) bucketed copies of the fact
+    tables, clustered+sorted on the join key. Returns table names keyed by
+    logical name. Idempotent: skips tables already in the catalog."""
+    tag = re.sub(r"\W", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
+    names = {tbl: f"{tbl}_bkt_{tag}" for tbl in _BUCKET_SPECS}
+    tables = load_tables(spark, sf_dir)
+    for tbl, key in _BUCKET_SPECS.items():
+        if not spark.catalog.tableExists(names[tbl]):
+            # the in-memory catalog forgets tables between sessions but the
+            # warehouse directory survives — clear a stale location so the
+            # managed-table create doesn't refuse it
+            import os
+            import shutil
+
+            warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+            loc = os.path.join(warehouse.removeprefix("file:"), names[tbl])
+            if warehouse.startswith(("file:", "/")) and os.path.exists(loc):
+                shutil.rmtree(loc)
+            (
+                tables[tbl]
+                .write.format("parquet")
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(names[tbl])
+            )
+    return names
+
+
+def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order revenue over the bucketed layout: scan → co-located
+    SortMergeJoin (broadcast at tiny SF) → clustering-reusing aggregate —
+    no shuffle exchange anywhere."""
+    names = ensure_bucketed_facts(spark, sf_dir)
+    orders = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"), "o_orderstatus")
+        .agg(
+            F.round(F.sum(revenue_expr()), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -1902,3 +1902,17 @@ _register(
 # d4 at scale: pigeonhole-blocked candidate generation, same result set →
 # verified against the SAME oracle as the all-pairs form.
 _register("d4b_simhash_pairs_blocked", D.simhash_pairs_blocked, OD.SIMHASH_PAIRS)
+
+# Bucketed co-located fact join: same result as a plain join/groupBy (the
+# oracle), but the physical plan has zero Exchange nodes — layout replaces
+# the shuffle (plans/bucketing.py; shape asserted in test_plan_quality.py).
+from .plans.bucketing import bucketed_order_revenue  # noqa: E402
+
+QUERIES["j14_bucketed_order_revenue"] = bucketed_order_revenue
+ORACLE_SQL["j14_bucketed_order_revenue"] = """
+    SELECT o.o_orderkey AS orderkey, o.o_orderstatus,
+           ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+"""

@@ -81,3 +81,13 @@ def test_hash_split_is_shuffle_free(spark):
 def test_weighted_mix_is_shuffle_free(spark):
     plan = plan_of(spark, "smp3_weighted_mix")
     assert "Exchange" not in plan  # narrow filter over one scan
+
+
+def test_bucketed_join_and_agg_have_no_shuffle(spark):
+    plan = plan_of(spark, "j14_bucketed_order_revenue")
+    # layout replaces the shuffle: the bucketed scan's hash clustering feeds
+    # both the join and the groupBy, so the ONLY exchange is the broadcast
+    # Catalyst rightly picks for the tiny dim at this SF (at scale it plans
+    # a co-located SortMergeJoin over the same layout — still no shuffle)
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -74,3 +74,40 @@ def test_sliding_windows_match_batch(spark, sf_small):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_small, tmp_path):
+    """A doubled input stream (same file staged twice) must come out of the
+    streaming dedup as exactly the batch distinct-by-event_id set."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.streaming.dedup_stream import deduped_events
+
+    src = tmp_path / "events_dup"
+    src.mkdir()
+    shutil.copy(f"{sf_small}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_small}/events.parquet", src / "b.parquet")
+
+    static = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    plan = deduped_events(stream)
+    q = (
+        plan.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id for r in spark.table("dedup_stream_test").collect()}
+    want = {r[0] for r in static.select("event_id").distinct().collect()}
+    assert got == want and len(got) > 0

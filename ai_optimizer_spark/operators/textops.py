@@ -125,3 +125,27 @@ def chunk_documents(
     reaches the end; start = end - overlap) with `{id}_{idx}` chunk ids
     (document.py:119-123). Pure posexplode — UDTF shape, no Python."""
     return T.chunk_text(t["documents"], "text", "doc_id", chunk_size, overlap)
+
+
+# BPE-style pre-tokenizer: letter runs, digit runs, and punctuation runs as
+# separate tokens (the GPT-2 pre-tokenization classes, minus byte tricks) —
+# the same pattern string compiles in Spark (Java regex) and DuckDB (RE2).
+BPE_PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+def bpe_token_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Token counting, BPE-pre-tokenizer flavor: alongside the whitespace
+    counts of token_stats, the regex split that subword tokenizers apply
+    first — a much closer proxy for LLM token budgets (punctuation and
+    numbers count separately). Narrow map fused into the scan, like every
+    text op here."""
+    docs = t["documents"]
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), 0)
+    ws = T.words("text")
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_bpe"),
+        F.round(F.size(toks) / F.greatest(F.size(ws), F.lit(1)), 3).alias("bpe_per_word"),
+    )

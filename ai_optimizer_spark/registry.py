@@ -1916,3 +1916,22 @@ ORACLE_SQL["j14_bucketed_order_revenue"] = """
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1, 2
 """
+
+_register(
+    "tx7_bpe_token_stats",
+    TX.bpe_token_stats,
+    """
+    WITH q AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+') AS toks,
+               regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents
+    )
+    SELECT doc_id,
+           len(ws)::BIGINT AS n_ws_tokens,
+           len(toks)::BIGINT AS n_bpe_tokens,
+           len(list_distinct(toks))::BIGINT AS n_uniq_bpe,
+           ROUND(len(toks) / GREATEST(len(ws), 1), 3) AS bpe_per_word
+    FROM q
+    """,
+)

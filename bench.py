@@ -36,6 +36,8 @@ HEADLINE = [
     "v8_ivf_knn_join",
     "j11_asof_join",
     "j12_banded_range_join",
+    "j13_local_supplier_volume",
+    "j14_bucketed_order_revenue",
     "st4_sliding_window_counts",
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",

@@ -325,6 +325,73 @@ def ivf_knn_join(
     )
 
 
+def matmul_knn_join(
+    t: dict[str, DataFrame], k: int = 3, limit_queries: int = 50
+) -> DataFrame:
+    """Brute-force kNN join, BLAS tier: identical semantics (and oracle) to
+    knn_self_join, but the scoring runs as one numpy matmul per Arrow batch
+    inside mapInPandas instead of per-row `zip_with`/`aggregate` exprs.
+
+    Why this exists: Spark's higher-order array functions are interpreted
+    (not whole-stage-codegen'd), so N·Q·d scalar ops dominate the exact
+    tier. A normalized `V @ Qᵀ` hits vectorized BLAS — orders of magnitude
+    more FLOPs/s — and each batch emits only its local top-k per query, so
+    the shuffle into the final per-query window carries O(batches·Q·k)
+    rows, never N·Q. At 100 TB this is the exact-search workhorse; the
+    query block (the broadcast side) just grows to a tile loop.
+
+    Per-batch pruning orders by (rounded sim desc, vec_id asc) — the same
+    total order as the final window — so pruning can never change the
+    result."""
+    import numpy as np
+    import pandas as pd
+
+    emb = t["embeddings"]
+    q_rows = (
+        emb.filter(F.col("vec_id") < limit_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qn = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qn /= np.linalg.norm(qn, axis=1, keepdims=True)
+    bq = emb.sparkSession.sparkContext.broadcast((q_ids, qn))
+
+    def _score(batches):
+        ids, qmat = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = np.round(vecs @ qmat.T, 3) + 0.0  # (n, q)
+            vec_ids = pdf["vec_id"].to_numpy()
+            parts = []
+            for j in range(sims.shape[1]):
+                mask = vec_ids != ids[j]
+                cand_v, cand_s = vec_ids[mask], sims[mask, j]
+                keep = np.lexsort((cand_v, -cand_s))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(keep), ids[j], dtype=np.int64),
+                            "vec_id": cand_v[keep],
+                            "cos_sim": cand_s[keep],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    from ..tables import widen_scan
+
+    partial = widen_scan(emb).mapInPandas(
+        _score, "query_id long, vec_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return partial.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def union_store_results(t: dict[str, DataFrame], query_id: int = 0, k: int = 5) -> DataFrame:
     """U2: result concatenation across fan-out store searches
     (vs_retriever.py:240-242 extends one hit list per searched table).

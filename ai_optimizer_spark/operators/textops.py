@@ -9,7 +9,7 @@ as narrow transforms fused into the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -125,6 +125,55 @@ def chunk_documents(
     reaches the end; start = end - overlap) with `{id}_{idx}` chunk ids
     (document.py:119-123). Pure posexplode — UDTF shape, no Python."""
     return T.chunk_text(t["documents"], "text", "doc_id", chunk_size, overlap)
+
+
+def top_terms(t: dict[str, DataFrame], k: int = 20) -> DataFrame:
+    """Corpus-level document-frequency top-k terms: the vocabulary head a
+    curation pipeline inspects (and the df side of tf-idf). Distinct-per-doc
+    explode → count — one partial-aggregable shuffle on the term; the final
+    top-k is TakeOrderedAndProject, so only k rows reach the driver side of
+    the sort. Total order (df desc, term asc) makes the LIMIT deterministic."""
+    from ..tables import widen_scan
+
+    docs = widen_scan(t["documents"])
+    terms = docs.select(F.explode(F.array_distinct(T.words("text"))).alias("term"))
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(t: dict[str, DataFrame], k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf·idf (idf = ln(N/df)) — document
+    keyword extraction over the whole corpus in one plan: token explode →
+    (doc,term) tf agg → term df agg → broadcast join + scalar N → per-doc
+    window top-k. Both shuffles are partial-aggregated and keyed on terms
+    (uniform, no skew); the df table is vocabulary-sized so the scoring
+    join broadcasts at any corpus scale."""
+    from ..tables import widen_scan
+
+    docs = widen_scan(t["documents"])
+    toks = docs.select("doc_id", F.explode(T.words("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = (
+        toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 3).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
 # BPE-style pre-tokenizer: letter runs, digit runs, and punctuation runs as

@@ -1935,3 +1935,52 @@ _register(
     FROM q
     """,
 )
+
+# v10: BLAS-tier exact kNN — identical result contract to v5, so it shares
+# the same oracle shape (same k/limit defaults, same rounding + tie-break).
+_register(
+    "v10_matmul_knn",
+    S.matmul_knn_join,
+    ORACLE_SQL["v5_knn_self_join"],
+)
+
+_register(
+    "tx8_top_terms",
+    TX.top_terms,
+    """
+    WITH w AS (
+        SELECT list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS words
+        FROM documents
+    )
+    SELECT term, COUNT(*) AS doc_freq
+    FROM (SELECT unnest(words) AS term FROM w)
+    GROUP BY term
+    ORDER BY doc_freq DESC, term ASC
+    LIMIT 20
+    """,
+)
+
+_register(
+    "tx9_tfidf_terms",
+    TX.tfidf_top_terms,
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, ROUND(tf.tf * ln(n.n_docs / df.df), 3) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT * FROM (
+        SELECT doc_id, term, tfidf,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+               ) AS INTEGER) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)

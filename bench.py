@@ -32,6 +32,7 @@ HEADLINE = [
     "p4_interval_staleness",
     "v1_cosine_topk",
     "v5_knn_self_join",
+    "v10_matmul_knn",
     "v7_ivf_topk",
     "v8_ivf_knn_join",
     "j11_asof_join",
@@ -44,6 +45,8 @@ HEADLINE = [
     "d4_simhash_pairs",
     "tx1_token_stats",
     "tx5_chunk_documents",
+    "tx8_top_terms",
+    "tx9_tfidf_terms",
     "e2e_curation_pipeline",
 ]
 N_PASSES = 2  # report min-of-N: isolates plan cost from JIT/codegen warm-up

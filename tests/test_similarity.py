@@ -68,3 +68,13 @@ def test_kmeans_refined_ivf_recall(spark, sf_small):
         for r in ivf_kmeans_topk(t, query_id=0, k=8, n_centroids=8, n_probe=3).collect()
     }
     assert len(partial & exact) >= 2
+
+
+def test_matmul_knn_matches_expression_knn(spark, sf_medium):
+    """The BLAS tier and the zip_with tier are two physical plans for one
+    logical operator: identical rows, bit-for-bit after the shared 3-decimal
+    rounding contract."""
+    t = load_tables(spark, sf_medium)
+    expr_rows = {tuple(r) for r in S.knn_self_join(t).collect()}
+    blas_rows = {tuple(r) for r in S.matmul_knn_join(t).collect()}
+    assert expr_rows == blas_rows

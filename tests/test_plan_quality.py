@@ -91,3 +91,24 @@ def test_bucketed_join_and_agg_have_no_shuffle(spark):
     # a co-located SortMergeJoin over the same layout — still no shuffle)
     assert "Bucketed: true" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_tfidf_broadcasts_vocab_and_scalar(spark):
+    plan = plan_of(spark, "tx9_tfidf_terms")
+    # the df-count (vocabulary) join and the scalar N both broadcast —
+    # the tf side never shuffles for the scoring join
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar N crossJoin
+
+
+def test_matmul_knn_shuffles_only_pruned_candidates(spark):
+    plan = plan_of(spark, "v10_matmul_knn")
+    # one Python stage (the matmul scorer), one exchange into the final
+    # per-query window — the full N x Q score matrix never shuffles
+    assert "MapInPandas" in plan
+    # tree-node occurrences: widen_scan round-robin + the window hash —
+    # the full N x Q score matrix never shuffles
+    assert plan.count("Exchange (") <= 2
+    # Spark additionally prunes to a per-partition partial top-k before the
+    # exchange (WindowGroupLimit Partial) — keep that guaranteed
+    assert "Partial" in plan and "WindowGroupLimit" in plan

@@ -125,12 +125,15 @@ def minhash_lsh_pairs(
     docs = t["documents"]
     sh = _shingle_sets(docs).persist()
     hashed = sh.withColumn("base", T.hash60(F.col("shingle")))
+    # one pass over the shingle index yields BOTH the signature and the set
+    # size — the size groupBy that verification needs rides along for free
     sig = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
         *[
             F.min(term).alias(f"mh{s}")
             for s, term in enumerate(T.minhash_terms(F.col("base"), MINHASH_HASHES))
-        ]
-    )
+        ],
+    ).persist()
 
     n_bands = MINHASH_HASHES // LSH_BAND_ROWS
     bands = sig.select(
@@ -166,12 +169,14 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify candidates with exact jaccard on the (cached) shingle index
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # verify candidates with exact jaccard on the (cached) shingle index:
+    # the candidate set is tiny by construction (band collisions only), so
+    # it broadcasts into both index joins — the full index never reshuffles
+    sizes = sig.select("doc_id", "n_sh")
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        candidates.join(a, "doc_a")
+        a.join(F.broadcast(candidates), "doc_a")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -291,42 +296,89 @@ def dedup_losers(t: dict[str, DataFrame], max_iters: int = 15) -> DataFrame:
     return losers
 
 
+# Edge count below which connected components run as driver-side union-find
+# instead of the iterated distributed propagation. The near-dup subgraph of a
+# deduped corpus is orders of magnitude smaller than the corpus (it is ONLY
+# the docs with an LSH collision), so even at 100 TB it commonly fits here;
+# the distributed loop remains the unbounded fallback. Same labels either
+# way: components with min-doc_id canonicals are order-free and exact.
+DRIVER_COMPONENT_EDGE_CAP = 2_000_000
+
+
+def _unionfind_labels(pairs: DataFrame):
+    """Collect the (tiny) pair list and label components with union-find +
+    path compression; canonical = component min. One job, zero iterations."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pairs.collect():
+        a, b = r.doc_a, r.doc_b
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so every root IS its component's canonical id
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    return pairs.sparkSession.createDataFrame(
+        rows, "doc_id long, cluster_id long"
+    )
+
+
 def _propagate_labels(t: dict[str, DataFrame], max_iters: int):
-    """Min-label propagation over the LSH-pair subgraph only. Returns
+    """Connected components over the LSH-pair subgraph only. Returns
     (labels, edges) — labels covers exactly the edge-endpoint nodes; edges
-    is still persisted (caller unpersists)."""
+    is still persisted (caller unpersists).
+
+    Adaptive strategy: the subgraph's edge list is counted first (it is
+    already persisted for the loop); below DRIVER_COMPONENT_EDGE_CAP the
+    components come from one collect + union-find — the iterated joins are
+    pure scheduling overhead at that size. Above the cap, distributed
+    min-label propagation runs as before."""
     pairs = minhash_lsh_pairs(t).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .persist()
     )
+    if edges.count() <= 2 * DRIVER_COMPONENT_EDGE_CAP:  # edges = both directions
+        small = edges.filter(F.col("a") < F.col("b")).select(
+            F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
+        )  # reads the persisted edge list — the LSH plan does not recompute
+        return _unionfind_labels(small), edges
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
+    label_sum = labels.agg(F.sum("cluster_id")).first()[0]
 
     for _ in range(max_iters):
         msgs = edges.join(labels, edges["a"] == labels["doc_id"]).select(
             F.col("b").alias("doc_id"), "cluster_id"
         )
-        new_labels = (
+        labels = (
             labels.union(msgs)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-        )
-        done = changed.isEmpty()
-        labels = new_labels
-        if done:
+        # labels are monotone non-increasing, so any change strictly lowers
+        # the sum: one scalar agg over the (checkpointed, subgraph-sized)
+        # label table is the convergence probe — no join, no second pass
+        new_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     return labels, edges
 
 

@@ -122,3 +122,13 @@ def test_dedup_clusters_component_invariants(spark, sf_medium):
             assert r.doc_id == r.cluster_id
             assert r.cluster_id not in canon
             canon[r.cluster_id] = r.doc_id
+
+
+def test_unionfind_matches_distributed_propagation(spark, sf_medium, monkeypatch):
+    """The adaptive driver-side union-find and the distributed min-label
+    loop are two strategies for one operator: identical component labels."""
+    t = load_tables(spark, sf_medium)
+    fast = {(r.doc_id, r.cluster_id, r.is_canonical) for r in D.dedup_clusters(t).collect()}
+    monkeypatch.setattr(D, "DRIVER_COMPONENT_EDGE_CAP", -1)
+    slow = {(r.doc_id, r.cluster_id, r.is_canonical) for r in D.dedup_clusters(t).collect()}
+    assert fast == slow

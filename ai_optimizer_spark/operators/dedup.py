@@ -111,7 +111,9 @@ def ngram_jaccard_pairs(
 
 
 def minhash_lsh_pairs(
-    t: dict[str, DataFrame], threshold: float = JACCARD_THRESHOLD
+    t: dict[str, DataFrame],
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup: k=8 portable min-hashes, banded (r=2 → 4
     bands); docs sharing any band bucket become candidates; candidates are
@@ -121,7 +123,14 @@ def minhash_lsh_pairs(
     k functions arithmetically); signatures come from partial-aggregable
     MINs over the exploded shingle index, which is cached and reused for
     verification; the band bucket join touches only colliding docs — this
-    is the 100 TB dedup plan, end to end."""
+    is the 100 TB dedup plan, end to end.
+
+    `max_bucket_size` is the skew guard for real corpora: a band key shared
+    by B docs emits O(B²) candidates, and boilerplate-heavy corpora produce
+    degenerate buckets (cookie banners, license headers) that would send a
+    quadratic wave through verification. Buckets above the cap are dropped
+    whole — the standard industrial LSH trade (those docs still pair via
+    their other, more selective bands). Default None = exact candidates."""
     docs = t["documents"]
     sh = _shingle_sets(docs).persist()
     hashed = sh.withColumn("base", T.hash60(F.col("shingle")))
@@ -156,6 +165,16 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    if max_bucket_size is not None:
+        bucket_sizes = bands.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("bucket_n")
+        )
+        bands = (
+            bands.join(bucket_sizes, ["band", "key"])
+            .filter(F.col("bucket_n") <= max_bucket_size)
+            .drop("bucket_n")
+        )
 
     ba, bb = bands.alias("ba"), bands.alias("bb")
     candidates = (

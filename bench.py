@@ -43,6 +43,7 @@ HEADLINE = [
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
     "d4_simhash_pairs",
+    "d6_dedup_clusters",
     "tx1_token_stats",
     "tx5_chunk_documents",
     "tx8_top_terms",

@@ -132,3 +132,15 @@ def test_unionfind_matches_distributed_propagation(spark, sf_medium, monkeypatch
     monkeypatch.setattr(D, "DRIVER_COMPONENT_EDGE_CAP", -1)
     slow = {(r.doc_id, r.cluster_id, r.is_canonical) for r in D.dedup_clusters(t).collect()}
     assert fast == slow
+
+
+def test_lsh_bucket_cap_yields_subset(spark, sf_medium):
+    """The skew guard only removes candidates (degenerate buckets), never
+    invents pairs; uncapped equals cap=None."""
+    t = load_tables(spark, sf_medium)
+    full = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(t).collect()}
+    capped = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(t, max_bucket_size=3).collect()}
+    assert capped <= full
+    # cap large enough to keep every bucket → identical result
+    same = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(t, max_bucket_size=10**9).collect()}
+    assert same == full

@@ -505,3 +505,80 @@ def local_supplier_volume(t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.round(F.sum(revenue_expr()), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("nation"))
     )
+
+
+def market_share(
+    t: dict[str, DataFrame],
+    part_type: str = "ECONOMY",
+    region_name: str = "EUROPE",
+    share_nation: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q8 shape — national market share: of the revenue a region's
+    customers spend on one part type, the fraction supplied from one
+    nation, per order year. The canonical NL2SQL "share of X within Y over
+    time" question (conditional-aggregation numerator over a multi-join).
+
+    Plan shape at 100 TB: part (type-filtered), customer⋈nation⋈region,
+    and supplier⋈nation are all broadcast dims; lineitem⋈orders is the one
+    fact-fact shuffle, date-pruned at the orders scan. The share division
+    happens after a tiny per-year aggregate."""
+    nation, region = t["nation"], t["region"].filter(F.col("r_name") == region_name)
+    cust_nation = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = t["customer"].join(
+        F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key")
+    )
+    supp = t["supplier"].join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    part = t["part"].filter(F.col("p_type") == part_type)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    li = t["lineitem"]
+    vol = revenue_expr()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == share_nation, vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def parts_supplier_counts(t: dict[str, DataFrame], limit: int = 20) -> DataFrame:
+    """TPC-H Q16 shape — supplier breadth per part segment, excluding a
+    blocklisted supplier set (negative account balance stands in for the
+    complaints filter): COUNT(DISTINCT) after an anti-join, the classic
+    "how many distinct providers, ignoring known-bad ones" inventory
+    question.
+
+    Plan shape: the blocklist is tiny → broadcast anti-join on the fact;
+    part is a broadcast dim; the count-distinct shuffles (brand, type,
+    size, suppkey) pre-deduped pairs only. Total order makes LIMIT
+    deterministic."""
+    bad_suppliers = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    part = t["part"]
+    li = t["lineitem"]
+    return (
+        li.join(F.broadcast(bad_suppliers), li.l_suppkey == bad_suppliers.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+        .limit(limit)
+    )

@@ -1984,3 +1984,47 @@ _register(
     ) WHERE rnk <= 3
     """,
 )
+
+_register(
+    "j15_market_share",
+    R.market_share,
+    """
+    WITH cust AS (
+        SELECT c_custkey FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    vol AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1.0 - l_discount) AS v,
+               n_name AS supp_nation
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN cust ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT CAST(o_year AS INTEGER) AS o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN v ELSE 0.0 END) / SUM(v), 4) AS mkt_share,
+           ROUND(SUM(v), 2) AS total_volume
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+
+_register(
+    "a16_parts_supplier_counts",
+    R.parts_supplier_counts,
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    LIMIT 20
+    """,
+)

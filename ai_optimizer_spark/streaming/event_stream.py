@@ -154,3 +154,30 @@ class ProgressRecorder(StreamingQueryListener):
 
     def onQueryTerminated(self, event) -> None:
         self.terminated.append(event.id)
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (file source, glob-scoped)."""
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_term_doc_freq(docs: DataFrame) -> DataFrame:
+    """Streaming flatMap-aggregation: per-term document frequency maintained
+    incrementally as documents arrive — the streaming form of
+    operators/textops.top_terms's df side (a corpus vocabulary that stays
+    current while ingest runs). explode() in a streaming plan is a
+    stateless narrow op; only the per-term counts are state, so state size
+    is vocabulary-sized regardless of ingest volume."""
+    from ..functions import text as T
+
+    return (
+        docs.select(F.explode(F.array_distinct(T.words("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )

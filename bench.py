@@ -39,6 +39,7 @@ HEADLINE = [
     "j12_banded_range_join",
     "j13_local_supplier_volume",
     "j14_bucketed_order_revenue",
+    "j15_market_share",
     "st4_sliding_window_counts",
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",

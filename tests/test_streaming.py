@@ -111,3 +111,33 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_small, tmp_path):
     got = {r.event_id for r in spark.table("dedup_stream_test").collect()}
     want = {r[0] for r in static.select("event_id").distinct().collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_term_freq_matches_batch(spark, sf_small):
+    """The incremental vocabulary equals the batch explode+count — same
+    logical plan, run as a stream."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.streaming.event_stream import (
+        documents_stream,
+        streaming_term_doc_freq,
+    )
+
+    plan = streaming_term_doc_freq(documents_stream(spark, sf_small))
+    got = {
+        (r.term, r.doc_freq)
+        for r in run_to_memory(spark, plan, "term_freq_test").collect()
+    }
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    from ai_optimizer_spark.functions import text as T
+
+    want = {
+        (r.term, r.doc_freq)
+        for r in docs.select(
+            F.explode(F.array_distinct(T.words("text"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .collect()
+    }
+    assert got == want

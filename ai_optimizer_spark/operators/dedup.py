@@ -273,6 +273,35 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_blocked(
+    t: dict[str, DataFrame],
+    threshold: float = COSINE_NEARDUP_THRESHOLD,
+    n_bits: int = 4,
+) -> DataFrame:
+    """Embedding near-dup, blocked: the 100 TB form of
+    embedding_neardup_pairs — a sign-LSH bucket equality join replaces the
+    all-pairs scan, so candidate volume scales with bucket occupancy, not
+    n². Deliberately approximate (cross-bucket near-dups are not reported;
+    recall rises as n_bits falls), which is the trade production embedding
+    dedup makes; the oracle encodes the same bucket function, so the
+    approximation itself is hash-verified. At scale the store is written
+    clustered by bucket → the self-join becomes partition-local."""
+    emb = t["embeddings"].withColumn("bucket", V.sign_bucket("embedding", n_bits))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    cos = F.round(V.cosine_similarity("ea", "eb"), 3) + F.lit(0.0)
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("bucket", "vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def dedup_clusters(t: dict[str, DataFrame], max_iters: int = 15) -> DataFrame:
     """Near-dup *clustering*: LSH pairs → connected components → canonical
     pick (min doc_id per component). Pairs alone under-delete — if A~B and

@@ -67,16 +67,16 @@ def sessionize(t: dict[str, DataFrame]) -> DataFrame:
     # >= gap starts a new session — matching Spark's session_window merge
     # rule (merge only while next event < last + gap), so the streaming
     # variant in streaming/event_stream.py agrees at exact-gap boundaries
-    gap_sec = SESSION_GAP_MINUTES * 60
+    # microsecond precision: cast("long") would truncate to whole seconds
+    # and disagree with sub-second event times exactly at the gap boundary
+    # (epoch_us on the DuckDB side; bit-identical integers, no float gap)
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
     with_breaks = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w_user)
-            >= gap_sec,
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_user) >= gap_us,
             1,
-        )
-        .otherwise(0),
+        ).otherwise(0),
     )
     with_ids = with_breaks.withColumn(
         "session_seq",

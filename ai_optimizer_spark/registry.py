@@ -752,7 +752,7 @@ _register(
     """
     WITH flagged AS (
         SELECT user_id, ts, event_id, value,
-               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -778,7 +778,7 @@ _register(
     """
     WITH flagged AS (
         SELECT user_id, ts, event_id, value,
-               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -2028,3 +2028,42 @@ _register(
     LIMIT 20
     """,
 )
+
+_register(
+    "d5b_embedding_neardup_blocked",
+    D.embedding_neardup_blocked,
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings
+    )
+    SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) + 0.0 AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) + 0.0
+          >= {D.COSINE_NEARDUP_THRESHOLD}
+    """,
+)
+
+
+def _mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm3: the audio branch — payload-sized repartition → overlapping
+    window framing (1→N mapInPandas) → feature extraction. Stubbed decode,
+    real framing/plumbing; rows-only driver check."""
+    from .sources.multimodal import (
+        documents_as_media,
+        extract_features,
+        repartition_for_payloads,
+        window_audio,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = repartition_for_payloads(documents_as_media(docs), target_bytes=1 << 20)
+    return extract_features(window_audio(media))
+
+
+QUERIES["mm3_audio_features"] = _mm3_audio_features

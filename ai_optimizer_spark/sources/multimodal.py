@@ -153,6 +153,53 @@ def sample_frames(
     return media.mapInPandas(_sample, MEDIA_SCHEMA)
 
 
+def window_audio(
+    media: DataFrame, window_ms: int = 2000, hop_ms: int = 1000, max_windows: int = 5
+) -> DataFrame:
+    """Audio analysis windows as a 1→N mapInPandas (STFT-style framing):
+    each audio row yields up to `max_windows` overlapping windows at
+    `hop_ms` stride (overlap = window_ms - hop_ms), each with a
+    deterministic stub payload keyed by (source digest, window index);
+    non-audio rows are dropped. A real soundfile/librosa slicer replaces
+    only the kernel — the framing arithmetic, 1→N schema, and composition
+    with extract_features are the real, tested plumbing."""
+
+    def _window(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "audio":
+                    continue
+                blob = bytes(payload or b"")
+                duration_ms = len(blob)  # stub duration: 1 ms per byte
+                n_win = min(
+                    max((max(duration_ms - window_ms, 0)) // max(hop_ms, 1) + 1, 1),
+                    max_windows,
+                )
+                digest = hashlib.sha256(blob).digest()
+                for i in range(n_win):
+                    rows.append(
+                        {
+                            "media_id": f"{media_id}_w{i}",
+                            "kind": "audio",
+                            "payload": hashlib.sha256(digest + bytes([i])).digest(),
+                            "meta": {
+                                "mime": "audio/raw",
+                                "width": None,
+                                "height": None,
+                                "duration_ms": min(
+                                    window_ms, duration_ms - i * hop_ms
+                                ),
+                            },
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return media.mapInPandas(_window, MEDIA_SCHEMA)
+
+
 def repartition_for_payloads(media: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
     """Size the Arrow batches: repartition so each partition carries about
     `target_bytes` of payload (one count+sum action over the pruned

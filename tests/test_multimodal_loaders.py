@@ -102,3 +102,31 @@ def test_repartition_for_payloads(spark, sf_small):
     sized = repartition_for_payloads(media, target_bytes=10_000)
     assert sized.rdd.getNumPartitions() >= 2
     assert sized.count() == media.count()
+
+
+def test_audio_windowing_is_one_to_n_and_composes(spark, sf_small):
+    """Framing arithmetic: n_windows = clamp((dur - win)//hop + 1, 1, max);
+    only audio rows window; windows feed extract_features unchanged."""
+    from ai_optimizer_spark.sources.multimodal import (
+        documents_as_media,
+        extract_features,
+        window_audio,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    media = documents_as_media(docs)
+    windows = window_audio(media, window_ms=100, hop_ms=50, max_windows=4)
+    rows = windows.collect()
+    assert rows and all(r.kind == "audio" for r in rows)
+    n_audio = media.filter("kind = 'audio'").count()
+    per_src = {}
+    for r in rows:
+        src = r.media_id.rsplit("_w", 1)[0]
+        per_src[src] = per_src.get(src, 0) + 1
+    assert len(per_src) == n_audio
+    assert all(1 <= n <= 4 for n in per_src.values())
+    # re-run → identical payloads (deterministic stub kernels)
+    again = {r.media_id: bytes(r.payload) for r in windows.collect()}
+    assert again == {r.media_id: bytes(r.payload) for r in rows}
+    feats = extract_features(windows)
+    assert feats.filter("decode_status = 'stub_decoded'").count() == len(rows)

@@ -144,3 +144,18 @@ def test_lsh_bucket_cap_yields_subset(spark, sf_medium):
     # cap large enough to keep every bucket → identical result
     same = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(t, max_bucket_size=10**9).collect()}
     assert same == full
+
+
+def test_blocked_embedding_neardup_is_subset(spark, sf_medium):
+    """Bucket blocking only drops cross-bucket pairs — every reported pair
+    exists in the brute-force result with the same score."""
+    t = load_tables(spark, sf_medium)
+    full = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in D.embedding_neardup_pairs(t).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in D.embedding_neardup_blocked(t).collect()
+    }
+    assert blocked <= full and blocked

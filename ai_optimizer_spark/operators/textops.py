@@ -198,3 +198,29 @@ def bpe_token_stats(t: dict[str, DataFrame]) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_bpe"),
         F.round(F.size(toks) / F.greatest(F.size(ws), F.lit(1)), 3).alias("bpe_per_word"),
     )
+
+
+def surprisal_score(t: dict[str, DataFrame]) -> DataFrame:
+    """Unigram-LM surprisal: per-doc mean -ln p(term) under the corpus
+    unigram distribution (p = corpus tf / total tokens) — the statistical
+    quality/novelty score next to the heuristic quality_score (rare-word
+    documents score high, boilerplate scores low). Two partial-agg shuffles
+    build the model (term counts); scoring joins the vocabulary-sized model
+    broadcast onto the token stream — no full-corpus shuffle carries text."""
+    from ..tables import widen_scan
+
+    docs = widen_scan(t["documents"])
+    toks = docs.select("doc_id", F.explode(T.words("text")).alias("term"))
+    model = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    total = model.select(F.sum("ctf").alias("total_tokens"))
+    return (
+        toks.join(F.broadcast(model), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("total_tokens") / F.col("ctf"))), 4).alias(
+                "avg_surprisal"
+            ),
+        )
+    )

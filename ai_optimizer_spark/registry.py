@@ -2067,3 +2067,20 @@ def _mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["mm3_audio_features"] = _mm3_audio_features
+
+_register(
+    "tx10_surprisal",
+    TX.surprisal_score,
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    model AS (SELECT term, COUNT(*) AS ctf FROM toks GROUP BY term),
+    n AS (SELECT SUM(ctf) AS total_tokens FROM model)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(n.total_tokens / model.ctf)), 4) AS avg_surprisal
+    FROM toks JOIN model USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)

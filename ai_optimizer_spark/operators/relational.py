@@ -582,3 +582,39 @@ def parts_supplier_counts(t: dict[str, DataFrame], limit: int = 20) -> DataFrame
         )
         .limit(limit)
     )
+
+
+def pivot_status_by_year(t: dict[str, DataFrame]) -> DataFrame:
+    """Pivot (long → wide conditional aggregation): order totals per year,
+    one column per order status — the declared-values form of the demo
+    schema's CASE-WHEN pivots (schema.sql:680-682). Explicit value list
+    keeps the schema static (no discovery pass) and the plan a single
+    partial-aggregable groupBy."""
+    orders = t["orders"]
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .select(
+            "o_year",
+            F.col("F").alias("total_f"),
+            F.col("O").alias("total_o"),
+            F.col("P").alias("total_p"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def balance_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """W-family completion: percent_rank + cume_dist + ntile over supplier
+    account balances within nation — the relative-standing window trio.
+    One shuffle on the partition key; all three functions share the sort."""
+    w = Window.partitionBy("s_nationkey").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    return t["supplier"].select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.col("s_acctbal"), 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -2084,3 +2084,29 @@ _register(
     GROUP BY doc_id
     """,
 )
+
+_register(
+    "a17_pivot_status_year",
+    R.pivot_status_by_year,
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS total_f,
+           ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS total_o,
+           ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS total_p
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+
+_register(
+    "w8_balance_distribution",
+    R.balance_distribution,
+    """
+    SELECT s_suppkey, s_nationkey,
+           ROUND(s_acctbal, 2) AS acctbal,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cume,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+    """,
+)

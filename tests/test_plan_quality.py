@@ -112,3 +112,11 @@ def test_matmul_knn_shuffles_only_pruned_candidates(spark):
     # Spark additionally prunes to a per-partition partial top-k before the
     # exchange (WindowGroupLimit Partial) — keep that guaranteed
     assert "Partial" in plan and "WindowGroupLimit" in plan
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "j15_market_share")
+    # part, customer-side, supplier-side all broadcast; the only potential
+    # non-broadcast exchange feeds the lineitem ⋈ orders fact join
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "PushedFilters" in plan

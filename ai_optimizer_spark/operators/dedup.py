@@ -477,3 +477,35 @@ def simhash_pairs_blocked(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def fuzzy_part_pairs(t: dict[str, DataFrame], max_distance: int = 2) -> DataFrame:
+    """Edit-distance fuzzy matching — the entity-resolution complement to the
+    token-set dedup family: pairs of part names within the same brand whose
+    Levenshtein distance is ≤ `max_distance` (0 = exact duplicate listings,
+    1-2 = typo/variant listings).
+
+    Scale design: brand is the blocking key — the self-join shuffles once on
+    the block key and compares all-pairs only inside a block (classic blocked
+    entity resolution; at 100 TB the block key would be a coarser fingerprint
+    such as first-token + length band, same plan shape). The JVM-side
+    `levenshtein(l, r, threshold)` form short-circuits the DP once the row
+    exceeds the bound, so per-pair cost is O(threshold·len), not O(len²).
+    """
+    p = t["part"].select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), max_distance)
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.col("a.p_brand").alias("brand"),
+            dist.alias("distance"),
+        )
+        .filter(F.col("distance") >= 0)
+    )

@@ -618,3 +618,98 @@ def balance_distribution(t: dict[str, DataFrame]) -> DataFrame:
         F.round(F.cume_dist().over(w), 4).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+def small_quantity_revenue(t: dict[str, DataFrame], brand: str = "Brand#5") -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery as a derived-table join:
+    revenue lost if small-quantity line items (below 20% of the part's own
+    average order quantity) were not stocked. The reference's NL2SQL surface
+    emits exactly this subquery-per-row pattern for "compared to its average"
+    questions.
+
+    Plan shape: the brand filter prunes part to a bounded dim → broadcast
+    into lineitem; the per-part average is computed once over the pruned
+    fact slice (group-by cardinality = parts in brand, tiny) and broadcast
+    back. No correlated re-execution — the subquery is decorrelated into
+    one partial-aggregable groupBy, the same rewrite Catalyst applies to
+    scalar subqueries. Final result is a single global aggregate."""
+    part = t["part"].filter(F.col("p_brand") == brand).select("p_partkey")
+    li = t["lineitem"].join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    caps = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        li.join(F.broadcast(caps), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+def large_volume_orders(
+    t: dict[str, DataFrame], threshold: float = 300.0, limit: int = 100
+) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-filtered aggregate as a semi-join driver:
+    customers who placed orders whose total quantity exceeds `threshold`.
+    The IN-(GROUP BY ... HAVING) subquery becomes an aggregate → filter →
+    join pipeline.
+
+    Plan shape: the HAVING filter runs map-side-combinable groupBy on the
+    fact, then the surviving key set (99.9th-percentile tail → tiny at any
+    scale, threshold scales with basket size not corpus size) broadcasts
+    into orders; customer joins after the fact side has already collapsed
+    to ~tail rows, so AQE picks a broadcast there too. Total order makes
+    LIMIT deterministic."""
+    li = t["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > threshold)
+    )
+    orders = t["orders"]
+    cust = t["customer"]
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(limit)
+    )
+
+
+def idle_rich_customers(t: dict[str, DataFrame], since: str = "2001-01-01") -> DataFrame:
+    """TPC-H Q22 shape — global scalar subquery + anti-join: customers whose
+    balance beats the positive-balance average but who have placed no order
+    since `since`, grouped by nation. Exercises the two decorrelations the
+    NL2SQL path needs most: scalar-aggregate-as-broadcast-cross-join and
+    NOT-EXISTS-as-left-anti.
+
+    Plan shape: the scalar average is a 1-row DataFrame cross-joined in
+    (broadcast, no shuffle); the anti-join right side is orders date-pruned
+    at the scan and projected to o_custkey — at scale that's the one real
+    shuffle, co-partitioned on the customer key; the final groupBy collapses
+    to nation cardinality."""
+    cust = t["customer"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = t["orders"].filter(F.col("o_orderdate") >= since)
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

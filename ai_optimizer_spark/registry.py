@@ -2110,3 +2110,62 @@ _register(
     WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
     """,
 )
+
+_register(
+    "j16_small_qty_revenue",
+    R.small_quantity_revenue,
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#5'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+
+_register(
+    "j17_large_volume_orders",
+    R.large_volume_orders,
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 2) AS o_totalprice, total_qty
+    FROM orders
+    JOIN (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300.0
+    ) big ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+
+_register(
+    "a18_idle_rich_customers",
+    R.idle_rich_customers,
+    """
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= DATE '2001-01-01')
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+
+_register(
+    "d8_fuzzy_part_pairs",
+    D.fuzzy_part_pairs,
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_brand AS brand,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)

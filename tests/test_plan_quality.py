@@ -120,3 +120,25 @@ def test_market_share_broadcasts_all_dims(spark):
     # non-broadcast exchange feeds the lineitem ⋈ orders fact join
     assert plan.count("BroadcastHashJoin") >= 4
     assert "PushedFilters" in plan
+
+
+def test_small_qty_revenue_decorrelates_without_shuffle_join(spark):
+    plan = plan_of(spark, "j16_small_qty_revenue")
+    # brand filter reaches the part scan; both the pruned part dim and the
+    # per-part qty-cap table broadcast — the Q17 subquery never SMJs
+    assert "EqualTo(p_brand,Brand#5)" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_large_volume_orders_takeordered(spark):
+    plan = plan_of(spark, "j17_large_volume_orders")
+    # HAVING tail broadcasts into orders; final sort+limit fuses
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_idle_rich_customers_antijoin_pruned(spark):
+    plan = plan_of(spark, "a18_idle_rich_customers")
+    # NOT EXISTS is a left-anti join; the date bound reaches the orders scan
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan

@@ -107,3 +107,41 @@ def session_stats(t: dict[str, DataFrame]) -> DataFrame:
             F.max("n_events").alias("max_session_events"),
         )
     )
+
+
+def attributed_purchases(t: dict[str, DataFrame]) -> DataFrame:
+    """Event-to-event attribution (batch form of the stream-stream interval
+    join): each purchase paired with every view by the same user in the
+    preceding hour. The streaming twin is
+    `streaming.event_stream.attributed_purchases_stream` — identical results
+    on a static snapshot (batch-parity-tested).
+
+    Plan shape: one shuffle of each filtered side on user_id; the interval
+    predicate is a post-join filter on the co-partitioned pair (Spark's
+    stream-stream join uses exactly this key+range form to bound state).
+    Timestamps compare natively (microsecond integers under the hood) — no
+    second-truncating casts."""
+    ev = t["events"]
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 4).alias("purchase_value"),
+    )
+    return (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts",
+            "purchase_value",
+        )
+    )

@@ -2169,3 +2169,17 @@ _register(
     WHERE levenshtein(a.p_name, b.p_name) <= 2
     """,
 )
+
+_register(
+    "st5_attributed_purchases",
+    E.attributed_purchases,
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           v.ts AS view_ts, p.ts AS purchase_ts,
+           ROUND(p.value, 4) AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+    """,
+)

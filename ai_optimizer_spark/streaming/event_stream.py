@@ -181,3 +181,42 @@ def streaming_term_doc_freq(docs: DataFrame) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
+
+
+def attributed_purchases_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to same-user views
+    from the preceding hour. Both sides carry watermarks, and the join
+    condition bounds purchase_ts to [view_ts, view_ts + 1h), so the state
+    store retains each view row for at most (1 h + watermark) of event time
+    and each purchase for the watermark horizon — state is bounded by the
+    join window, not stream length. Batch twin:
+    operators/events.attributed_purchases (parity-tested)."""
+    v = (
+        views.withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 4).alias("purchase_value"),
+        )
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts",
+            "purchase_value",
+        )
+    )

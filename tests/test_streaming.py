@@ -141,3 +141,36 @@ def test_streaming_term_freq_matches_batch(spark, sf_small):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_small):
+    """Inner stream-stream interval join emits each match as soon as both
+    sides arrive — on a static snapshot it must equal the batch self-join
+    exactly (no rows withheld: inner-join output never waits for the
+    watermark; the watermark only bounds state eviction)."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.operators.events import attributed_purchases
+    from ai_optimizer_spark.streaming.event_stream import (
+        attributed_purchases_stream,
+    )
+
+    ev = events_stream(spark, sf_small)
+    plan = attributed_purchases_stream(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        plan.writeStream.format("memory")
+        .queryName("attribution_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("attribution_stream_test").collect()}
+    want = {
+        tuple(r)
+        for r in attributed_purchases(load_tables(spark, sf_small)).collect()
+    }
+    assert got == want and len(got) > 0

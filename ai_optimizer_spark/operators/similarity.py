@@ -528,3 +528,95 @@ def mmr_rerank(
         for rank, i in enumerate(selected)
     ]
     return spark.createDataFrame(rows, "vec_id long, mmr_rank int, relevance double")
+
+
+def _sq_dist(a, b):
+    """Σ (aᵢ-bᵢ)² in DOUBLE — squared euclidean, additive across subspaces
+    (the property PQ's asymmetric-distance sum relies on)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subvectors(emb: DataFrame, m: int, dims: int) -> DataFrame:
+    """Slice each embedding into `m` contiguous subvectors:
+    (vec_id, sub_id ∈ [0,m), subvec of dims/m floats). Pure narrow map."""
+    d = dims // m
+    slices = F.array(*[F.slice("embedding", i * d + 1, d) for i in range(m)])
+    return emb.select("vec_id", F.posexplode(slices).alias("sub_id", "subvec"))
+
+
+def pq_topk(
+    t: dict[str, DataFrame],
+    query_id: int = 0,
+    k: int = TOP_K,
+    m: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    refine: int = 4,
+) -> DataFrame:
+    """O6 scale path #3: product quantization — the compressed-domain ANN
+    tier below IVF. Each vector is encoded as `m` one-byte codes (nearest
+    codebook centroid per subspace): 64 float32 dims → 8 codes, a 32×
+    compression of what the candidate scan has to read and shuffle. The
+    query never decompresses the corpus: a (m × n_codes) asymmetric-distance
+    table is built once from the query and broadcast, the approximate
+    distance is SUM(table[sub, code]) — a partial-aggregable groupBy over
+    codes — and only the `refine·k` best candidates are re-ranked exactly.
+
+    Scale shape: codebooks and the ADC table are tiny broadcasts; the
+    encode pass is a write-path cost (stored alongside the store like the
+    IVF cell id); the read path scans codes only, so at 100 TB the
+    candidate generation reads m bytes/vector instead of 4·dims. Codebooks
+    seed deterministically from the corpus head (same convention as
+    `ivf_topk`; k-means refinement composes exactly as `_lloyd_update`).
+    Approximate op → rows-only driver check; recall is unit-tested against
+    brute force."""
+    emb = t["embeddings"]
+    subs = _pq_subvectors(emb, m, dims)
+    books = subs.filter(F.col("vec_id") < n_codes).select(
+        "sub_id", F.col("vec_id").alias("code"), F.col("subvec").alias("cvec")
+    )
+    encoded = (
+        subs.join(F.broadcast(books), "sub_id")
+        .select(
+            "vec_id",
+            "sub_id",
+            F.struct(_sq_dist("subvec", "cvec").alias("d"), F.col("code")).alias("dc"),
+        )
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "sub_id", F.col("best.code").alias("code"))
+    )
+    q = _query_vectors(t, [query_id])
+    qsubs = _pq_subvectors(
+        q.select(F.lit(-1).alias("vec_id"), F.col("query_vec").alias("embedding")),
+        m,
+        dims,
+    ).select("sub_id", F.col("subvec").alias("qsub"))
+    adc = books.join(qsubs, "sub_id").select(
+        "sub_id", "code", _sq_dist("cvec", "qsub").alias("qd")
+    )
+    cands = (
+        encoded.join(F.broadcast(adc), ["sub_id", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("approx_d"))
+        .filter(F.col("vec_id") != query_id)
+        .orderBy(F.asc("approx_d"), F.asc("vec_id"))
+        .limit(refine * k)
+        .select("vec_id")
+    )
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    return (
+        emb.join(F.broadcast(cands), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -2183,3 +2183,7 @@ _register(
      AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
     """,
 )
+
+# PQ is approximate (codebook argmin + ADC sum) — rows-only driver check;
+# recall vs brute force is unit-tested in tests/test_similarity.py.
+_register("v11_pq_topk", S.pq_topk, None)

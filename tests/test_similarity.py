@@ -78,3 +78,20 @@ def test_matmul_knn_matches_expression_knn(spark, sf_medium):
     expr_rows = {tuple(r) for r in S.knn_self_join(t).collect()}
     blas_rows = {tuple(r) for r in S.matmul_knn_join(t).collect()}
     assert expr_rows == blas_rows
+
+
+def test_pq_recall_and_full_refine_exactness(spark, sf_small):
+    """PQ with a generous refine budget must recover the exact top-k (the
+    re-rank is exact cosine, so recall failures can only come from the ADC
+    candidate cut); at the default budget recall must stay useful."""
+    from ai_optimizer_spark.operators.similarity import cosine_topk, pq_topk
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    exact = {r.vec_id for r in cosine_topk(t, query_id=0, k=8).collect()}
+    generous = {
+        r.vec_id for r in pq_topk(t, query_id=0, k=8, refine=1000).collect()
+    }
+    assert generous == exact
+    default = {r.vec_id for r in pq_topk(t, query_id=0, k=8).collect()}
+    assert len(default & exact) >= 4

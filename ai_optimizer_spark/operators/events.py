@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import epoch_us
+
 SESSION_GAP_MINUTES = 30
 
 
@@ -74,7 +76,7 @@ def sessionize(t: dict[str, DataFrame]) -> DataFrame:
     with_breaks = ev.withColumn(
         "new_session",
         F.when(
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_user) >= gap_us,
+            epoch_us("ts") - F.lag(epoch_us("ts")).over(w_user) >= gap_us,
             1,
         ).otherwise(0),
     )

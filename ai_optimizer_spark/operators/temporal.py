@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import epoch_us
+
 RANGE_SECONDS = 600  # 10-minute look-ahead band
 
 
@@ -74,7 +76,7 @@ def asof_join_last_error(t: dict[str, DataFrame]) -> DataFrame:
             F.col("value").alias("click_value"),
             F.lit(1).alias("side"),
             F.lit(None)
-            .cast("struct<err_ts:timestamp,err_value:double>")
+            .cast(f"struct<err_ts:{dict(clicks.dtypes)['ts']},err_value:double>")
             .alias("err"),
         )
     )
@@ -104,7 +106,8 @@ def banded_range_join(t: dict[str, DataFrame]) -> DataFrame:
     on (user_id, bucket) — the exact interval predicate then filters inside
     the band. Left join back onto all errors keeps zero-click rows.
     """
-    bucket = lambda c: F.floor(F.col(c).cast("long") / RANGE_SECONDS)  # noqa: E731
+    # epoch-µs bucketing (ts is TIMESTAMP_NTZ — no direct long cast exists)
+    bucket = lambda c: F.floor(epoch_us(c) / (RANGE_SECONDS * 1_000_000))  # noqa: E731
     errors = _side(t, "error")
     clicks = _side(t, "click")
 

@@ -74,9 +74,6 @@ def get_spark(app_name: str = "ai_optimizer_spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
-        # nanos timestamp — read as long, converted in tables.load_tables
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -38,9 +38,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(static.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream
+    from ..tables import normalize_event_ts
+
+    # watermarks demand tz-aware TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    # on NTZ), so the stream re-casts the normalized NTZ column; wall-clock is
+    # preserved under the engine's UTC session default
+    return normalize_event_ts(stream).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(events: DataFrame) -> DataFrame:

@@ -54,16 +54,45 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     inference pass), filters/projections push down to the scan.
     """
     tables = {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLE_NAMES}
-    # events.ts is TIMESTAMP(NANOS) in the driver parquet; Spark reads it as
-    # long (nanosAsLong). Truncate ns→µs exactly like DuckDB's TIMESTAMP cast
-    # (integer division, no double round-trip — 2024 epoch-ns overflows the
-    # 53-bit double mantissa). Known cost: predicates on the derived ts can't
-    # push into the scan (the filter sits above timestamp_micros()); a real
-    # deployment stores µs timestamps and gets pushdown for free.
-    ev = tables["events"]
-    if dict(ev.dtypes).get("ts") == "bigint":
-        tables["events"] = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    tables["events"] = normalize_event_ts(tables["events"])
     return tables
+
+
+def normalize_event_ts(ev: DataFrame) -> DataFrame:
+    """Pin `events.ts` to TIMESTAMP_NTZ regardless of session config.
+
+    The driver parquet stores ts as TIMESTAMP(NANOS); Spark 4 reads that as
+    TIMESTAMP_NTZ (µs-truncated), a `nanosAsLong` session reads it as bigint,
+    and hand-built test fixtures may carry a tz-aware TIMESTAMP. All engine
+    timestamp arithmetic (epoch math, window bucketing, struct casts) assumes
+    ONE type, so every flavor converges here. ns→µs uses integer division —
+    a double round-trip would lose precision (2024 epoch-ns overflows the
+    53-bit mantissa) — and tz-aware casts are deterministic under the UTC
+    session default.
+    """
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
+        ev = ev.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    elif ts_type == "timestamp":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return ev
+
+
+def epoch_us(col: str | F.Column) -> F.Column:
+    """Microseconds since epoch for a TIMESTAMP_NTZ column.
+
+    `unix_micros` only accepts tz-aware TIMESTAMP, so NTZ epoch math goes
+    through `timestamp_diff` against the NTZ epoch literal — pure integer
+    arithmetic, no tz shift, bit-identical to DuckDB's `epoch_us`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -96,8 +96,9 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_small, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
-    if dict(static.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from ai_optimizer_spark.tables import normalize_event_ts
+
+    stream = normalize_event_ts(stream).withColumn("ts", F.col("ts").cast("timestamp"))
 
     plan = deduped_events(stream)
     q = (

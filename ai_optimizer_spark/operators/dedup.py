@@ -193,7 +193,14 @@ def minhash_lsh_pairs(
     # it broadcasts into both index joins — the full index never reshuffles
     sizes = sig.select("doc_id", "n_sh")
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # shrink BOTH probe sides to candidate docs before any wide join: the
+    # right side would otherwise shuffle the entire shingle index on
+    # (doc_b, shingle) even though only colliding docs can intersect
+    cand_b = candidates.select("doc_b").distinct()
+    b = (
+        sh.join(F.broadcast(cand_b), sh["doc_id"] == cand_b["doc_b"])
+        .select("doc_b", "shingle")
+    )
     inter = (
         a.join(F.broadcast(candidates), "doc_a")
         .join(b, ["doc_b", "shingle"])

@@ -308,3 +308,38 @@ def except_sources(t: dict[str, DataFrame]) -> DataFrame:
     en = docs.filter(F.col("lang") == "en").select("source")
     zh = docs.filter(F.col("lang") == "zh").select("source")
     return en.subtract(zh)  # EXCEPT (set semantics, not EXCEPT ALL)
+
+
+def whitespace_normalize(t: dict[str, DataFrame]) -> DataFrame:
+    """F2: whitespace normalization (embed/webscrape.py:44-48 collapses
+    `\\s+` to one space and strips). Emits length + digest of the normalized
+    text so the verification rows stay small while still proving the exact
+    byte-level transform. Pure narrow map — fuses into the scan."""
+    docs = t["documents"]
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+def casefold_lookup(t: dict[str, DataFrame]) -> DataFrame:
+    """F13: case-insensitive key matching (database/settings.py:136-141
+    casefold()s client keys; mcp/proxies/sqlcl.py:328 lower()s aliases).
+    A mixed-case probe list resolves against the nation catalog via
+    lower()=lower() — the broadcast side is tiny, the match is an equi-join
+    on the folded key (sargable, unlike a per-row ILIKE scan)."""
+    nation = t["nation"]
+    spark = nation.sparkSession
+    probes = spark.createDataFrame(
+        [("nation_3",), ("Nation_7",), ("NATION_12",), ("nAtIoN_21",), ("nation_99",)],
+        "probe string",
+    )
+    return (
+        nation.join(
+            F.broadcast(probes),
+            F.lower(F.col("n_name")) == F.lower(F.col("probe")),
+        )
+        .select("probe", "n_name", "n_nationkey")
+    )

@@ -58,6 +58,18 @@ def detect_changed_objects(t: dict[str, DataFrame]) -> DataFrame:
     return joined.select("obj_key", "etag", "size", status.alias("status"))
 
 
+def changed_objects_union(t: dict[str, DataFrame]) -> DataFrame:
+    """U3: `changed = new_objects + modified_objects` — the concat the
+    refresh orchestration performs before re-chunking
+    (api/v1/endpoints/embed.py:1234-1235). Both branches come from ONE diff
+    join (Spark computes detect_changed_objects once; the union is two
+    filters over the same shuffle output, not two pipelines)."""
+    ch = detect_changed_objects(t)
+    new = ch.filter(F.col("status") == "new")
+    modified = ch.filter(F.col("status") == "modified")
+    return new.unionByName(modified)
+
+
 def incremental_refresh(t: dict[str, DataFrame]) -> DataFrame:
     """T1: apply the diff — changed (new+modified) objects replace their
     stale rows: DELETE stale chunks for modified keys + anti-join INSERT

@@ -620,3 +620,39 @@ def pq_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ann_recall(
+    t: dict[str, DataFrame],
+    n_queries: int = 20,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN quality evaluation: recall@k of the IVF kNN join against the
+    exact brute-force kNN, per query. This is the "measure, don't guess"
+    counterpart to the IVF operators — the query a pipeline runs before
+    committing to an (n_centroids, n_probe) operating point, exactly how
+    FAISS-style deployments pick nprobe.
+
+    Plan shape: both kNN sides reduce to k rows per query before the
+    comparison join, so the recall join touches n_queries*k rows — free at
+    any corpus scale; the cost is the two kNN plans themselves (the exact
+    side is the one that doesn't survive 100 TB, which is the point of
+    measuring on a sample)."""
+    exact = knn_self_join(t, k=k, limit_queries=n_queries).select(
+        "query_id", "vec_id"
+    )
+    approx = ivf_knn_join(
+        t, n_queries=n_queries, k=k, n_centroids=n_centroids, n_probe=n_probe
+    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(k)), 3).alias("recall_at_k"),
+        )
+    )

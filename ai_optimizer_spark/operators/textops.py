@@ -224,3 +224,57 @@ def surprisal_score(t: dict[str, DataFrame]) -> DataFrame:
             ),
         )
     )
+
+
+def repetition_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Gopher-style repetition signals per document — the training-data
+    filter family the heuristic quality score doesn't cover: top-word
+    dominance (boilerplate repeats its subject) and duplicate-bigram
+    fraction (template text repeats phrases, not just words).
+
+    Plan shape: the bigram fraction is pure array math (zip_with over two
+    slices of the token array — narrow, codegen, no shuffle); only the
+    top-word count needs an explode + two partial-agg shuffles keyed by
+    (doc_id, word) then doc_id. At 100 TB the explode carries (doc_id,
+    word) pairs, never document bodies."""
+    docs = t["documents"]
+    w = T.words("text")
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws("_", a, b),
+    )
+    arr_stats = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.when(
+            F.size(bigrams) > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(bigrams)) / F.size(bigrams).cast("double"),
+                3,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+    from ..tables import widen_scan
+
+    top = (
+        widen_scan(docs)
+        .select("doc_id", F.explode(T.words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_word_n"),
+            F.sum("cnt").alias("total_n"),
+        )
+        .select(
+            "doc_id",
+            "top_word_n",
+            F.round(F.col("top_word_n") / F.col("total_n"), 3).alias("top_word_frac"),
+        )
+    )
+    return arr_stats.join(top, "doc_id")

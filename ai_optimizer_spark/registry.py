@@ -2187,3 +2187,160 @@ _register(
 # PQ is approximate (codebook argmin + ADC sum) — rows-only driver check;
 # recall vs brute force is unit-tested in tests/test_similarity.py.
 _register("v11_pq_topk", S.pq_topk, None)
+
+_register(
+    "u3_changed_concat",
+    RF.changed_objects_union,
+    """
+    WITH processed AS (
+        SELECT user_id AS obj_key, MAX(ts) AS p_mtime, COUNT(*) AS p_etag
+        FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+        GROUP BY user_id
+    ),
+    current AS (
+        SELECT user_id AS obj_key, MAX(ts) AS mtime, COUNT(*) AS etag,
+               ROUND(SUM(value), 4) AS size
+        FROM events GROUP BY user_id
+    ),
+    diffed AS (
+        SELECT c.obj_key, c.etag, c.size,
+               CASE
+                 WHEN p.p_etag IS NULL THEN 'new'
+                 WHEN c.etag <> p.p_etag OR c.mtime <> p.p_mtime THEN 'modified'
+                 ELSE 'unchanged'
+               END AS status
+        FROM current c LEFT JOIN processed p ON c.obj_key = p.obj_key
+    )
+    SELECT * FROM diffed WHERE status = 'new'
+    UNION ALL
+    SELECT * FROM diffed WHERE status = 'modified'
+    """,
+)
+
+_register(
+    "f2_whitespace_normalize",
+    M.whitespace_normalize,
+    r"""
+    SELECT doc_id,
+           CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g')) AS BIGINT)
+               AS norm_len,
+           md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_md5
+    FROM documents
+    """,
+)
+
+_register(
+    "f13_casefold_lookup",
+    M.casefold_lookup,
+    """
+    SELECT v.probe, n.n_name, n.n_nationkey
+    FROM nation n
+    JOIN (VALUES ('nation_3'), ('Nation_7'), ('NATION_12'), ('nAtIoN_21'),
+                 ('nation_99'))
+         v(probe)
+      ON lower(n.n_name) = lower(v.probe)
+    """,
+)
+
+_register(
+    "tx11_repetition_stats",
+    TX.repetition_stats,
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    top AS (
+        SELECT doc_id, MAX(cnt) AS top_word_n, SUM(cnt) AS total_n
+        FROM (
+            SELECT doc_id, word, COUNT(*) AS cnt FROM toks GROUP BY doc_id, word
+        ) GROUP BY doc_id
+    ),
+    arr AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CASE WHEN len(w) > 1 THEN
+                   list_transform(generate_series(1, len(w) - 1),
+                                  i -> w[i] || '_' || w[i + 1])
+               ELSE [] END AS bigrams
+        FROM arr
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CASE WHEN len(b.bigrams) > 0 THEN
+               ROUND(1.0 - len(list_distinct(b.bigrams)) / CAST(len(b.bigrams) AS DOUBLE), 3)
+           ELSE 0.0 END AS dup_bigram_frac,
+           t.top_word_n,
+           ROUND(CAST(t.top_word_n AS DOUBLE) / t.total_n, 3) AS top_word_frac
+    FROM bg b JOIN top t USING (doc_id)
+    """,
+)
+
+_register(
+    "v12_ann_recall",
+    S.ann_recall,
+    """
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 20
+    ),
+    assigned AS (
+        SELECT vec_id, ee, cid FROM (
+            SELECT e.vec_id, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT cid, query_id, qe FROM (
+            SELECT c.cid, qq.query_id, qq.qe,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qq.query_id
+                       ORDER BY list_distance(c.ce, qq.qe) ASC, c.cid ASC
+                   ) AS rn
+            FROM cents c CROSS JOIN q qq
+        ) WHERE rn <= 4
+    ),
+    ivf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT p.query_id, a.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY ROUND(list_cosine_similarity(a.ee, p.qe), 3) + 0.0 DESC,
+                                a.vec_id ASC
+                   ) AS rnk
+            FROM assigned a JOIN probe p ON a.cid = p.cid
+            WHERE a.vec_id <> p.query_id
+        ) WHERE rnk <= 3
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 3) + 0.0 DESC,
+                                e.vec_id ASC
+                   ) AS rnk
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        ) WHERE rnk <= 3
+    )
+    SELECT e.query_id,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(i.vec_id) / 3.0, 3) AS recall_at_k
+    FROM exact e LEFT JOIN ivf i
+      ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    GROUP BY e.query_id
+    """,
+)

@@ -157,25 +157,37 @@ def knn_self_join(t: dict[str, DataFrame], k: int = 3, limit_queries: int = 50) 
 
 
 def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Cell assignment: each vector's cell is argmin euclidean distance to a
-    centroid, computed as `min(struct(dist, cid))` — a partial-aggregatable
-    map-side combine, cheaper than a window sort."""
-    dist = V.euclidean_distance("embedding", "ce")
-    return (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "label",
-            "embedding",
-            F.struct(dist.alias("dist"), F.col("cid")).alias("dc"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.min("dc").alias("best"),
-            F.first("label").alias("label"),
-            F.first("embedding").alias("embedding"),
-        )
-        .select("vec_id", "label", "embedding", F.col("best.cid").alias("cid"))
+    """Cell assignment, map-only: the centroid set is a tiny model, so it is
+    collected once and inlined as an array-of-structs expression; every
+    vector computes argmin(dist, cid) inside a single projection
+    (`array_min` over (dist, cid) structs — lexicographic struct ordering
+    gives the same dist-then-cid tie-break as the aggregate form).
+
+    This replaces the previous crossJoin + groupBy(vec_id) formulation whose
+    exchange carried the full corpus WITH embedding arrays. Now assignment
+    fuses into the scan — zero shuffles — which is the correct 100 TB shape:
+    centroids ship to workers as part of the plan (exactly how FAISS-style
+    IVF distributes its coarse quantizer), and the write path clusters the
+    store by the resulting cid."""
+    rows = cents.collect()
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["ce"]]).alias("ce"),
+            )
+            for r in rows
+        ]
+    )
+    dcs = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            V.euclidean_distance(F.col("embedding"), c["ce"]).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return emb.select(
+        "vec_id", "label", "embedding", F.array_min(dcs)["cid"].alias("cid")
     )
 
 

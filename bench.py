@@ -49,6 +49,9 @@ HEADLINE = [
     "tx5_chunk_documents",
     "tx8_top_terms",
     "tx9_tfidf_terms",
+    "tx11_repetition_stats",
+    "v12_ann_recall",
+    "st2_sessionize",
     "e2e_curation_pipeline",
 ]
 N_PASSES = 2  # report min-of-N: isolates plan cost from JIT/codegen warm-up

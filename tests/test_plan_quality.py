@@ -142,3 +142,16 @@ def test_idle_rich_customers_antijoin_pruned(spark):
     # NOT EXISTS is a left-anti join; the date bound reaches the orders scan
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_ivf_assignment_is_map_only(spark):
+    plan = plan_of(spark, "v7_ivf_topk")
+    # centroid model is inlined: assignment must not shuffle the corpus on
+    # vec_id (the old crossJoin+groupBy form exchanged every embedding)
+    assert "hashpartitioning(vec_id" not in plan
+
+
+def test_ann_recall_joins_tiny_sides(spark):
+    plan = plan_of(spark, "v12_ann_recall")
+    # both kNN sides reduce to k rows per query before the recall join
+    assert "TakeOrderedAndProject" in plan or "Window" in plan

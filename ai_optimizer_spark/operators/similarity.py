@@ -170,11 +170,14 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     IVF distributes its coarse quantizer), and the write path clusters the
     store by the resulting cid."""
     rows = cents.collect()
+    # one array literal per centroid (not one scalar literal per dim) keeps
+    # the expression tree small — codegen compiles in milliseconds even at
+    # high dim, and the literal ships once inside the serialized plan
     cent_arr = F.array(
         *[
             F.struct(
                 F.lit(int(r["cid"])).cast("long").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["ce"]]).alias("ce"),
+                F.lit([float(x) for x in r["ce"]]).alias("ce"),
             )
             for r in rows
         ]

@@ -2344,3 +2344,21 @@ _register(
     GROUP BY e.query_id
     """,
 )
+
+
+def _st6_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL Structured Streaming plan (watermark + availableNow →
+    memory sink) and hash-checks it against the same SQL oracle as the batch
+    twin st1 — proving streaming-batch equivalence inside the gate, not just
+    in unit tests."""
+    from .streaming.event_stream import run_tumbling_counts_batch
+
+    return run_tumbling_counts_batch(spark, sf_dir)
+
+
+QUERIES["st6_streaming_tumbling_counts"] = _st6_streaming_tumbling
+ORACLE_SQL["st6_streaming_tumbling_counts"] = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
+    FROM events GROUP BY 1, 2
+"""

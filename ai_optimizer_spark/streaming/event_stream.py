@@ -223,3 +223,19 @@ def attributed_purchases_stream(views: DataFrame, purchases: DataFrame) -> DataF
             "purchase_value",
         )
     )
+
+
+def run_tumbling_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the watermarked tumbling-window stream end-to-end (availableNow
+    trigger → memory sink) and return the materialized result — the
+    correctness-gate entry that proves the STREAMING plan, not just its batch
+    twin, matches the SQL oracle. Streaming semantics guarantee this: a
+    streaming query is defined as the batch query over the complete input,
+    and with availableNow the complete input is exactly the snapshot."""
+    import uuid
+
+    name = f"st_tumbling_{uuid.uuid4().hex[:12]}"
+    out = run_to_memory(
+        spark, windowed_counts(events_stream(spark, sf_dir)), name, timeout_sec=300
+    )
+    return out.select("window_start", "event_type", "n_events", "value_sum")

@@ -65,34 +65,145 @@ class HashEmbedder:
         return self._embed_one(text).tolist()
 
 
+class Throttle:
+    """Per-task provider-call throttle: sleep so calls are at least
+    60/rate_limit seconds apart (the reference sleeps 60/rate_limit between
+    embed batches, embed/vector_store.py:183-186). One instance per task /
+    client, so N executor tasks respect N×limit aggregate — matching how
+    provider quotas are usually per-connection (SURVEY.md §4-O8)."""
+
+    def __init__(self, rate_limit: int = 0):
+        self.interval = 60.0 / rate_limit if rate_limit > 0 else 0.0
+        self._next_call = 0.0
+
+    def wait(self) -> None:
+        if not self.interval:
+            return
+        import time
+
+        now = time.monotonic()
+        if now < self._next_call:
+            time.sleep(self._next_call - now)
+        self._next_call = time.monotonic() + self.interval
+
+
+class EmbedderUnavailable(RuntimeError):
+    """No transport for the configured provider (litellm not installed)."""
+
+
+class ProviderEmbedder:
+    """LiteLLM-style provider adapter behind the SAME two-method protocol as
+    HashEmbedder — the real-model seam (reference shape:
+    models/litellm_embeddings.py:20-99: inputs chunked to the ≤96 provider
+    cap per call, model/api_key/api_base forwarded per call).
+
+    `transport` is injectable for tests: a callable
+    ``(texts: list[str], **call_kwargs) -> list[list[float]]``. The default
+    transport import-gates litellm and raises `EmbedderUnavailable` when the
+    library is absent — the engine's doubles remain the test path; this
+    class is the production drop-in."""
+
+    def __init__(
+        self,
+        model: str,
+        api_key: str | None = None,
+        api_base: str | None = None,
+        batch_size: int = PROVIDER_BATCH,
+        rate_limit: int = 0,
+        transport=None,
+    ):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        self.model = model
+        self.batch_size = batch_size
+        self._call_kwargs = {"model": model}
+        if api_key is not None:
+            self._call_kwargs["api_key"] = api_key
+        if api_base is not None:
+            self._call_kwargs["api_base"] = api_base
+        self._throttle = Throttle(rate_limit)
+        self._transport = transport if transport is not None else _litellm_transport()
+
+    def embed_documents(self, texts: list[str]) -> list[list[float]]:
+        out: list[list[float]] = []
+        for i in range(0, len(texts), self.batch_size):
+            chunk = texts[i : i + self.batch_size]
+            self._throttle.wait()
+            vecs = self._transport(chunk, **self._call_kwargs)
+            if len(vecs) != len(chunk):
+                raise ValueError(
+                    f"provider returned {len(vecs)} embeddings for "
+                    f"{len(chunk)} inputs (model={self.model})"
+                )
+            out.extend(vecs)
+        return out
+
+    def embed_query(self, text: str) -> list[float]:
+        return self.embed_documents([text])[0]
+
+
+def _litellm_transport():
+    try:
+        import litellm  # type: ignore
+    except ImportError as exc:
+        raise EmbedderUnavailable("litellm not installed") from exc
+
+    def call(texts: list[str], **kw) -> list[list[float]]:
+        resp = litellm.embedding(input=texts, **kw)
+        return [item["embedding"] for item in resp.data]
+
+    return call
+
+
+def make_embedder(config: dict | None = None, transport=None):
+    """Config-selected embedding client behind one protocol:
+    ``{"provider": "hash"}`` (default) → the deterministic double;
+    ``{"provider": "litellm", "model": ..., "api_key": ..., "api_base": ...,
+    "batch_size": ..., "rate_limit": ...}`` → the real adapter. Everything
+    downstream (embed_column, the vector-store populate plan) is agnostic."""
+    cfg = dict(config or {})
+    provider = cfg.get("provider", "hash")
+    if provider == "hash":
+        return HashEmbedder(dim=cfg.get("dim", EMBED_DIM))
+    if provider == "litellm":
+        return ProviderEmbedder(
+            model=cfg.get("model", ""),
+            api_key=cfg.get("api_key"),
+            api_base=cfg.get("api_base"),
+            batch_size=cfg.get("batch_size", PROVIDER_BATCH),
+            rate_limit=cfg.get("rate_limit", 0),
+            transport=transport,
+        )
+    raise ValueError(f"unknown embedding provider: {provider!r}")
+
+
 def embed_column(
-    text_col: str | Column, dim: int = EMBED_DIM, rate_limit: int = 0
+    text_col: str | Column,
+    dim: int = EMBED_DIM,
+    rate_limit: int = 0,
+    config: dict | None = None,
 ) -> Column:
     """Vectorized embedding of a text column via a scalar-iterator
     pandas_udf: client built once per task, Arrow batches in/out — the
     10-100x-over-row-UDF path when Python is unavoidable.
 
-    `rate_limit` > 0 throttles like the reference (sleep 60/rate_limit
-    between provider batches, embed/vector_store.py:183-186) — a per-task
-    token-bucket so N executor tasks respect N×limit aggregate, matching
-    how provider quotas are usually per-connection (SURVEY.md §4-O8)."""
+    `rate_limit` > 0 throttles provider batches (Throttle); `config`
+    selects the client via make_embedder (default: the deterministic hash
+    double, so results stay verifiable)."""
+    cfg = dict(config or {})
+    cfg.setdefault("provider", "hash")
+    cfg.setdefault("dim", dim)
+    cfg.setdefault("rate_limit", rate_limit)
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        import time
-
-        client = HashEmbedder(dim)
-        interval = 60.0 / rate_limit if rate_limit > 0 else 0.0
-        next_call = 0.0
+        client = make_embedder(cfg)
+        throttle = Throttle(rate_limit)
         for batch in batches:
             texts = batch.fillna("").tolist()
             out: list[list[float]] = []
             for i in range(0, len(texts), PROVIDER_BATCH):
-                if interval:
-                    now = time.monotonic()
-                    if now < next_call:
-                        time.sleep(next_call - now)
-                    next_call = time.monotonic() + interval
+                throttle.wait()
                 out.extend(client.embed_documents(texts[i : i + PROVIDER_BATCH]))
             yield pd.Series(out)
 

@@ -309,6 +309,15 @@ def embedding_neardup_blocked(
     )
 
 
+# Production default for the LSH bucket-size skew guard (see
+# minhash_lsh_pairs): boilerplate-heavy corpora (cookie banners, license
+# headers) produce degenerate band buckets whose O(B²) candidate fan-out
+# would dominate verification; 200 keeps the worst bucket's contribution to
+# ~20k pairs while leaving realistic near-dup buckets (a handful of docs)
+# untouched — those docs still pair via their more selective bands.
+LSH_MAX_BUCKET_DEFAULT = 200
+
+
 def dedup_clusters(t: dict[str, DataFrame], max_iters: int = 15) -> DataFrame:
     """Near-dup *clustering*: LSH pairs → connected components → canonical
     pick (min doc_id per component). Pairs alone under-delete — if A~B and
@@ -333,7 +342,6 @@ def dedup_clusters(t: dict[str, DataFrame], max_iters: int = 15) -> DataFrame:
         .join(labels, "doc_id", "left_anti")
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
-    edges.unpersist()
     return labels.union(singletons).select(
         "doc_id",
         "cluster_id",
@@ -341,14 +349,18 @@ def dedup_clusters(t: dict[str, DataFrame], max_iters: int = 15) -> DataFrame:
     )
 
 
-def dedup_losers(t: dict[str, DataFrame], max_iters: int = 15) -> DataFrame:
+def dedup_losers(
+    t: dict[str, DataFrame],
+    max_iters: int = 15,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Just the doc_ids to DROP (non-canonical component members) — the set
     a curation plan anti-joins against. Stays entirely on the near-dup
-    subgraph: never materializes a full-corpus label table."""
-    labels, edges = _propagate_labels(t, max_iters)
-    losers = labels.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
-    edges.unpersist()
-    return losers
+    subgraph: never materializes a full-corpus label table.
+    `max_bucket_size` is the LSH skew guard (production paths pass
+    LSH_MAX_BUCKET_DEFAULT)."""
+    labels, _edges = _propagate_labels(t, max_iters, max_bucket_size)
+    return labels.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
 
 
 # Edge count below which connected components run as driver-side union-find
@@ -388,20 +400,38 @@ def _unionfind_labels(pairs: DataFrame):
     )
 
 
-def _propagate_labels(t: dict[str, DataFrame], max_iters: int):
+def _propagate_labels(
+    t: dict[str, DataFrame], max_iters: int, max_bucket_size: int | None = None
+):
     """Connected components over the LSH-pair subgraph only. Returns
-    (labels, edges) — labels covers exactly the edge-endpoint nodes; edges
-    is still persisted (caller unpersists).
+    (labels, edges) — labels covers exactly the edge-endpoint nodes. The
+    edge list STAYS persisted deliberately: it is the LSH pair set, tiny by
+    construction (near-dup pairs only), and a curation session reuses it
+    across losers/clusters/stats calls — re-deriving it re-runs the whole
+    MinHash+verification cascade.
 
     Adaptive strategy: the subgraph's edge list is counted first (it is
     already persisted for the loop); below DRIVER_COMPONENT_EDGE_CAP the
     components come from one collect + union-find — the iterated joins are
     pure scheduling overhead at that size. Above the cap, distributed
     min-label propagation runs as before."""
-    pairs = minhash_lsh_pairs(t).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(t, max_bucket_size=max_bucket_size).select(
+        "doc_a", "doc_b"
+    )
+    # both edge directions from ONE pass over the pair plan: a self-union
+    # would duplicate the whole LSH subtree in the logical plan and compute
+    # MinHash+verification twice (exchange reuse is not guaranteed);
+    # explode(array(fwd, rev)) is a narrow 1→2 map over a single computation
     edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                    F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .persist()
     )
     if edges.count() <= 2 * DRIVER_COMPONENT_EDGE_CAP:  # edges = both directions

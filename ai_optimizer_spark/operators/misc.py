@@ -312,11 +312,13 @@ def except_sources(t: dict[str, DataFrame]) -> DataFrame:
 
 def whitespace_normalize(t: dict[str, DataFrame]) -> DataFrame:
     """F2: whitespace normalization (embed/webscrape.py:44-48 collapses
-    `\\s+` to one space and strips). Emits length + digest of the normalized
-    text so the verification rows stay small while still proving the exact
-    byte-level transform. Pure narrow map — fuses into the scan."""
+    `\\s+` to one space THEN strips — collapse-before-trim order matters on
+    edge whitespace: '\\t abc' must become 'abc', not ' abc'). Emits length +
+    digest of the normalized text so the verification rows stay small while
+    still proving the exact byte-level transform. Pure narrow map — fuses
+    into the scan."""
     docs = t["documents"]
-    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     return docs.select(
         "doc_id",
         F.length(norm).cast("long").alias("norm_len"),

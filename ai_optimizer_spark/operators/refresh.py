@@ -61,13 +61,12 @@ def detect_changed_objects(t: dict[str, DataFrame]) -> DataFrame:
 def changed_objects_union(t: dict[str, DataFrame]) -> DataFrame:
     """U3: `changed = new_objects + modified_objects` — the concat the
     refresh orchestration performs before re-chunking
-    (api/v1/endpoints/embed.py:1234-1235). Both branches come from ONE diff
-    join (Spark computes detect_changed_objects once; the union is two
-    filters over the same shuffle output, not two pipelines)."""
+    (api/v1/endpoints/embed.py:1234-1235). Row order is irrelevant to the
+    result (a set of changed objects), so the union of two branches is
+    expressed as one IN-filter over a single diff-join scan — the logical
+    plan genuinely contains detect_changed_objects once."""
     ch = detect_changed_objects(t)
-    new = ch.filter(F.col("status") == "new")
-    modified = ch.filter(F.col("status") == "modified")
-    return new.unionByName(modified)
+    return ch.filter(F.col("status").isin("new", "modified"))
 
 
 def incremental_refresh(t: dict[str, DataFrame]) -> DataFrame:

@@ -81,3 +81,92 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF write path: the embeddings store clustered by cell id
+# ---------------------------------------------------------------------------
+
+IVF_N_CENTROIDS = 16
+
+
+def ensure_clustered_store(
+    spark: SparkSession, sf_dir: str, n_centroids: int = IVF_N_CENTROIDS
+) -> str:
+    """Write the embeddings store PARTITIONED BY its IVF cell id — the
+    write-path half of the ANN scale story that ivf_topk's docstring
+    promises ("at 100 TB the store is written clustered by cid"). Cell
+    assignment runs once, at write time (map-only, operators/similarity.
+    _assign_cells); every subsequent probe prunes partitions instead of
+    scanning and filtering. Idempotent per (warehouse, sf_dir)."""
+    tag = re.sub(r"\W", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
+    name = f"embeddings_ivf_{tag}"
+    if not spark.catalog.tableExists(name):
+        import os
+        import shutil
+
+        from ..operators.similarity import _ivf_assign
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(warehouse.removeprefix("file:"), name)
+        if warehouse.startswith(("file:", "/")) and os.path.exists(loc):
+            shutil.rmtree(loc)
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        _, assigned = _ivf_assign(emb, n_centroids)
+        (
+            assigned.write.format("parquet")
+            .partitionBy("cid")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return name
+
+
+def clustered_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 8,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k over the cid-partitioned store: the probe list (n_probe
+    cell ids, a handful of longs) is resolved driver-side and pushed as a
+    literal partition filter, so the big-side scan reads only
+    n_probe/n_centroids of the data — PartitionFilters in the plan, no
+    shuffle Exchange anywhere (asserted in test_plan_quality.py). Result is
+    bit-identical to v7_ivf_topk (same oracle): layout changed, semantics
+    didn't."""
+    from ..functions import vector as V
+    from ..operators.similarity import _query_vectors
+
+    name = ensure_clustered_store(spark, sf_dir)
+    store = spark.table(name)
+    tables = load_tables(spark, sf_dir)
+    q = _query_vectors(tables, [query_id])
+
+    # centroid model = the same deterministic seed subset used at write
+    # time; tiny (n_centroids rows) → driver-resolved probe list
+    cents = store.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid2"), F.col("embedding").alias("ce")
+    )
+    probe_rows = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid2", V.euclidean_distance("ce", "query_vec").alias("qdist"))
+        .orderBy(F.asc("qdist"), F.asc("cid2"))
+        .limit(n_probe)
+        .collect()
+    )
+    probe_cids = [int(r.cid2) for r in probe_rows]
+
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    return (
+        store.filter(F.col("cid").isin(probe_cids))  # partition pruning
+        .filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label", F.col("cid").cast("long").alias("cid"),
+            sim.alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators.dedup import dedup_losers
+from ..operators.dedup import LSH_MAX_BUCKET_DEFAULT, dedup_losers
 from ..operators.sampling import split_expr
 from ..operators.textops import quality_parts
 
@@ -31,7 +31,9 @@ KEEP_LANG = "en"
 
 
 def curation_pipeline(t: dict[str, DataFrame]) -> DataFrame:
-    losers = dedup_losers(t)
+    # skew guard ON in the production path: a degenerate boilerplate bucket
+    # must not send an O(B²) candidate wave through verification
+    losers = dedup_losers(t, max_bucket_size=LSH_MAX_BUCKET_DEFAULT)
     w = T.words("text")
     _, _, _, quality = quality_parts(w)
     return (

@@ -131,7 +131,14 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        # A partial memory table would surface downstream as a baffling hash
+        # mismatch; fail loudly at the true cause instead.
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} did not finish within {timeout_sec}s"
+        )
     return spark.table(name)
 
 
@@ -238,4 +245,40 @@ def run_tumbling_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(
         spark, windowed_counts(events_stream(spark, sf_dir)), name, timeout_sec=300
     )
-    return out.select("window_start", "event_type", "n_events", "value_sum")
+    # The streaming window is tz-aware TIMESTAMP; every other contract output
+    # is pinned to TIMESTAMP_NTZ (collect() renders tz-aware values in the
+    # driver host's zone — a portability trap vs the NTZ DuckDB oracle).
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "value_sum",
+    )
+
+
+def run_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st7: execute the REAL streaming session_window plan end-to-end
+    (availableNow → memory sink) and return per-user sessions — the
+    streaming twin of operators/events.sessionize, hash-checked against the
+    same gap-based SQL oracle (minus the batch-only session_seq counter).
+
+    Parity rests on matching gap semantics: session_window merges an event
+    into a session only while `next < last + gap`, and the batch operator
+    opens a new session at `delta >= gap` — identical at exact-gap
+    boundaries, microsecond precision on both engines."""
+    import uuid
+
+    name = f"st_session_{uuid.uuid4().hex[:12]}"
+    out = run_to_memory(
+        spark,
+        session_window_stats(events_stream(spark, sf_dir)),
+        name,
+        timeout_sec=300,
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "session_value",
+    )

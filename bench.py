@@ -35,6 +35,7 @@ HEADLINE = [
     "v10_matmul_knn",
     "v7_ivf_topk",
     "v8_ivf_knn_join",
+    "v13_clustered_ivf_topk",
     "j11_asof_join",
     "j12_banded_range_join",
     "j13_local_supplier_volume",

@@ -130,3 +130,55 @@ def test_audio_windowing_is_one_to_n_and_composes(spark, sf_small):
     assert again == {r.media_id: bytes(r.payload) for r in rows}
     feats = extract_features(windows)
     assert feats.filter("decode_status = 'stub_decoded'").count() == len(rows)
+
+
+def test_deep_parse_stub_tier_and_table_placeholder(spark, tmp_path):
+    """Docling is absent in this container → the converter tier resolves to
+    the stub double; deep mode output is markdown with the table-structure
+    placeholder block."""
+    from ai_optimizer_spark.sources.deep_parse import deep_parse_documents
+
+    (tmp_path / "a.txt").write_text("body text here")
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    row = deep_parse_documents(files, parsing_mode="deep").collect()[0]
+    assert row.status == "ok" and row.parser == "stub"
+    assert row.page_content.startswith("# a.txt")
+    assert "body text here" in row.page_content
+    assert "| table | structure |" in row.page_content
+
+
+def test_deep_parse_fast_mode_dispatch(spark, tmp_path):
+    """fast mode: txt goes through the fast loader (no markdown wrapping);
+    a broken pdf falls back to the converter tier instead of failing the
+    file (reference document.py:201-209 fallback)."""
+    from ai_optimizer_spark.sources.deep_parse import deep_parse_documents
+
+    (tmp_path / "a.txt").write_text("plain body")
+    (tmp_path / "c.pdf").write_bytes(b"%PDF-1.4 fake")
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    out = {r.filename: r for r in
+           deep_parse_documents(files, parsing_mode="fast").collect()}
+    assert out["a.txt"].parser == "fast:txt"
+    assert out["a.txt"].page_content == "plain body"
+    # pypdf raises LoaderUnavailable here → converter fallback, file survives
+    assert out["c.pdf"].status == "ok" and out["c.pdf"].parser == "stub"
+    # fast mode stub fallback has no deep table block
+    assert "| table |" not in out["c.pdf"].page_content
+
+
+def test_deep_parse_loader_unavailable_path():
+    """The docling entry itself raises LoaderUnavailable when the library is
+    absent, and the resolver skips past it to the stub."""
+    import pytest
+
+    from ai_optimizer_spark.sources.deep_parse import (
+        PARSERS,
+        _resolve_converter,
+    )
+    from ai_optimizer_spark.sources.documents import LoaderUnavailable
+
+    with pytest.raises(LoaderUnavailable):
+        PARSERS["docling"]("x.pdf", b"", True)
+    tier, fn = _resolve_converter()
+    assert tier == "stub"
+    assert fn("x.txt", b"hello", False).endswith("hello")

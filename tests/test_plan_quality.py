@@ -155,3 +155,15 @@ def test_ann_recall_joins_tiny_sides(spark):
     plan = plan_of(spark, "v12_ann_recall")
     # both kNN sides reduce to k rows per query before the recall join
     assert "TakeOrderedAndProject" in plan or "Window" in plan
+
+
+def test_clustered_ivf_probe_is_pruned_scan(spark):
+    """The cid-partitioned store turns the IVF probe into partition pruning:
+    the big-side scan carries a PartitionFilters entry on cid and the plan
+    has no shuffle exchange — layout replaced the semi-join."""
+    plan = plan_of(spark, "v13_clustered_ivf_topk")
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters", 1)[1][:200]
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= plan.count(
+        "ReusedExchange"
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,114 @@
+"""Provider-adapter seam tests (mocked transport — no network, no litellm).
+
+The production embedding path is `ProviderEmbedder` behind the same
+two-method protocol as the deterministic `HashEmbedder` double; these tests
+pin the batch-96 chunking, call-kwarg forwarding, rate-limit spacing, and
+the import-gated default transport."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from ai_optimizer_spark.embedding import (
+    EMBED_DIM,
+    EmbedderUnavailable,
+    HashEmbedder,
+    ProviderEmbedder,
+    Throttle,
+    make_embedder,
+)
+
+
+def _recording_transport(record):
+    def call(texts, **kw):
+        record.append((list(texts), dict(kw)))
+        return [[float(len(t))] for t in texts]
+
+    return call
+
+
+def test_batching_honors_provider_cap():
+    calls = []
+    client = ProviderEmbedder(model="m", transport=_recording_transport(calls))
+    texts = [f"t{i}" for i in range(200)]
+    out = client.embed_documents(texts)
+    assert [len(c[0]) for c in calls] == [96, 96, 8]
+    assert len(out) == 200
+    # order preserved across chunks
+    assert out == [[float(len(t))] for t in texts]
+
+
+def test_call_kwargs_forwarded():
+    calls = []
+    client = ProviderEmbedder(
+        model="prov/model-x",
+        api_key="k",
+        api_base="http://localhost:9",
+        transport=_recording_transport(calls),
+    )
+    client.embed_query("hello")
+    _, kw = calls[0]
+    assert kw == {"model": "prov/model-x", "api_key": "k", "api_base": "http://localhost:9"}
+
+
+def test_short_response_raises():
+    client = ProviderEmbedder(model="m", transport=lambda texts, **kw: [[1.0]])
+    with pytest.raises(ValueError, match="1 embeddings for 2 inputs"):
+        client.embed_documents(["a", "b"])
+
+
+def test_rate_limit_spaces_calls():
+    calls = []
+
+    def timed(texts, **kw):
+        calls.append(time.monotonic())
+        return [[0.0]] * len(texts)
+
+    client = ProviderEmbedder(
+        model="m", batch_size=1, rate_limit=1200, transport=timed
+    )  # 1200/min → 50 ms between calls
+    client.embed_documents(["a", "b", "c"])
+    assert len(calls) == 3
+    assert calls[2] - calls[0] >= 0.095  # two 50 ms gaps, scheduling slack
+
+
+def test_default_transport_is_import_gated():
+    with pytest.raises(EmbedderUnavailable, match="litellm"):
+        ProviderEmbedder(model="m")  # litellm absent in this container
+
+
+def test_make_embedder_config_selection():
+    assert isinstance(make_embedder(None), HashEmbedder)
+    assert isinstance(make_embedder({"provider": "hash", "dim": 16}), HashEmbedder)
+    assert make_embedder({"provider": "hash", "dim": 16}).dim == 16
+
+    client = make_embedder(
+        {"provider": "litellm", "model": "m", "batch_size": 4},
+        transport=lambda texts, **kw: [[0.0]] * len(texts),
+    )
+    assert isinstance(client, ProviderEmbedder) and client.batch_size == 4
+    with pytest.raises(ValueError, match="unknown embedding provider"):
+        make_embedder({"provider": "quantum"})
+
+
+def test_protocol_parity_with_hash_double():
+    """Both clients satisfy the same protocol: embed_documents list-in/
+    list-out with stable dim, embed_query == single-doc embed."""
+    calls = []
+    prov = ProviderEmbedder(model="m", transport=_recording_transport(calls))
+    double = HashEmbedder()
+    for client in (prov, double):
+        docs = client.embed_documents(["alpha beta", "gamma"])
+        assert len(docs) == 2
+        assert client.embed_query("alpha beta") == docs[0]
+    assert len(double.embed_query("x")) == EMBED_DIM
+
+
+def test_throttle_zero_is_free():
+    t = Throttle(0)
+    start = time.monotonic()
+    for _ in range(100):
+        t.wait()
+    assert time.monotonic() - start < 0.05

@@ -159,3 +159,33 @@ def test_blocked_embedding_neardup_is_subset(spark, sf_medium):
         for r in D.embedding_neardup_blocked(t).collect()
     }
     assert blocked <= full and blocked
+
+
+def test_lsh_skew_guard_bounds_degenerate_bucket(spark):
+    """A boilerplate-degenerate corpus (many docs sharing one text → one
+    band bucket of size B) emits O(B²) candidates uncapped; with the
+    production cap the degenerate bucket is dropped whole and the candidate
+    count stays bounded, while distinctive near-dup pairs survive."""
+    import pyspark.sql.functions as F
+
+    boiler = "cookie consent banner accept all reject all manage preferences"
+    distinct_a = "the quick brown fox jumps over the lazy dog in the morning sun"
+    distinct_b = "the quick brown fox jumps over the lazy dog in the morning light"
+    rows = [(i, boiler) for i in range(30)]
+    rows += [(100, distinct_a), (101, distinct_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "source", F.lit("s")
+    )
+    t = {"documents": docs}
+    uncapped = D.minhash_lsh_pairs(t).collect()
+    assert len(uncapped) >= 30 * 29 // 2  # the quadratic boilerplate wave
+    capped = D.minhash_lsh_pairs(t, max_bucket_size=10).collect()
+    capped_pairs = {(r.doc_a, r.doc_b) for r in capped}
+    assert len(capped) < 30 * 29 // 2  # bounded: degenerate bucket dropped
+    assert all(a >= 100 for a, _ in capped_pairs)  # boilerplate gone
+    assert (100, 101) in capped_pairs  # real near-dup survives
+
+    # production default keeps everything here (buckets are far below 200)
+    dflt = {(r.doc_a, r.doc_b) for r in
+            D.minhash_lsh_pairs(t, max_bucket_size=D.LSH_MAX_BUCKET_DEFAULT).collect()}
+    assert dflt == {(r.doc_a, r.doc_b) for r in uncapped}

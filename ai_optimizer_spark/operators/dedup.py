@@ -546,3 +546,42 @@ def fuzzy_part_pairs(t: dict[str, DataFrame], max_distance: int = 2) -> DataFram
         )
         .filter(F.col("distance") >= 0)
     )
+
+
+DECON_MIN_OVERLAP = 5
+DECON_BENCH_MOD = 17
+
+
+def decontamination(
+    t: dict[str, DataFrame],
+    min_overlap: int = DECON_MIN_OVERLAP,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> DataFrame:
+    """Benchmark decontamination — the training-pipeline gate that keeps
+    eval data out of the training set: flag every corpus document sharing
+    >= `min_overlap` distinct word n-grams with ANY benchmark document.
+    The benchmark here is a deterministic holdout (doc_id % bench_mod == 0),
+    standing in for an external eval set.
+
+    Scale shape: inverted-index equi-join on the shingle — candidate volume
+    is linear in corpus size times benchmark hit rate, never all-pairs. The
+    benchmark shingle set is tiny relative to the corpus (eval sets are
+    thousands of docs against billions), so it broadcasts: the corpus-side
+    shingle index never shuffles. Output: flagged doc + how many benchmark
+    docs it collides with + the worst overlap."""
+    sh = _shingle_sets(t["documents"])
+    bench = (
+        sh.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+    )
+    corpus = sh.filter(F.col("doc_id") % bench_mod != 0)
+    overlap = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+    return overlap.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.max("n_shared").alias("max_overlap"),
+    )

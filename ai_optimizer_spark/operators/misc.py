@@ -345,3 +345,28 @@ def casefold_lookup(t: dict[str, DataFrame]) -> DataFrame:
         )
         .select("probe", "n_name", "n_nationkey")
     )
+
+
+def grouping_sets_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """A19 (engine extension): GROUPING SETS — the general form rollup and
+    cube (a12/a14) specialize; here the three analyst views ((flag,status),
+    (flag), ()) computed in ONE pass over lineitem instead of three scans.
+    Null grouping keys re-labelled 'ALL' (both keys non-null in data)."""
+    li = t["lineitem"]
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "total_price",
+        )
+    )

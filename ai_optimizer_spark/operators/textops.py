@@ -278,3 +278,43 @@ def repetition_stats(t: dict[str, DataFrame]) -> DataFrame:
         )
     )
     return arr_stats.join(top, "doc_id")
+
+
+# PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB)
+# compile identically — char classes, bounded repeats, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_redaction(t: dict[str, DataFrame]) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline runs
+    before text leaves curation: find + replace emails and phone numbers
+    with typed placeholders, and account for what was removed.
+
+    The synthetic corpus contains no PII, so the query synthesizes a
+    deterministic contact block per document (same expression in the DuckDB
+    oracle) — the regexes and the redaction transform are what's verified.
+    Pure narrow map: regexp_extract_all + regexp_replace fuse into the
+    scan; at 100 TB this runs codegen'd with zero shuffles."""
+    docs = t["documents"]
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(synth, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(synth, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(synth, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -2417,6 +2417,103 @@ from .plans.bucketing import clustered_ivf_topk  # noqa: E402
 
 QUERIES["v13_clustered_ivf_topk"] = clustered_ivf_topk
 ORACLE_SQL["v13_clustered_ivf_topk"] = ORACLE_SQL["v7_ivf_topk"]
+
+# ---------------------------------------------------------------------------
+# round-3 curation extensions: PII redaction, benchmark decontamination,
+# grouping sets, streaming dedup index
+# ---------------------------------------------------------------------------
+
+_register(
+    "tx12_pii_redaction",
+    TX.pii_redaction,
+    r"""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id, s,
+               regexp_replace(
+                   regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                  '[EMAIL]', 'g'),
+                   '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        FROM synth
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(s, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(length(redacted) AS BIGINT) AS redacted_len,
+           md5(redacted) AS redacted_md5
+    FROM red
+    """,
+)
+
+_register(
+    "d12_decontamination",
+    D.decontamination,
+    f"""
+    WITH {OD._SHINGLES_CTE},
+    bench AS (
+        SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % {D.DECON_BENCH_MOD} = 0
+    ),
+    corpus AS (
+        SELECT doc_id, shingle FROM sh WHERE doc_id % {D.DECON_BENCH_MOD} <> 0
+    ),
+    overlap AS (
+        SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {D.DECON_MIN_OVERLAP}
+    )
+    SELECT doc_id, COUNT(*) AS n_bench_hits, MAX(n_shared) AS max_overlap
+    FROM overlap GROUP BY doc_id
+    """,
+)
+
+_register(
+    "a19_grouping_sets",
+    M.grouping_sets_revenue,
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+
+
+def _st8_streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup index: the content-hash bookkeeping an always-on
+    ingest maintains incrementally — per md5(text): canonical (min) doc_id
+    and copy count, run as a REAL streaming aggregation (availableNow →
+    memory sink) and hash-checked against the batch GROUP BY oracle. The
+    incremental twin of d1's first-wins rule: canonical = min id."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .streaming.event_stream import documents_stream, run_to_memory
+
+    docs = documents_stream(spark, sf_dir)
+    plan = docs.groupBy(F.md5("text").alias("content_md5")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    name = f"st_dedup_{uuid.uuid4().hex[:12]}"
+    return run_to_memory(spark, plan, name, timeout_sec=300)
+
+
+QUERIES["st8_streaming_dedup_index"] = _st8_streaming_dedup_index
+ORACLE_SQL["st8_streaming_dedup_index"] = """
+    SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+"""
 ORACLE_SQL["st7_streaming_sessionize"] = """
     WITH flagged AS (
         SELECT user_id, ts, event_id, value,

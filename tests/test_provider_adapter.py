@@ -112,3 +112,74 @@ def test_throttle_zero_is_free():
     for _ in range(100):
         t.wait()
     assert time.monotonic() - start < 0.05
+
+
+# ---------------------------------------------------------------------------
+# chat adapter (the LLM half of the provider seam)
+# ---------------------------------------------------------------------------
+
+
+def _chat_transport(replies):
+    """Pops canned replies; records (prompt, params)."""
+    log = []
+
+    def call(prompt, **params):
+        log.append((prompt, params))
+        r = replies.pop(0)
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+    call.log = log
+    return call
+
+
+def test_classify_contract():
+    from ai_optimizer_spark.chat import ProviderChat
+
+    t = _chat_transport(["vecsearch", " NL2SQL ", "gibberish", RuntimeError("boom")])
+    c = ProviderChat(model="m", transport=t)
+    assert c.classify_query("find similar docs") == "vecsearch"
+    assert c.classify_query("sum revenue") == "nl2sql"  # casefolded
+    assert c.classify_query("x") == "both"  # out-of-domain -> fallback
+    assert c.classify_query("x") == "both"  # transport error -> fallback
+    # temperature 0 and the 10-token cap are on the wire
+    assert t.log[0][1]["temperature"] == 0 and t.log[0][1]["max_tokens"] == 10
+
+
+def test_rephrase_contract():
+    from ai_optimizer_spark.chat import ProviderChat
+
+    t = _chat_transport(["better question", "two\nlines", "  ", RuntimeError("x")])
+    c = ProviderChat(model="m", transport=t)
+    # <2 turns: no call at all
+    assert c.rephrase("q", ["one turn"]) == "q" and not t.log
+    assert c.rephrase("q", ["a", "b"]) == "better question"
+    assert c.rephrase("q", ["a", "b"]) == "q"  # multi-line rejected
+    assert c.rephrase("q", ["a", "b"]) == "q"  # empty rejected
+    assert c.rephrase("q", ["a", "b"]) == "q"  # error -> original
+    assert t.log[0][1]["max_tokens"] == 128
+
+
+def test_grade_contract():
+    from ai_optimizer_spark.chat import ProviderChat
+
+    t = _chat_transport(["Yes, relevant", "no.", "maybe?", RuntimeError("x")])
+    c = ProviderChat(model="m", transport=t)
+    assert c.grade("q", ["d"]) == "yes"
+    assert c.grade("q", ["d"]) == "no"
+    assert c.grade("q", ["d"]) == "yes"  # unparseable -> yes
+    assert c.grade("q", ["d"]) == "yes"  # error -> yes
+    assert c.grade("q", []) == "yes" and len(t.log) == 4  # empty set: no call
+
+
+def test_make_chat_selection():
+    from ai_optimizer_spark.chat import ChatUnavailable, ProviderChat, make_chat
+
+    assert make_chat(None) is None  # doubles stay the default path
+    c = make_chat({"provider": "litellm", "model": "m"}, transport=lambda p, **k: "ok")
+    assert isinstance(c, ProviderChat)
+    with pytest.raises(ValueError, match="unknown chat provider"):
+        make_chat({"provider": "psychic"})
+    with pytest.raises(ChatUnavailable):
+        ProviderChat(model="m")  # litellm absent in this container

@@ -671,3 +671,72 @@ def ann_recall(
             F.round(F.col("n_hits") / F.lit(float(k)), 3).alias("recall_at_k"),
         )
     )
+
+
+HYBRID_CANDIDATES = 50
+RRF_K = 60
+
+
+def hybrid_rrf_topk(
+    t: dict[str, DataFrame],
+    query_id: int = 0,
+    query_terms: tuple[str, ...] = ("window", "stream", "join"),
+    k: int = TOP_K,
+    n_candidates: int = HYBRID_CANDIDATES,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid retrieval: keyword and vector top-N candidate lists fused by
+    Reciprocal Rank Fusion — the engine extension a RAG deployment layers
+    over pure vector search (the reference searches vectors only; hybrid is
+    the standard recall backstop for exact-term queries).
+
+    RRF operates on the truncated per-modality rankings (the production
+    shape: fuse top-N lists, never rank the full corpus): each modality
+    contributes 1/(rrf_k + rank) for docs in its top-N, absent docs
+    contribute nothing. Both top-Ns are TakeOrderedAndProject prunes —
+    per-partition top-N then one tiny merge, no global sort; the fusion
+    join touches 2N rows. Ranks use rounded scores with doc_id tie-breaks
+    so both engines order identically."""
+    docs, emb = t["documents"], t["embeddings"]
+
+    kw_score = sum(
+        (F.size(F.regexp_extract_all("text", F.lit(term), F.lit(0))).cast("long")
+         for term in query_terms),
+        start=F.lit(0).cast("long"),
+    )
+    w_kw = Window.orderBy(F.desc("kw_score"), F.asc("doc_id"))
+    kw = (
+        docs.select("doc_id", kw_score.alias("kw_score"))
+        .orderBy(F.desc("kw_score"), F.asc("doc_id"))
+        .limit(n_candidates)
+        .withColumn("r_kw", F.row_number().over(w_kw))
+    )
+
+    q = _query_vectors(t, [query_id])
+    cos = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    w_vec = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    vec = (
+        emb.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(n_candidates)
+        .withColumn("r_vec", F.row_number().over(w_vec))
+    )
+
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(rrf_k) + r), F.lit(0.0)
+    )
+    return (
+        kw.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(contrib(F.col("r_kw")) + contrib(F.col("r_vec")), 6).alias(
+                "rrf_score"
+            ),
+            "r_kw",
+            "r_vec",
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -2508,6 +2508,41 @@ def _st8_streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, plan, name, timeout_sec=300)
 
 
+_register(
+    "v14_hybrid_rrf_topk",
+    S.hybrid_rrf_topk,
+    """
+    WITH kw AS (
+        SELECT doc_id, kw_score,
+               CAST(ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id ASC) AS INTEGER) AS r_kw
+        FROM (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, 'window'))
+                      + len(regexp_extract_all(text, 'stream'))
+                      + len(regexp_extract_all(text, 'join')) AS BIGINT) AS kw_score
+            FROM documents
+        )
+        ORDER BY kw_score DESC, doc_id ASC LIMIT 50
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vec AS (
+        SELECT doc_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS INTEGER) AS r_vec
+        FROM (
+            SELECT e.vec_id AS doc_id,
+                   ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 3) + 0.0 AS cos_sim
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+        )
+        ORDER BY cos_sim DESC, doc_id ASC LIMIT 50
+    )
+    SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + r_kw), 0) + COALESCE(1.0 / (60 + r_vec), 0), 6) AS rrf_score,
+           r_kw, r_vec
+    FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 8
+    """,
+)
+
 QUERIES["st8_streaming_dedup_index"] = _st8_streaming_dedup_index
 ORACLE_SQL["st8_streaming_dedup_index"] = """
     SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_id,

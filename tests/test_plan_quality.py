@@ -167,3 +167,22 @@ def test_clustered_ivf_probe_is_pruned_scan(spark):
         "ReusedExchange"
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pii_redaction_is_shuffle_free(spark):
+    plan = plan_of(spark, "tx12_pii_redaction")
+    assert "Exchange" not in plan  # regex find+redact fuses into the scan
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set broadcasts; the corpus-side inverted index
+    never shuffles for the join (only the overlap aggregation shuffles)."""
+    plan = plan_of(spark, "d12_decontamination")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grouping_sets_single_scan(spark):
+    plan = plan_of(spark, "a19_grouping_sets")
+    # one scan feeding an Expand: three grouping sets, one pass
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in plan

@@ -189,3 +189,25 @@ def test_lsh_skew_guard_bounds_degenerate_bucket(spark):
     dflt = {(r.doc_a, r.doc_b) for r in
             D.minhash_lsh_pairs(t, max_bucket_size=D.LSH_MAX_BUCKET_DEFAULT).collect()}
     assert dflt == {(r.doc_a, r.doc_b) for r in uncapped}
+
+
+def test_simhash_blocked_equals_exact_on_multiblock_collisions(spark):
+    """Identical docs agree on EVERY pigeonhole block — the worst case for
+    the first-match dedup predicate (pre-fix they surfaced once per block).
+    Blocked must equal the all-pairs form exactly, pair for pair."""
+    import pyspark.sql.functions as F
+
+    base = "spark catalyst tungsten arrow shuffle broadcast partition codegen"
+    rows = [(i, base) for i in range(8)]  # 8 identical docs: hamming 0
+    rows += [(100 + i, base + f" extra{i} token{i} more{i}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "source", F.lit("s")
+    )
+    t = {"documents": docs}
+    exact = {(r.doc_a, r.doc_b, r.hamming) for r in D.simhash_pairs(t).collect()}
+    blocked_rows = D.simhash_pairs_blocked(t).collect()
+    blocked = {(r.doc_a, r.doc_b, r.hamming) for r in blocked_rows}
+    assert blocked == exact
+    assert len(blocked_rows) == len(blocked)  # no duplicate emissions
+    # the identical-doc clique is all there: C(8,2) zero-distance pairs
+    assert sum(1 for _, _, h in blocked if h == 0) >= 8 * 7 // 2

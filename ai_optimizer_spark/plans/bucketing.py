@@ -122,6 +122,55 @@ def ensure_clustered_store(
     return name
 
 
+def clustered_ivf_knn_join(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 20,
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Batch ANN kNN join over the cid-partitioned store — v8's plan with
+    the write-path assignment already materialized: the scan reads
+    (vec_id, label, embedding, cid) straight off the layout instead of
+    recomputing cell assignment per run. Same result and oracle as
+    v8_ivf_knn_join; at 100 TB the difference is scanning n_probe cells per
+    query versus touching every vector to rebuild the quantizer output."""
+    from pyspark.sql import Window
+
+    from ..functions import vector as V
+
+    name = ensure_clustered_store(spark, sf_dir)
+    store = spark.table(name).withColumn("cid", F.col("cid").cast("long"))
+    cents = store.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("ccid"), F.col("embedding").alias("ce")
+    )
+    q = store.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.asc("qdist"), F.asc("ccid"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "ccid",
+            "query_id",
+            "query_vec",
+            V.euclidean_distance("ce", "query_vec").alias("qdist"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("ccid").alias("cid"), "query_id", "query_vec")
+    )
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        store.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cid", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w_k))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def clustered_ivf_topk(
     spark: SparkSession,
     sf_dir: str,

@@ -2410,13 +2410,15 @@ def _s5_deep_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["s5_deep_parse"] = _s5_deep_parse
 
 
-# IVF over the cid-partitioned store layout: identical result (and oracle)
-# to v7_ivf_topk — the probe becomes a pruned partition scan instead of a
-# semi-join, proving the write-path half of the ANN scale story.
-from .plans.bucketing import clustered_ivf_topk  # noqa: E402
+# IVF over the cid-partitioned store layout: identical results (and
+# oracles) to v7/v8 — the probe becomes a pruned partition scan / a
+# layout-served join, proving the write-path half of the ANN scale story.
+from .plans.bucketing import clustered_ivf_knn_join, clustered_ivf_topk  # noqa: E402
 
 QUERIES["v13_clustered_ivf_topk"] = clustered_ivf_topk
 ORACLE_SQL["v13_clustered_ivf_topk"] = ORACLE_SQL["v7_ivf_topk"]
+QUERIES["v15_clustered_ivf_knn_join"] = clustered_ivf_knn_join
+ORACLE_SQL["v15_clustered_ivf_knn_join"] = ORACLE_SQL["v8_ivf_knn_join"]
 
 # ---------------------------------------------------------------------------
 # round-3 curation extensions: PII redaction, benchmark decontamination,
@@ -2607,7 +2609,7 @@ _PRIORITY: list[str] = [
     "d6_dedup_clusters",
     "d8_fuzzy_part_pairs",
     "e2e_curation_pipeline",
-    "e2e_curation_stats",
+    "v14_hybrid_rrf_topk",
     # text-analysis family
     "tx6_quality_bins",
     "tx7_bpe_token_stats",

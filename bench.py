@@ -36,6 +36,8 @@ HEADLINE = [
     "v7_ivf_topk",
     "v8_ivf_knn_join",
     "v13_clustered_ivf_topk",
+    "v14_hybrid_rrf_topk",
+    "v15_clustered_ivf_knn_join",
     "j11_asof_join",
     "j12_banded_range_join",
     "j13_local_supplier_volume",
@@ -51,6 +53,8 @@ HEADLINE = [
     "tx8_top_terms",
     "tx9_tfidf_terms",
     "tx11_repetition_stats",
+    "tx12_pii_redaction",
+    "d12_decontamination",
     "v12_ann_recall",
     "st2_sessionize",
     "e2e_curation_pipeline",

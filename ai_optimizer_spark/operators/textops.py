@@ -232,12 +232,19 @@ def repetition_stats(t: dict[str, DataFrame]) -> DataFrame:
     dominance (boilerplate repeats its subject) and duplicate-bigram
     fraction (template text repeats phrases, not just words).
 
-    Plan shape: the bigram fraction is pure array math (zip_with over two
-    slices of the token array — narrow, codegen, no shuffle); only the
-    top-word count needs an explode + two partial-agg shuffles keyed by
-    (doc_id, word) then doc_id. At 100 TB the explode carries (doc_id,
-    word) pairs, never document bodies."""
-    docs = t["documents"]
+    Plan shape: ENTIRELY array math fused into one projection — zero
+    shuffles, zero joins. The bigram fraction is zip_with over two slices
+    of the token array; the top-word count is the longest equal-run in the
+    SORTED token array (max multiplicity ≡ max run), folded with a single
+    `aggregate` over a (run, best, prev) struct accumulator. The previous
+    formulation exploded to (doc_id, word) rows and paid two shuffles plus
+    a join back; per-doc token arrays are small enough that the O(n log n)
+    in-row sort beats moving the pairs across the wire — and at 100 TB the
+    entire operator rides the scan (widen_scan is the single-row-group
+    test-file concession, a no-op on real tables)."""
+    from ..tables import widen_scan
+
+    docs = widen_scan(t["documents"])
     w = T.words("text")
     n = F.size(w)
     bigrams = F.zip_with(
@@ -245,7 +252,24 @@ def repetition_stats(t: dict[str, DataFrame]) -> DataFrame:
         F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat_ws("_", a, b),
     )
-    arr_stats = docs.select(
+    run_acc = F.aggregate(
+        F.array_sort(w),
+        F.struct(
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            x.alias("prev"),
+        ),
+    )
+    top_word_n = run_acc["best"]
+    return docs.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         F.when(
@@ -258,26 +282,9 @@ def repetition_stats(t: dict[str, DataFrame]) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
+        top_word_n.alias("top_word_n"),
+        F.round(top_word_n / n.cast("double"), 3).alias("top_word_frac"),
     )
-    from ..tables import widen_scan
-
-    top = (
-        widen_scan(docs)
-        .select("doc_id", F.explode(T.words("text")).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.max("cnt").alias("top_word_n"),
-            F.sum("cnt").alias("total_n"),
-        )
-        .select(
-            "doc_id",
-            "top_word_n",
-            F.round(F.col("top_word_n") / F.col("total_n"), 3).alias("top_word_frac"),
-        )
-    )
-    return arr_stats.join(top, "doc_id")
 
 
 # PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB)

@@ -186,3 +186,12 @@ def test_grouping_sets_single_scan(spark):
     # one scan feeding an Expand: three grouping sets, one pass
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Expand" in plan
+
+
+def test_repetition_stats_has_no_key_shuffle(spark):
+    """tx11 is pure array math: no hashpartitioning exchange anywhere (the
+    only allowed exchange is widen_scan's round-robin fan-out for
+    single-row-group test files)."""
+    plan = plan_of(spark, "tx11_repetition_stats")
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan

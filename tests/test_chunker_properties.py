@@ -65,3 +65,46 @@ def test_chunks_cover_text_exactly(text, size, spark):
         for s, c in got:
             covered.update(range(s, s + len(c)))
         assert covered == set(range(len(text)))
+
+
+# ---------------------------------------------------------------------------
+# repetition-stats fold (tx11): array-domain run-length vs Python reference
+# ---------------------------------------------------------------------------
+
+
+def reference_repetition(text: str) -> tuple[int, int, float]:
+    """Plain-Python mirror of repetition_stats' per-doc math."""
+    from collections import Counter
+
+    words = text.strip().split() if text.strip() else [""]
+    # Spark's split on \s+ of "" yields [""] — mirror that
+    n = len(words)
+    top = max(Counter(words).values())
+    bigrams = ["_".join(p) for p in zip(words, words[1:])]
+    dup = round(1.0 - len(set(bigrams)) / len(bigrams), 3) if bigrams else 0.0
+    return n, top, dup
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    tokens=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=30
+    )
+)
+def test_repetition_stats_match_reference(tokens, spark):
+    """The aggregate() run-length fold equals multiset max-multiplicity for
+    arbitrary token sequences (incl. empty, single, all-equal)."""
+    import pyspark.sql.functions as F
+
+    from ai_optimizer_spark.operators.textops import repetition_stats
+
+    text = " ".join(tokens)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string").withColumn(
+        "source", F.lit("s")
+    )
+    row = repetition_stats({"documents": docs}).collect()[0]
+    n, top, dup = reference_repetition(text)
+    assert row.n_tokens == n
+    assert row.top_word_n == top
+    assert abs(row.dup_bigram_frac - dup) < 1e-9
+    assert abs(row.top_word_frac - round(top / n, 3)) < 1e-9

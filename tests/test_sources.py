@@ -122,3 +122,133 @@ def test_slugify_edge_cases():
     assert slugify("Hello, World!") == "hello-world"
     assert slugify("   ") == "section"
     assert slugify("x" * 100) == "x" * 60
+
+
+# ---------------------------------------------------------------------------
+# stdlib fallback parsers: real docx/pptx/xlsx/pdf payloads, no third-party
+# libs required (the OOXML formats are zipped XML; simple PDFs are
+# FlateDecode text streams)
+# ---------------------------------------------------------------------------
+
+W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
+S_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+
+def _mk_docx() -> bytes:
+    import io
+    import zipfile
+
+    doc = (
+        f'<w:document xmlns:w="{W_NS}"><w:body>'
+        "<w:p><w:r><w:t>first paragraph</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>second </w:t></w:r><w:r><w:t>joined</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _mk_pptx() -> bytes:
+    import io
+    import zipfile
+
+    def slide(txt):
+        return f'<p:sld xmlns:a="{A_NS}" xmlns:p="x"><a:t>{txt}</a:t></p:sld>'
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/slides/slide1.xml", slide("slide one"))
+        zf.writestr("ppt/slides/slide2.xml", slide("slide two"))
+    return buf.getvalue()
+
+
+def _mk_xlsx() -> bytes:
+    import io
+    import zipfile
+
+    shared = (
+        f'<sst xmlns="{S_NS}"><si><t>alpha</t></si><si><t>beta</t></si></sst>'
+    )
+    sheet = (
+        f'<worksheet xmlns="{S_NS}"><sheetData>'
+        '<row><c t="s"><v>0</v></c><c><v>42</v></c></row>'
+        '<row><c t="s"><v>1</v></c><c><v>7</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/sharedStrings.xml", shared)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+def _mk_pdf() -> bytes:
+    import zlib
+
+    content = b"BT /F1 12 Tf (Hello graft) Tj (paren \\(ok\\)) Tj ET"
+    deflated = zlib.compress(content)
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(deflated)).encode()
+        + b" >>\nstream\n"
+        + deflated
+        + b"endstream\nendobj\n%%EOF"
+    )
+
+
+def test_stdlib_docx_paragraphs():
+    from ai_optimizer_spark.sources.documents import _load_docx
+
+    out = _load_docx("a.docx", _mk_docx())
+    assert out == "first paragraph\nsecond joined"
+
+
+def test_stdlib_pptx_slides_in_order():
+    from ai_optimizer_spark.sources.documents import _load_pptx
+
+    assert _load_pptx("a.pptx", _mk_pptx()) == "slide one\nslide two"
+
+
+def test_stdlib_xlsx_tsv_shape():
+    from ai_optimizer_spark.sources.documents import _load_xlsx
+
+    assert _load_xlsx("a.xlsx", _mk_xlsx()) == "alpha\t42\nbeta\t7"
+
+
+def test_stdlib_pdf_text_layer():
+    from ai_optimizer_spark.sources.documents import _load_pdf
+
+    out = _load_pdf("a.pdf", _mk_pdf())
+    assert "Hello graft" in out and "paren (ok)" in out
+
+
+def test_pdf_without_text_layer_is_unavailable():
+    import pytest
+
+    from ai_optimizer_spark.sources.documents import (
+        LoaderUnavailable,
+        _load_pdf,
+    )
+
+    with pytest.raises(LoaderUnavailable):
+        _load_pdf("img.pdf", b"%PDF-1.4 no streams here %%EOF")
+
+
+def test_loader_dispatch_integrates_stdlib_tier(spark, tmp_path):
+    """End-to-end through load_documents: real OOXML payloads parse OK via
+    the stdlib tier (no third-party libs in this container)."""
+    from ai_optimizer_spark.sources.documents import load_documents
+
+    (tmp_path / "d.docx").write_bytes(_mk_docx())
+    (tmp_path / "p.pptx").write_bytes(_mk_pptx())
+    (tmp_path / "x.xlsx").write_bytes(_mk_xlsx())
+    (tmp_path / "f.pdf").write_bytes(_mk_pdf())
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    out = {r.filename: r for r in load_documents(files).collect()}
+    assert out["d.docx"].status == "ok" and "first paragraph" in out["d.docx"].page_content
+    assert out["p.pptx"].status == "ok" and "slide two" in out["p.pptx"].page_content
+    assert out["x.xlsx"].status == "ok" and "alpha\t42" in out["x.xlsx"].page_content
+    assert out["f.pdf"].status == "ok" and "Hello graft" in out["f.pdf"].page_content

@@ -713,3 +713,86 @@ def idle_rich_customers(t: dict[str, DataFrame], since: str = "2001-01-01") -> D
         )
         .orderBy("c_nationkey")
     )
+
+
+def late_order_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS with a cross-table range predicate: count
+    orders per priority that have at least one line shipped more than 75
+    days after the order date. The correlated EXISTS decorrelates to a
+    left-semi join whose condition is equi (orderkey) + range (dates);
+    Spark hash-joins on the equi part and applies the range residually —
+    no nested loop, one co-partitioned shuffle at scale.
+    """
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01")))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def returned_item_revenue(t: dict[str, DataFrame], k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape — the returned-item revenue ranking: customers by
+    revenue lost to returned lines in one quarter. Four-relation join where
+    every dimension broadcasts (customer after the date-pruned orders
+    semi-reduce it, nation always); the single fact-fact shuffle is
+    lineitem ⋈ orders on the order key; TakeOrderedAndProject caps the
+    output."""
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    cust = t["customer"]
+    nation = t["nation"]
+    return (
+        returned.join(orders, returned.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        # DECIMAL sum: per-customer revenue sums are small enough to land on
+        # 2-decimal rounding boundaries, where double association order
+        # (Spark's partial aggregation vs the oracle's serial fold) flips the
+        # last cent; summing exact decimals is order-free on both engines
+        .agg(
+            F.round(F.sum(revenue_expr().cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q6 shape — the pure filter-pushdown aggregate: one year of
+    discounted small-quantity lines folded to a single number. Every
+    predicate reaches the parquet scan (PushedFilters), the aggregation is
+    partial+final; nothing else moves. The simplest query where columnar
+    pruning + pushdown decide the entire runtime at 100 TB."""
+    li = t["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "forecast_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

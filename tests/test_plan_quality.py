@@ -195,3 +195,28 @@ def test_repetition_stats_has_no_key_shuffle(spark):
     plan = plan_of(spark, "tx11_repetition_stats")
     assert "hashpartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_forecast_revenue_pushes_every_predicate(spark):
+    """Q6 shape: the entire WHERE reaches the parquet scan; only the 2-col
+    projection is read."""
+    plan = plan_of(spark, "a20_forecast_revenue")
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert "partial" in plan.lower()  # map-side combine
+
+
+def test_late_order_semi_join_no_nested_loop(spark):
+    """Q4 shape: EXISTS with equi+range condition hash-joins on the equi
+    part; the range predicate is residual, never a nested loop."""
+    plan = plan_of(spark, "j18_late_order_priority")
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_returned_item_revenue_broadcasts_dims(spark):
+    plan = plan_of(spark, "j19_returned_item_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # flag filter reaches the scan

@@ -106,3 +106,24 @@ def quality_bins(t: dict[str, DataFrame]) -> DataFrame:
         "n_chars",
         F.ntile(4).over(w).alias("quality_bin"),
     )
+
+
+def shuffled_shards(t: dict[str, DataFrame], n_shards: int = 8) -> DataFrame:
+    """Deterministic corpus shuffle + sharding — the training-export step
+    after curation: shard = portable hash mod n_shards, within-shard order
+    = the hash value itself. A reproducible global permutation with no
+    random state: stable under re-ingest, unbiased per shard (the hash
+    breaks source/time locality), and restartable (any shard can be
+    re-derived independently).
+
+    At 100 TB this is `repartition(n_shards, shard)` + sortWithinPartitions
+    on the write path — one shuffle keyed by small longs; here the
+    assignment itself is the verifiable output (a pure narrow map)."""
+    docs = t["documents"]
+    h = hash60(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+    return docs.select(
+        "doc_id",
+        "source",
+        (h % n_shards).alias("shard"),
+        h.alias("sort_key"),
+    )

@@ -1809,6 +1809,17 @@ _register(
 )
 
 _register(
+    "smp4_shuffled_shards",
+    SMP.shuffled_shards,
+    f"""
+    SELECT doc_id, source,
+           {_h60("'shard|' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+           {_h60("'shard|' || CAST(doc_id AS VARCHAR)")} AS sort_key
+    FROM documents
+    """,
+)
+
+_register(
     "tx6_quality_bins",
     SMP.quality_bins,
     """

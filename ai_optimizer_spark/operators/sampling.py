@@ -127,3 +127,64 @@ def shuffled_shards(t: dict[str, DataFrame], n_shards: int = 8) -> DataFrame:
         (h % n_shards).alias("shard"),
         h.alias("sort_key"),
     )
+
+
+TEMP_BUDGET_PCT = 50  # target corpus token budget, % of total
+
+
+def temperature_mix(t: dict[str, DataFrame]) -> DataFrame:
+    """Temperature-based domain mixing — the data-dependent complement to
+    `weighted_mix`'s fixed rate table: per-source sampling rates derived
+    from the corpus itself so low-resource sources are up-weighted
+    (multilingual-LM style: w_s ∝ n_s^α with α=0.5, i.e. sqrt
+    temperature), then documents kept by the same stable hash filter.
+
+        n_s     = tokens in source s
+        w_s     = round(sqrt(n_s))            (integer weight — the sum
+                                               stays exact across engines)
+        rate_s  = min(1, B·w_s / (W·n_s))     B = budget (50% of tokens),
+                                               W = Σ w_s
+        keep    = hash60('tmix|' || doc_id) % 1e6 < rate_ppm
+
+    All rate arithmetic is ratios of BIGINTs evaluated in one double
+    expression (no multi-row double sums, whose addition order differs
+    between engines), rounded to integer parts-per-million — bit-stable in
+    any IEEE engine, which is how the DuckDB oracle verifies it.
+
+    Scale shape: agg to one row per source (partial-aggregable) → the tiny
+    rate table broadcasts back onto the scan → the keep filter is a narrow
+    map. One scan + one broadcast join at 100 TB; the doc-level token count
+    fuses into the scan."""
+    from ..functions.text import token_count
+
+    docs = t["documents"].select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    per_source = docs.groupBy("source").agg(
+        F.sum("n_tokens").alias("n_s")
+    ).withColumn(
+        "w_s", F.round(F.sqrt(F.col("n_s").cast("double"))).cast("long")
+    )
+    totals = per_source.agg(
+        F.sum("n_s").alias("n_total"), F.sum("w_s").alias("w_total")
+    )
+    rates = per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.lit(1_000_000),
+            F.round(
+                (F.lit(TEMP_BUDGET_PCT) / F.lit(100.0))
+                * F.col("n_total").cast("double")
+                * F.col("w_s").cast("double")
+                * F.lit(1_000_000.0)
+                / (F.col("w_total").cast("double") * F.col("n_s").cast("double"))
+            ).cast("long"),
+        ).alias("rate_ppm"),
+    )
+    b = _bucket(F.col("doc_id"), "tmix", 1_000_000)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(b < F.col("rate_ppm"))
+        .select("doc_id", "source", "n_tokens", "rate_ppm")
+    )

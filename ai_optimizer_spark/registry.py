@@ -1820,6 +1820,39 @@ _register(
 )
 
 _register(
+    "smp5_temperature_mix",
+    SMP.temperature_mix,
+    rf"""
+    WITH docs AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    per_source AS (
+        SELECT source, SUM(n_tokens) AS n_s,
+               CAST(ROUND(sqrt(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS w_s
+        FROM docs GROUP BY source
+    ),
+    totals AS (
+        SELECT SUM(n_s) AS n_total, SUM(w_s) AS w_total FROM per_source
+    ),
+    rates AS (
+        SELECT source, n_s,
+               LEAST(1000000, CAST(ROUND(
+                   (50 / 100.0) * CAST(n_total AS DOUBLE)
+                   * CAST(w_s AS DOUBLE) * 1000000.0
+                   / (CAST(w_total AS DOUBLE) * CAST(n_s AS DOUBLE))
+               ) AS BIGINT)) AS rate_ppm
+        FROM per_source, totals
+    )
+    SELECT d.doc_id, d.source, d.n_tokens, r.rate_ppm
+    FROM docs d JOIN rates r USING (source)
+    WHERE {_h60("'tmix|' || CAST(doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm
+    """,
+)
+
+_register(
     "tx6_quality_bins",
     SMP.quality_bins,
     """
@@ -2634,6 +2667,49 @@ ORACLE_SQL["st7_streaming_sessionize"] = """
            COUNT(*) AS n_events, ROUND(SUM(value), 4) AS session_value
     FROM numbered GROUP BY user_id, session_seq
 """
+
+
+_T6_ORACLE = r"""
+    WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, i - 1 AS seq, w[i] AS chunk
+        FROM arr, unnest(generate_series(1, len(w))) AS t(i)
+    )
+    SELECT doc_id AS session_id,
+           string_agg(chunk, ' ' ORDER BY seq) AS message,
+           CAST(COUNT(*) AS BIGINT) AS completion_tokens,
+           CAST(SUM(len(chunk)) AS BIGINT) AS completion_chars
+    FROM toks GROUP BY doc_id
+"""
+
+
+def _t6_token_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 SSE token streaming, batch form: per-session ordered chunk
+    reassembly + usage fold (runtime/langgraph/session.py:50-110); the
+    order-by-seq concat is hash-checked against a string_agg oracle."""
+    from .streaming.token_stream import token_assembly
+
+    return token_assembly(load_tables(spark, sf_dir))
+
+
+QUERIES["t6_token_stream_assembly"] = _t6_token_assembly
+ORACLE_SQL["t6_token_stream_assembly"] = _T6_ORACLE
+
+
+def _st9_streaming_token_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 streaming twin: the REAL streaming aggregation (complete mode,
+    availableNow → memory sink) hash-checked against the same string_agg
+    oracle — token-by-token message assembly as an incremental operator."""
+    from .streaming.token_stream import run_token_assembly_stream
+
+    return run_token_assembly_stream(spark, sf_dir)
+
+
+QUERIES["st9_streaming_token_assembly"] = _st9_streaming_token_assembly
+ORACLE_SQL["st9_streaming_token_assembly"] = _T6_ORACLE
 
 
 # ---------------------------------------------------------------------------

@@ -175,3 +175,23 @@ def test_stream_stream_attribution_matches_batch(spark, sf_small):
         for r in attributed_purchases(load_tables(spark, sf_small)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_token_assembly_is_arrival_order_proof(spark, sf_small):
+    """T6's reassembly must not depend on chunk arrival order (SSE ordering
+    comes from TCP; Spark's collect_list order is task-nondeterministic, so
+    the sort-by-seq must do the work): a deliberately scrambled, repartitioned
+    chunk feed reassembles to the identical messages."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.streaming.token_stream import (
+        assemble_messages,
+        token_chunks,
+    )
+
+    docs = load_tables(spark, sf_small)["documents"].limit(50)
+    chunks = token_chunks(docs)
+    scrambled = chunks.orderBy(F.md5(F.concat_ws("|", "session_id", "seq"))).repartition(7)
+    want = {tuple(r) for r in assemble_messages(chunks).collect()}
+    got = {tuple(r) for r in assemble_messages(scrambled).collect()}
+    assert got == want and len(got) == 50

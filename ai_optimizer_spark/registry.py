@@ -2464,6 +2464,19 @@ ORACLE_SQL["v13_clustered_ivf_topk"] = ORACLE_SQL["v7_ivf_topk"]
 QUERIES["v15_clustered_ivf_knn_join"] = clustered_ivf_knn_join
 ORACLE_SQL["v15_clustered_ivf_knn_join"] = ORACLE_SQL["v8_ivf_knn_join"]
 
+_register(
+    "v16_range_search_pruned",
+    S.range_search,
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(list_distance(e.embedding::DOUBLE[], q.qe), 3) + 0.0 AS dist
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+      AND ROUND(list_distance(e.embedding::DOUBLE[], q.qe), 3) + 0.0 <= 1.2
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # round-3 curation extensions: PII redaction, benchmark decontamination,
 # grouping sets, streaming dedup index

@@ -95,3 +95,79 @@ def test_pq_recall_and_full_refine_exactness(spark, sf_small):
     assert generous == exact
     default = {r.vec_id for r in pq_topk(t, query_id=0, k=8).collect()}
     assert len(default & exact) >= 4
+
+
+def test_range_search_exact_and_pruning(spark, sf_small):
+    """v16 on the driver corpus must equal brute force exactly (zero recall
+    loss is the op's contract); on a genuinely clustered corpus the
+    triangle-inequality bound must prune most cells."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.functions import vector as V
+    from ai_optimizer_spark.operators.similarity import (
+        RANGE_RADIUS,
+        _ivf_assign,
+        _query_vectors,
+        _range_live_cells,
+        range_search,
+    )
+
+    t = load_tables(spark, sf_small)
+    got = {tuple(r) for r in range_search(t).collect()}
+    dist = F.round(V.euclidean_distance("embedding", "query_vec"), 3) + F.lit(0.0)
+    brute = {
+        tuple(r)
+        for r in t["embeddings"]
+        .crossJoin(F.broadcast(_query_vectors(t, [0])))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", dist.alias("dist"))
+        .filter(F.col("dist") <= RANGE_RADIUS)
+        .collect()
+    }
+    assert got == brute
+
+    # clustered corpus: 8 tight clusters far apart; query sits in cluster 0
+    # with radius smaller than the inter-cluster spacing -> only cluster 0's
+    # cell(s) may survive the bound
+    n_clusters, per, dim = 8, 40, 8
+    rows = []
+    for c in range(n_clusters):
+        center = [0.0] * dim
+        center[c % dim] = 100.0 * (1 + c // dim)
+        for j in range(per):
+            jitter = [
+                0.01 * math.sin(0.7 * (c * per + j) + d) for d in range(dim)
+            ]
+            # interleaved ids: the deterministic seed set (vec_id < 16)
+            # spans every cluster, as k-means centers would
+            rows.append(
+                (j * n_clusters + c, [center[d] + jitter[d] for d in range(dim)], c)
+            )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    tc = {"embeddings": emb}
+    cents, assigned = _ivf_assign(emb, 16)
+    cell_r = (
+        assigned.join(F.broadcast(cents), "cid")
+        .select("cid", V.euclidean_distance("embedding", "ce").alias("dc"))
+        .groupBy("cid")
+        .agg(F.max("dc").alias("r_cell"))
+    )
+    live = _range_live_cells(cents, cell_r, _query_vectors(tc, [0]), 1.0)
+    n_cells = cell_r.count()
+    n_live = live.count()
+    assert n_live < n_cells / 2, (n_live, n_cells)
+
+    got_c = {tuple(r) for r in range_search(tc, query_id=0, radius=1.0).collect()}
+    brute_c = {
+        tuple(r)
+        for r in emb.crossJoin(F.broadcast(_query_vectors(tc, [0])))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", dist.alias("dist"))
+        .filter(F.col("dist") <= 1.0)
+        .collect()
+    }
+    assert got_c == brute_c and len(got_c) > 0

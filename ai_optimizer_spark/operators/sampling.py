@@ -188,3 +188,67 @@ def temperature_mix(t: dict[str, DataFrame]) -> DataFrame:
         .filter(b < F.col("rate_ppm"))
         .select("doc_id", "source", "n_tokens", "rate_ppm")
     )
+
+
+PACK_CAPACITY = 2048  # tokens per training sequence
+PACK_BUCKET_SHIFT = 55  # top 5 bits of hash60 -> 32 order-aligned buckets
+
+
+def sequence_packing(t: dict[str, DataFrame], capacity: int = PACK_CAPACITY) -> DataFrame:
+    """Training-sequence packing: lay the (deterministically shuffled)
+    corpus out as one contiguous token stream and chop it into
+    `capacity`-token bins — each doc gets the bin it starts in plus its
+    offset there, which is exactly the manifest a sequence-packing data
+    loader consumes (doc → (sequence, offset)).
+
+    The global exclusive prefix-sum of token counts is THE scale problem
+    here: a naive `Window.orderBy(key)` with no partition key runs on one
+    task. This is the classic two-pass distributed prefix sum instead:
+
+      1. bucket docs by the TOP BITS of the shuffle hash (buckets are
+         contiguous ranges of the global order, so within-bucket order +
+         bucket order = global order);
+      2. within-bucket exclusive cumsum — a window per bucket, parallel;
+      3. bucket totals (one row per bucket) → tiny single-partition cumsum
+         → broadcast back as each bucket's starting offset.
+
+    Every step is integer arithmetic on BIGINTs; bin arithmetic divides by
+    a power of two, so the DuckDB oracle (one flat window — affordable at
+    oracle scale) matches bit-for-bit."""
+    from ..functions.text import token_count
+
+    docs = t["documents"].select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        hash60(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    docs = docs.withColumn("bucket", F.shiftright(F.col("h"), PACK_BUCKET_SHIFT))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0).cast("long"))
+    # bucket offsets: 32 rows — the single-partition window is over the
+    # bucket TOTALS, never the data
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        docs.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bt").over(w_b), F.lit(0).cast("long")).alias("boff"),
+        )
+    )
+    return (
+        docs.withColumn("within", within)
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("boff") + F.col("within")) / F.lit(float(capacity)))
+            .cast("long")
+            .alias("bin_id"),
+            ((F.col("boff") + F.col("within")) % capacity).alias("bin_offset"),
+        )
+    )

@@ -1853,6 +1853,32 @@ _register(
 )
 
 _register(
+    "smp6_sequence_packing",
+    SMP.sequence_packing,
+    rf"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+               {_h60("'pack|' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_tok
+        FROM d
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS bin_id,
+           start_tok % 2048 AS bin_offset
+    FROM s
+    """,
+)
+
+_register(
     "tx6_quality_bins",
     SMP.quality_bins,
     """
@@ -2712,6 +2738,26 @@ QUERIES["t6_token_stream_assembly"] = _t6_token_assembly
 ORACLE_SQL["t6_token_stream_assembly"] = _T6_ORACLE
 
 
+def _st10_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join (purchases × customer → per-segment
+    rollup) run as a REAL streaming query — the enrichment shape §2.9 lacked;
+    hash-checked against the equivalent batch join SQL."""
+    from .streaming.event_stream import run_segment_purchases_stream
+
+    return run_segment_purchases_stream(spark, sf_dir)
+
+
+QUERIES["st10_stream_static_enrichment"] = _st10_stream_static_enrichment
+ORACLE_SQL["st10_stream_static_enrichment"] = """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(e.value), 4) AS purchase_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+"""
+
+
 def _st9_streaming_token_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 streaming twin: the REAL streaming aggregation (complete mode,
     availableNow → memory sink) hash-checked against the same string_agg
@@ -2784,8 +2830,8 @@ _PRIORITY: list[str] = [
     # windows / sets / sampling
     "w7_rolling_frames",
     "w8_balance_distribution",
-    "u4_intersect_sources",
-    "u5_except_sources",
+    "v16_range_search_pruned",
+    "smp5_temperature_mix",
     "smp1_hash_split",
     "smp2_stratified_sample",
     "v13_clustered_ivf_topk",

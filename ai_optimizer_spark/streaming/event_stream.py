@@ -282,3 +282,35 @@ def run_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
+
+
+def segment_purchase_stats(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: the purchase stream joined to the (slowly
+    changing) customer dimension, rolled up per market segment. The static
+    side broadcasts — a stateless per-batch hash join, the canonical
+    streaming-enrichment shape: no watermark, no state store, dimension
+    refreshed per micro-batch. At 100 TB/day the stream side never
+    shuffles; only the (tiny) dim table ships."""
+    purchases = events.filter(F.col("event_type") == "purchase")
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        purchases.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("purchase_value"),
+        )
+    )
+
+
+def run_segment_purchases_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st10: execute the stream-static enrichment end-to-end (availableNow →
+    memory sink, complete mode) and return the materialized rollup."""
+    import uuid
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    name = f"st_segments_{uuid.uuid4().hex[:12]}"
+    plan = segment_purchase_stats(events_stream(spark, sf_dir), customer)
+    return run_to_memory(spark, plan, name, timeout_sec=300)

@@ -56,6 +56,10 @@ HEADLINE = [
     "tx12_pii_redaction",
     "d12_decontamination",
     "v12_ann_recall",
+    "v16_range_search_pruned",
+    "smp5_temperature_mix",
+    "smp6_sequence_packing",
+    "t6_token_stream_assembly",
     "st2_sessionize",
     "e2e_curation_pipeline",
 ]

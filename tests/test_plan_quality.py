@@ -220,3 +220,25 @@ def test_returned_item_revenue_broadcasts_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
     assert "TakeOrderedAndProject" in plan
     assert "EqualTo(l_returnflag,R)" in plan  # flag filter reaches the scan
+
+
+def test_sequence_packing_avoids_global_sort(spark):
+    plan = plan_of(spark, "smp6_sequence_packing")
+    # the corpus-sized window must partition on bucket (two-pass prefix sum);
+    # the only SinglePartition exchange feeds the 32-row bucket-offset window
+    assert "hashpartitioning(bucket" in plan
+    assert "BroadcastHashJoin" in plan  # offsets broadcast back, no big shuffle
+    # a global rangepartitioning sort of the full docs table would betray a
+    # one-task window
+    assert "rangepartitioning" not in plan
+
+
+def test_simhash_signatures_fuse_into_scan(spark):
+    plan = plan_of(spark, "d4_simhash_pairs")
+    # signatures are a pure projection now (array fold in a Project): the
+    # old explode+groupBy form showed 32 sum(shiftright(h, i)) aggregates
+    # and a doc_id exchange before the block join — both must stay gone.
+    # Remaining Generate nodes are the 1->7 block explode (narrow map) and
+    # remaining HashAggregates belong to the output distinct only.
+    assert "sum(shiftright" not in plan
+    assert plan.count("HashAggregate") <= 4  # 2 nodes (distinct partial+final), each printed twice in formatted output

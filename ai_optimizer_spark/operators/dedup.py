@@ -610,3 +610,51 @@ def decontamination(
         F.count(F.lit(1)).alias("n_bench_hits"),
         F.max("n_shared").alias("max_overlap"),
     )
+
+
+def topic_clusters(t: dict[str, DataFrame], k: int = 12) -> DataFrame:
+    """D13: corpus topic clustering for domain balancing — assign every
+    embedding to its nearest of `k` deterministic seed centroids (the same
+    map-only inlined-centroid assignment the IVF tier uses) and report the
+    per-topic profile a curation pipeline reads before mixing domains:
+    cluster size, dominant label with its share, and mean distance to the
+    centroid (cohesion). The label-agreement column is the quick "do
+    clusters track labels" diagnostic run before trusting a cluster-based
+    sampling weight.
+
+    Scale shape: assignment fuses into the scan (zero shuffles); the two
+    aggregates are partial+final over k·|labels| then k groups. One
+    corpus-sized shuffle of (cid,label) pairs — no embeddings move."""
+    from .similarity import _ivf_assign
+
+    emb = t["embeddings"]
+    cents, assigned = _ivf_assign(emb, k)
+    with_dist = assigned.join(F.broadcast(cents), "cid")
+    dist = F.round(V.euclidean_distance("embedding", "ce"), 4).cast(
+        "decimal(14,4)"
+    )
+    sizes = with_dist.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum(dist).cast("double") / F.count(F.lit(1)), 3).alias("avg_dist"),
+    )
+    by_label = (
+        assigned.groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+    top = (
+        by_label.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("label").alias("top_label"), F.col("n").alias("top_n"))
+    )
+    return (
+        sizes.join(top, "cid")
+        .select(
+            "cid",
+            "n_vecs",
+            "top_label",
+            F.round(F.col("top_n") / F.col("n_vecs"), 3).alias("top_label_share"),
+            "avg_dist",
+        )
+        .orderBy("cid")
+    )

@@ -796,3 +796,243 @@ def forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+def volume_shipping(
+    t: dict[str, DataFrame],
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume: revenue shipped between a
+    supplier nation and a customer nation (both directions), per ship
+    year. The NL2SQL "flow between X and Y over time" question over the
+    reference's star schema (nl2sql prompt catalog, mcp/prompts).
+
+    Plan shape at 100 TB: supplier⋈nation and customer⋈nation are
+    broadcast dims; the only fact-fact shuffle is lineitem⋈orders on
+    orderkey, with the shipdate window pushed to the lineitem scan. The
+    (supp_nation, cust_nation) pair filter collapses the join output
+    before the tiny 2×years aggregate."""
+    nat = t["nation"].select("n_nationkey", "n_name")
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(nation_a, nation_b))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t["customer"]
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(nation_a, nation_b))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    return (
+        li.join(t["orders"].select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(revenue_expr().cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def profit_by_nation_year(t: dict[str, DataFrame], part_type: str = "STANDARD") -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and year.
+    The schema has no partsupp/supplycost, so cost is modeled as
+    retailprice-proportional (0.6 × p_retailprice × quantity): same join
+    topology (part+supplier dims onto lineitem, orders for the year),
+    different constant.
+
+    Plan shape at 100 TB: part (type-filtered) and supplier⋈nation
+    broadcast; lineitem⋈orders co-partitions on orderkey. Aggregate
+    output is |nations|×|years| — tiny."""
+    part = t["part"].filter(F.col("p_type") == part_type).select("p_partkey", "p_retailprice")
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    li = t["lineitem"]
+    amount = revenue_expr() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(t["orders"].select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(amount.cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def customer_order_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q13 shape — customer distribution: how many customers placed
+    exactly N qualifying orders (including N=0, which only an OUTER join
+    can surface). The double aggregation (per-customer count, then
+    histogram of counts) is the canonical "distribution of activity"
+    report.
+
+    Plan shape at 100 TB: orders (filtered) shuffles once on custkey for
+    the left outer join + first aggregate; the second aggregate's input is
+    |customers| rows collapsing to a handful of histogram buckets — free."""
+    orders = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        t["customer"].select("c_custkey")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def promo_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q14 shape — promotion effect: the percentage of one month's
+    revenue attributable to PROMO-type parts. Conditional-aggregation
+    numerator over a single broadcast join; the month window is pushed to
+    the lineitem scan, so at 100 TB the query reads ~1/84 of the fact
+    table and one small dim."""
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-10-01")))
+    )
+    part = t["part"].select("p_partkey", "p_type")
+    rev = revenue_expr().cast("decimal(18,6)")
+    zero = F.lit(0.0).cast("decimal(18,6)")
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+    )
+
+
+def top_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q15 shape — top supplier(s): the supplier(s) whose quarterly
+    revenue equals the maximum quarterly revenue (view + scalar-subquery
+    max; ties must all surface, which LIMIT 1 would get wrong). Spark
+    form: aggregate once, max over the aggregate via a rank window on an
+    empty partition — the aggregate is |suppliers| rows, so the
+    unpartitioned window is a non-issue at any scale."""
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(revenue_expr().cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    return (
+        rev.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") == 1)
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def small_quantity_loss(t: dict[str, DataFrame], brand: str = "Brand#5") -> DataFrame:
+    """TPC-H Q17 shape — small-quantity revenue loss: for one brand's
+    parts, revenue from lines whose quantity is below 50% of that part's
+    average quantity, divided by 7 (the "weekly loss if we stopped taking
+    small orders" number). The correlated scalar subquery decorrelates to
+    a per-part average joined back.
+
+    Plan shape at 100 TB: brand-filtered part is a broadcast dim, so the
+    per-part average aggregates only that brand's lines (a semi-join-
+    pruned scan), and the join back to lines is on the same pruned set —
+    two passes over a small slice, no full-fact shuffle."""
+    part = t["part"].filter(F.col("p_brand") == brand).select("p_partkey")
+    li = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
+    brand_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = brand_lines.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        brand_lines.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly_loss"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+def waiting_supplier(t: dict[str, DataFrame], late_days: int = 60, k: int = 20) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept orders waiting: in
+    multi-supplier orders, the supplier who was the ONLY late shipper
+    (shipped > `late_days` after the order date; the schema has no
+    commit/receipt dates, so lateness is vs o_orderdate). The classic
+    EXISTS + NOT-EXISTS pair decorrelates to one per-(order, supplier)
+    aggregate + one per-order aggregate — two co-partitioned shuffles on
+    orderkey, no nested loops, no repeated scans.
+
+    At 100 TB both aggregates and the join run on the same orderkey
+    partitioning (AQE reuses the exchange); output is |suppliers| rows."""
+    li = t["lineitem"].join(
+        t["orders"].select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            (F.col("l_shipdate")
+             > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")).cast("int")
+        ).alias("was_late")
+    )
+    per_order = per_os.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("was_late").alias("n_late"),
+    )
+    culprit = (
+        per_os.filter(F.col("was_late") == 1)
+        .join(
+            per_order.filter((F.col("n_supps") >= 2) & (F.col("n_late") == 1)),
+            F.col("l_orderkey") == F.col("g_orderkey"),
+        )
+    )
+    return (
+        culprit.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(k)
+    )

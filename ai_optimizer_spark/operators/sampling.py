@@ -252,3 +252,26 @@ def sequence_packing(t: dict[str, DataFrame], capacity: int = PACK_CAPACITY) -> 
             ((F.col("boff") + F.col("within")) % capacity).alias("bin_offset"),
         )
     )
+
+
+def leakage_safe_split(t: dict[str, DataFrame]) -> DataFrame:
+    """SMP7: leakage-safe train/val/test assignment — the split key is the
+    near-dup CLUSTER id, not the doc id, so every member of a near-dup
+    component lands in the same split. Splitting by doc_id lets two
+    near-identical documents straddle train and test, silently leaking
+    training text into evaluation; clustering first closes that hole.
+    Composition of d6's connected components with smp1's deterministic
+    hash-split — same 80/10/10 contract, same portable hash60.
+
+    Scale shape: the cluster labels come from the LSH-subgraph components
+    (only collision endpoints iterate; singletons get cluster_id = doc_id
+    via one anti-join), and the split is then a pure projection — no
+    additional shuffle beyond what d6 already does."""
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(t)
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        split_expr(F.col("cluster_id")).alias("split"),
+    )

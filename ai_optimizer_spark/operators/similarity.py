@@ -810,3 +810,110 @@ def range_search(
         .select("vec_id", "label", dist.alias("dist"))
         .filter(F.col("dist") <= radius)
     )
+
+
+def ivfpq_topk(
+    t: dict[str, DataFrame],
+    query_id: int = 0,
+    k: int = TOP_K,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    refine: int = 4,
+) -> DataFrame:
+    """O6 scale path #4: IVF+PQ — the two ANN tiers composed the way a
+    FAISS-style IVFPQ index composes them. Coarse quantizer (IVF cells)
+    prunes the scan to n_probe/n_centroids of the corpus; within the
+    probed cells the RESIDUAL (vector − cell centroid) is product-
+    quantized to `m` one-byte codes, and candidates are ranked by a
+    broadcast asymmetric-distance table before an exact re-rank of the
+    `refine·k` best. Residual quantization is what distinguishes IVFPQ
+    from flat PQ: residuals concentrate near zero, so the same codebook
+    budget buys materially better recall.
+
+    Scale shape: cell assignment + residual encoding are write-path costs
+    (store laid out clustered by cid, codes stored alongside); the read
+    path broadcasts three tiny models (centroids, codebooks, per-cell ADC
+    table = n_probe·m·n_codes floats) and scans m bytes/vector within the
+    probed cells only. No shuffle touches raw embeddings until the
+    refine·k exact re-rank. Approximate op → rows-only driver check;
+    recall is unit-tested against brute force (test_similarity.py)."""
+    emb = t["embeddings"]
+    cents, assigned = _ivf_assign(emb, n_centroids)
+
+    # residual = embedding − centroid(cid), map-only: centroid vectors are
+    # inlined by cid (cids are 0..n_centroids-1 by construction) so the
+    # subtraction fuses into the scan like _assign_cells' argmin does
+    rows = sorted(cents.collect(), key=lambda r: int(r["cid"]))
+    ce_arr = F.array(*[F.lit([float(x) for x in r["ce"]]) for r in rows])
+    my_ce = F.element_at(ce_arr, F.col("cid").cast("int") + 1)
+    resid = assigned.select(
+        "vec_id",
+        "label",
+        "cid",
+        F.zip_with("embedding", my_ce, lambda x, y: x - y).alias("residual"),
+    )
+
+    # shared residual codebooks per subspace, seeded from the corpus head
+    # (deterministic, same convention as pq_topk / ivf_topk)
+    d = dims // m
+    slices = F.array(*[F.slice("residual", i * d + 1, d) for i in range(m)])
+    subs = resid.select(
+        "vec_id", "cid", F.posexplode(slices).alias("sub_id", "subvec")
+    )
+    books = subs.filter(F.col("vec_id") < n_codes).select(
+        "sub_id", F.col("vec_id").alias("code"), F.col("subvec").alias("cvec")
+    )
+    encoded = (
+        subs.join(F.broadcast(books), "sub_id")
+        .select(
+            "vec_id",
+            "cid",
+            "sub_id",
+            F.struct(_sq_dist("subvec", "cvec").alias("d"), F.col("code")).alias("dc"),
+        )
+        .groupBy("vec_id", "cid", "sub_id")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "cid", "sub_id", F.col("best.code").alias("code"))
+    )
+
+    # probe: n_probe nearest cells to the query; per-cell query residual
+    q = _query_vectors(t, [query_id])
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            "ce",
+            V.euclidean_distance("ce", "query_vec").alias("qdist"),
+            F.zip_with("query_vec", "ce", lambda x, y: x - y).alias("qresid"),
+        )
+        .orderBy(F.asc("qdist"), F.asc("cid"))
+        .limit(n_probe)
+        .select("cid", "qresid")
+    )
+    qslices = F.array(*[F.slice("qresid", i * d + 1, d) for i in range(m)])
+    qsubs = probe.select("cid", F.posexplode(qslices).alias("sub_id", "qsub"))
+
+    # per-(cell, subspace, code) asymmetric-distance table — tiny broadcast
+    adc = books.join(qsubs, "sub_id").select(
+        "cid", "sub_id", "code", _sq_dist("cvec", "qsub").alias("qd")
+    )
+    cands = (
+        encoded.join(F.broadcast(adc), ["cid", "sub_id", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("approx_d"))
+        .filter(F.col("vec_id") != query_id)
+        .orderBy(F.asc("approx_d"), F.asc("vec_id"))
+        .limit(refine * k)
+        .select("vec_id")
+    )
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    return (
+        emb.join(F.broadcast(cands), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

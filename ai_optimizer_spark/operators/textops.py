@@ -325,3 +325,111 @@ def pii_redaction(t: dict[str, DataFrame]) -> DataFrame:
         F.length(redacted).cast("long").alias("redacted_len"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def _word_freq(docs: DataFrame) -> DataFrame:
+    """Distinct-word frequency table — the state BPE training actually
+    iterates over. The classic scale trick: merge statistics are counted
+    over word TYPES weighted by frequency, so after this one corpus-sized
+    aggregation every training round runs on the (much smaller) vocabulary
+    table, not the corpus."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), 0)
+    return (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _adjacent_pair_counts(syms: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol-pair counts over (syms: array<string>,
+    freq) rows: explode consecutive (a,b) pairs, sum freq per pair. One
+    partial-aggregable shuffle whose input is Σ(len-1) pair rows over the
+    vocabulary — independent of corpus size."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda i: F.struct(
+            F.element_at("syms", i).alias("a"),
+            F.element_at("syms", i + 1).alias("b"),
+        ),
+    )
+    return (
+        syms.filter(F.size("syms") >= 2)
+        .select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def _chars(col) -> "F.Column":
+    """String → array of single-character symbols (the BPE start state)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(F.sequence(F.lit(1), F.length(c)), lambda i: c.substr(i, F.lit(1)))
+
+
+def bpe_pair_counts(t: dict[str, DataFrame], k: int = 30) -> DataFrame:
+    """TX13: the inner statistic of BPE tokenizer training — corpus-wide
+    adjacent character-pair counts over the pre-tokenized vocabulary,
+    weighted by word frequency; the top pair is the next merge a trainer
+    would learn. Two aggregations total: one corpus-sized (word freq), one
+    vocabulary-sized (pair counts) — the 100 TB shape, since the second
+    shuffle's input no longer depends on corpus size."""
+    wf = _word_freq(t["documents"])
+    syms = wf.select(_chars("w").alias("syms"), "freq")
+    return (
+        _adjacent_pair_counts(syms)
+        .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )
+
+
+def _merge_pair(syms_col, a: str, b: str):
+    """Apply one learned merge to a symbol array: fold left, joining every
+    adjacent (a,b) into a single symbol. Pure Catalyst expression (no UDF):
+    the accumulator is the rebuilt array; each step either fuses with the
+    previous symbol or appends. Greedy left-to-right, matching the
+    reference BPE merge procedure."""
+    merged = a + b
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_learn(t: dict[str, DataFrame], n_merges: int = 8) -> DataFrame:
+    """TX14: BPE vocabulary learning — `n_merges` rounds of (count pairs →
+    take argmax → merge everywhere), the actual training loop of a
+    byte-pair tokenizer, run distributed. Per round the only driver-side
+    state is the single winning pair (a 1-row collect of a vocabulary-sized
+    aggregate); the merge application is a pure Catalyst fold over the
+    cached vocabulary table. Iterative algorithm → rows-only driver check;
+    parity with a pure-Python reference trainer is unit-tested
+    (tests/test_bpe.py).
+
+    Returns the learned merge table: (merge_rank, a, b, pair_count)."""
+    wf = _word_freq(t["documents"])
+    syms = wf.select(_chars("w").alias("syms"), "freq")
+    syms = syms.localCheckpoint(eager=True)  # truncate lineage across rounds
+    learned = []
+    for rank in range(n_merges):
+        best = (
+            _adjacent_pair_counts(syms)
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        r = best[0]
+        learned.append((rank, r["a"], r["b"], int(r["pair_count"])))
+        syms = syms.select(
+            _merge_pair(F.col("syms"), r["a"], r["b"]).alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+    spark = t["documents"].sparkSession
+    return spark.createDataFrame(
+        learned, "merge_rank int, a string, b string, pair_count bigint"
+    )

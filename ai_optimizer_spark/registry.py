@@ -2258,6 +2258,10 @@ _register(
 # recall vs brute force is unit-tested in tests/test_similarity.py.
 _register("v11_pq_topk", S.pq_topk, None)
 
+# IVF+PQ composed (residual quantization within probed cells) — same
+# rows-only convention as v9/v11; recall unit-tested vs brute force.
+_register("v17_ivfpq_topk", S.ivfpq_topk, None)
+
 _register(
     "u3_changed_concat",
     RF.changed_objects_union,
@@ -2771,6 +2775,258 @@ QUERIES["st9_streaming_token_assembly"] = _st9_streaming_token_assembly
 ORACLE_SQL["st9_streaming_token_assembly"] = _T6_ORACLE
 
 
+_register(
+    "smp7_leakage_safe_split",
+    SMP.leakage_safe_split,
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({OD.MINHASH_LSH}) q
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    cc AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.b AS node, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_h60("'split|' || CAST(cluster_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                WHEN {_h60("'split|' || CAST(cluster_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM clusters
+    """,
+)
+
+_register(
+    "d13_topic_clusters",
+    D.topic_clusters,
+    """
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 12
+    ),
+    assigned AS (
+        SELECT vec_id, label, ee, cid FROM (
+            SELECT e.vec_id, e.label, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    sizes AS (
+        SELECT a.cid, COUNT(*) AS n_vecs,
+               ROUND(CAST(SUM(CAST(ROUND(list_distance(a.ee, c.ce), 4) AS DECIMAL(14,4))) AS DOUBLE)
+                     / COUNT(*), 3) AS avg_dist
+        FROM assigned a JOIN cents c ON a.cid = c.cid
+        GROUP BY a.cid
+    ),
+    top AS (
+        SELECT cid, label AS top_label, n AS top_n FROM (
+            SELECT cid, label, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cid ORDER BY COUNT(*) DESC, label ASC
+                   ) AS rn
+            FROM assigned GROUP BY cid, label
+        ) WHERE rn = 1
+    )
+    SELECT s.cid, s.n_vecs, t.top_label,
+           ROUND(t.top_n / s.n_vecs, 3) AS top_label_share,
+           s.avg_dist
+    FROM sizes s JOIN top t ON s.cid = t.cid
+    ORDER BY s.cid
+    """,
+)
+
+_register(
+    "tx13_bpe_pair_counts",
+    TX.bpe_pair_counts,
+    """
+    WITH wf AS (
+        SELECT w, COUNT(*) AS freq
+        FROM (
+            SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS w
+            FROM documents
+        )
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+               substr(w, CAST(i AS INTEGER) + 1, 1) AS b,
+               freq
+        FROM wf, UNNEST(range(1, length(w))) AS t(i)
+        WHERE length(w) >= 2
+    )
+    SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY a, b
+    ORDER BY pair_count DESC, a ASC, b ASC
+    LIMIT 30
+    """,
+)
+
+# BPE learning is iterative (argmax + merge per round) — rows-only driver
+# check; exact parity with a pure-Python textbook trainer is unit-tested
+# (tests/test_bpe.py).
+_register("tx14_bpe_learn", TX.bpe_learn, None)
+
+_register(
+    "j20_volume_shipping",
+    R.volume_shipping,
+    """
+    SELECT supp_nation, cust_nation, CAST(l_year AS INTEGER) AS l_year,
+           CAST(ROUND(SUM(CAST(v AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM (
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               EXTRACT(year FROM l_shipdate) AS l_year,
+               l_extendedprice * (1.0 - l_discount) AS v
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND sn.n_name IN ('NATION_3', 'NATION_7')
+          AND cn.n_name IN ('NATION_3', 'NATION_7')
+          AND sn.n_name <> cn.n_name
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+
+_register(
+    "j21_profit_rollup",
+    R.profit_by_nation_year,
+    """
+    SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(ROUND(SUM(CAST(
+               l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity
+           AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+
+_register(
+    "a21_customer_order_distribution",
+    R.customer_order_distribution,
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+_register(
+    "j22_promo_revenue",
+    R.promo_revenue,
+    """
+    SELECT ROUND(
+               100.0
+               * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+                               ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+               4) AS promo_revenue_pct,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+
+_register(
+    "j23_top_supplier",
+    R.top_supplier,
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+
+_register(
+    "j24_small_qty_loss",
+    R.small_quantity_loss,
+    """
+    WITH brand_lines AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#5'
+    ),
+    avg_qty AS (
+        SELECT l_partkey AS a_partkey, 0.5 * AVG(l_quantity) AS half_avg_qty
+        FROM brand_lines GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2)
+               AS avg_yearly_loss,
+           COUNT(*) AS n_small_lines
+    FROM brand_lines JOIN avg_qty ON l_partkey = a_partkey
+    WHERE l_quantity < half_avg_qty
+    """,
+)
+
+_register(
+    "j25_waiting_supplier",
+    R.waiting_supplier,
+    """
+    WITH per_os AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END)
+                   AS was_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+        SELECT l_orderkey AS g_orderkey, COUNT(*) AS n_supps, SUM(was_late) AS n_late
+        FROM per_os GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per_os
+    JOIN per_order ON l_orderkey = g_orderkey AND n_supps >= 2 AND n_late = 1
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE was_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order priority
 # ---------------------------------------------------------------------------
@@ -2797,6 +3053,9 @@ _PRIORITY: list[str] = [
     "j15_market_share",
     "j16_small_qty_revenue",
     "j17_large_volume_orders",
+    "j20_volume_shipping",
+    "j25_waiting_supplier",
+    "a21_customer_order_distribution",
     # dedup family (scale-safe canonical forms) + clustering + curation e2e
     "d1_exact_dedup",
     "d2_ngram_jaccard_pairs",
@@ -2832,13 +3091,24 @@ _PRIORITY: list[str] = [
     "w8_balance_distribution",
     "v16_range_search_pruned",
     "smp5_temperature_mix",
-    "smp1_hash_split",
-    "smp2_stratified_sample",
     "v13_clustered_ivf_topk",
     # NL2SQL generation + evaluation e2e + deep parse
     "o15b_nl2sql_generated",
     "e2e_evaluation_report",
     "s5_deep_parse",
+    # positions 51+ — driver-verified only if the sample widens; the repo
+    # parity gate (tests/test_oracle_parity.py) checks them every session
+    "j21_profit_rollup",
+    "j22_promo_revenue",
+    "j23_top_supplier",
+    "j24_small_qty_loss",
+    "d13_topic_clusters",
+    "smp7_leakage_safe_split",
+    "tx13_bpe_pair_counts",
+    "tx14_bpe_learn",
+    "v17_ivfpq_topk",
+    "smp1_hash_split",
+    "smp2_stratified_sample",
 ]
 
 

@@ -43,6 +43,10 @@ HEADLINE = [
     "j13_local_supplier_volume",
     "j14_bucketed_order_revenue",
     "j15_market_share",
+    "j20_volume_shipping",
+    "j25_waiting_supplier",
+    "a21_customer_order_distribution",
+    "v17_ivfpq_topk",
     "st4_sliding_window_counts",
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
@@ -54,6 +58,7 @@ HEADLINE = [
     "tx9_tfidf_terms",
     "tx11_repetition_stats",
     "tx12_pii_redaction",
+    "tx13_bpe_pair_counts",
     "d12_decontamination",
     "v12_ann_recall",
     "v16_range_search_pruned",

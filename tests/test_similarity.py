@@ -171,3 +171,24 @@ def test_range_search_exact_and_pruning(spark, sf_small):
         .collect()
     }
     assert got_c == brute_c and len(got_c) > 0
+
+
+def test_ivfpq_recall_and_full_budget_exactness(spark, sf_small):
+    """IVFPQ with every cell probed and a generous refine budget must
+    recover the exact top-k (re-rank is exact cosine; the coarse+ADC cuts
+    are the only approximation); at the default budget recall must stay
+    useful."""
+    from ai_optimizer_spark.operators.similarity import cosine_topk, ivfpq_topk
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    exact = {r.vec_id for r in cosine_topk(t, query_id=0, k=8).collect()}
+    generous = {
+        r.vec_id
+        for r in ivfpq_topk(
+            t, query_id=0, k=8, n_centroids=8, n_probe=8, refine=1000
+        ).collect()
+    }
+    assert generous == exact
+    default = {r.vec_id for r in ivfpq_topk(t, query_id=0, k=8).collect()}
+    assert len(default & exact) >= 4

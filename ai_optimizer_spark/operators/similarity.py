@@ -156,7 +156,7 @@ def knn_self_join(t: dict[str, DataFrame], k: int = 3, limit_queries: int = 50) 
     )
 
 
-def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_cells(emb: DataFrame, cents: DataFrame, rows=None) -> DataFrame:
     """Cell assignment, map-only: the centroid set is a tiny model, so it is
     collected once and inlined as an array-of-structs expression; every
     vector computes argmin(dist, cid) inside a single projection
@@ -168,8 +168,10 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     fuses into the scan — zero shuffles — which is the correct 100 TB shape:
     centroids ship to workers as part of the plan (exactly how FAISS-style
     IVF distributes its coarse quantizer), and the write path clusters the
-    store by the resulting cid."""
-    rows = cents.collect()
+    store by the resulting cid. `rows` lets a caller that already collected
+    the centroid model (e.g. ivfpq_topk) skip the duplicate collect job."""
+    if rows is None:
+        rows = cents.collect()
     # one array literal per centroid (not one scalar literal per dim) keeps
     # the expression tree small — codegen compiles in milliseconds even at
     # high dim, and the literal ships once inside the serialized plan
@@ -827,92 +829,134 @@ def ivfpq_topk(
     FAISS-style IVFPQ index composes them. Coarse quantizer (IVF cells)
     prunes the scan to n_probe/n_centroids of the corpus; within the
     probed cells the RESIDUAL (vector − cell centroid) is product-
-    quantized to `m` one-byte codes, and candidates are ranked by a
-    broadcast asymmetric-distance table before an exact re-rank of the
-    `refine·k` best. Residual quantization is what distinguishes IVFPQ
-    from flat PQ: residuals concentrate near zero, so the same codebook
-    budget buys materially better recall.
+    quantized to `m` codes, and candidates are ranked by an asymmetric-
+    distance table before an exact re-rank of the `refine·k` best.
+    Residual quantization is what distinguishes IVFPQ from flat PQ:
+    residuals concentrate near zero, so the same codebook budget buys
+    materially better recall.
 
-    Scale shape: cell assignment + residual encoding are write-path costs
-    (store laid out clustered by cid, codes stored alongside); the read
-    path broadcasts three tiny models (centroids, codebooks, per-cell ADC
-    table = n_probe·m·n_codes floats) and scans m bytes/vector within the
-    probed cells only. No shuffle touches raw embeddings until the
-    refine·k exact re-rank. Approximate op → rows-only driver check;
-    recall is unit-tested against brute force (test_similarity.py)."""
+    Read-path plan shape — ZERO shuffles before the top-k: every model is
+    tiny and ships inside the plan (centroids n_centroids·dims floats,
+    codebooks m·n_codes·(dims/m) floats, ADC table n_probe·m·n_codes
+    doubles — the exact artifacts a FAISS index file holds), so cell
+    assignment, probe filter, code argmin, and the ADC sum are ONE fused
+    projection over the scan, followed by TakeOrderedAndProject for the
+    refine·k cut and a broadcast-semi-join exact re-rank. At 100 TB the
+    store is written clustered by cid with codes precomputed alongside
+    (write-path cost), making the probe filter partition pruning and the
+    projection a lookup instead of an argmin. Approximate op → rows-only
+    driver check; recall is unit-tested against brute force
+    (tests/test_similarity.py)."""
     emb = t["embeddings"]
-    cents, assigned = _ivf_assign(emb, n_centroids)
 
-    # residual = embedding − centroid(cid), map-only: centroid vectors are
-    # inlined by cid (cids are 0..n_centroids-1 by construction) so the
-    # subtraction fuses into the scan like _assign_cells' argmin does
-    rows = sorted(cents.collect(), key=lambda r: int(r["cid"]))
-    ce_arr = F.array(*[F.lit([float(x) for x in r["ce"]]) for r in rows])
-    my_ce = F.element_at(ce_arr, F.col("cid").cast("int") + 1)
-    resid = assigned.select(
-        "vec_id",
-        "label",
-        "cid",
-        F.zip_with("embedding", my_ce, lambda x, y: x - y).alias("residual"),
+    # --- driver-side model fit (bounded: n_centroids + n_codes rows, ONE
+    # collect job for centroids+codebook seeds+query) ---
+    model_rows = (
+        emb.filter((F.col("vec_id") < max(n_centroids, n_codes)) | (F.col("vec_id") == query_id))
+        .select("vec_id", "embedding")
+        .collect()
     )
+    by_id = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in model_rows}
+    C = [by_id[c] for c in range(n_centroids)]
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    assigned = _assign_cells(
+        emb, cents, rows=[{"cid": c, "ce": C[c]} for c in range(n_centroids)]
+    )
+    d = dims // m
+
+    def _d2(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc += (x - y) ** 2
+        return acc
 
     # shared residual codebooks per subspace, seeded from the corpus head
-    # (deterministic, same convention as pq_topk / ivf_topk)
-    d = dims // m
-    slices = F.array(*[F.slice("residual", i * d + 1, d) for i in range(m)])
-    subs = resid.select(
-        "vec_id", "cid", F.posexplode(slices).alias("sub_id", "subvec")
-    )
-    books = subs.filter(F.col("vec_id") < n_codes).select(
-        "sub_id", F.col("vec_id").alias("code"), F.col("subvec").alias("cvec")
-    )
-    encoded = (
-        subs.join(F.broadcast(books), "sub_id")
-        .select(
-            "vec_id",
-            "cid",
-            "sub_id",
-            F.struct(_sq_dist("subvec", "cvec").alias("d"), F.col("code")).alias("dc"),
-        )
-        .groupBy("vec_id", "cid", "sub_id")
-        .agg(F.min("dc").alias("best"))
-        .select("vec_id", "cid", "sub_id", F.col("best.code").alias("code"))
-    )
+    # (deterministic, same convention as pq_topk / ivf_topk): codebook
+    # entry `code` of subspace `s` is that head vector's residual slice
+    books: list[list[list[float]]] = [[None] * n_codes for _ in range(m)]
+    for code in range(n_codes):
+        e = by_id[code]
+        cid = min(range(len(C)), key=lambda c: (_d2(e, C[c]), c))
+        resid = [x - y for x, y in zip(e, C[cid])]
+        for s in range(m):
+            books[s][code] = resid[s * d : (s + 1) * d]
 
-    # probe: n_probe nearest cells to the query; per-cell query residual
-    q = _query_vectors(t, [query_id])
-    probe = (
-        cents.crossJoin(F.broadcast(q))
-        .select(
-            "cid",
-            "ce",
-            V.euclidean_distance("ce", "query_vec").alias("qdist"),
-            F.zip_with("query_vec", "ce", lambda x, y: x - y).alias("qresid"),
+    # probe the n_probe nearest cells; per-cell ADC table from the
+    # query residual: qd[p][s][c] = ||q_resid_slice − codebook[s][c]||²
+    qe = by_id[query_id]
+    probed = sorted(range(len(C)), key=lambda c: (_d2(qe, C[c]), c))[:n_probe]
+    qd = []
+    for cid in probed:
+        qresid = [x - y for x, y in zip(qe, C[cid])]
+        qd.append(
+            [
+                [_d2(qresid[s * d : (s + 1) * d], books[s][c]) for c in range(n_codes)]
+                for s in range(m)
+            ]
         )
-        .orderBy(F.asc("qdist"), F.asc("cid"))
-        .limit(n_probe)
-        .select("cid", "qresid")
-    )
-    qslices = F.array(*[F.slice("qresid", i * d + 1, d) for i in range(m)])
-    qsubs = probe.select("cid", F.posexplode(qslices).alias("sub_id", "qsub"))
 
-    # per-(cell, subspace, code) asymmetric-distance table — tiny broadcast
-    adc = books.join(qsubs, "sub_id").select(
-        "cid", "sub_id", "code", _sq_dist("cvec", "qsub").alias("qd")
+    # --- map-only candidate scoring, inlined models ---
+    ce_arr = F.array(*[F.lit(C[c]) for c in range(len(C))])
+    books_arr = F.array(
+        *[F.array(*[F.lit(books[s][c]) for c in range(n_codes)]) for s in range(m)]
+    )
+    qd_arr = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in qd[p][s]]) for s in range(m)])
+            for p in range(len(probed))
+        ]
+    )
+    probe_arr = F.array(*[F.lit(c).cast("long") for c in probed])
+    resid = F.zip_with(
+        "embedding", F.element_at(ce_arr, F.col("cid").cast("int") + 1), lambda x, y: x - y
+    )
+    sub_d2 = lambda rs, cv: F.aggregate(  # noqa: E731
+        F.zip_with(rs, cv, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qd_cell = F.element_at(qd_arr, F.col("ppos").cast("int"))
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(qd_cell, s.cast("int") + 1),
+            F.array_min(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                    lambda c: F.struct(
+                        sub_d2(
+                            F.slice(F.col("resid"), s.cast("int") * d + 1, d),
+                            F.element_at(
+                                F.element_at(books_arr, s.cast("int") + 1),
+                                c.cast("int") + 1,
+                            ),
+                        ).alias("dd"),
+                        c.alias("code"),
+                    ),
+                )
+            )["code"].cast("int")
+            + 1,
+        ),
     )
     cands = (
-        encoded.join(F.broadcast(adc), ["cid", "sub_id", "code"])
-        .groupBy("vec_id")
-        .agg(F.sum("qd").alias("approx_d"))
+        assigned.withColumn("ppos", F.array_position(probe_arr, F.col("cid")))
+        .filter(F.col("ppos") > 0)
+        .withColumn("resid", resid)
+        .select("vec_id", approx.alias("approx_d"))
         .filter(F.col("vec_id") != query_id)
         .orderBy(F.asc("approx_d"), F.asc("vec_id"))
         .limit(refine * k)
         .select("vec_id")
     )
-    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    # exact re-rank with the query inlined (it is already in the collected
+    # model — no extra scan job / crossJoin needed)
+    sim = F.round(V.cosine_similarity("embedding", F.lit(qe)), 3) + F.lit(0.0)
     return (
         emb.join(F.broadcast(cands), "vec_id", "left_semi")
-        .crossJoin(F.broadcast(q))
         .select("vec_id", "label", sim.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)

@@ -242,3 +242,29 @@ def test_simhash_signatures_fuse_into_scan(spark):
     # remaining HashAggregates belong to the output distinct only.
     assert "sum(shiftright" not in plan
     assert plan.count("HashAggregate") <= 4  # 2 nodes (distinct partial+final), each printed twice in formatted output
+
+
+def test_simhash_pairs_join_reads_materialized_signatures(spark):
+    """Both sides of the simhash self-join must read the checkpointed
+    signature rows (ExistingRDD scans), not re-derive them from documents:
+    without the barrier the signature fold re-evaluates per candidate pair
+    (measured 93 s vs 1.4 s at sf0.1). A plan that scans the documents
+    parquet inside the join subtree is the regression."""
+    p = plan_of(spark, "d4_simhash_pairs")
+    assert p.count("Scan ExistingRDD") >= 2
+    assert "documents.parquet" not in p
+
+
+def test_volume_shipping_single_fact_shuffle(spark):
+    """Q7 shape: supplier/customer nation maps broadcast; no nested loop."""
+    p = plan_of(spark, "j20_volume_shipping")
+    assert "BroadcastNestedLoop" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_topic_clusters_assignment_map_only(spark):
+    """d13: centroid assignment is inlined (no join/exchange below the
+    first aggregate over (cid,label))."""
+    p = plan_of(spark, "d13_topic_clusters")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p

@@ -668,3 +668,65 @@ def topic_clusters(t: dict[str, DataFrame], k: int = 12) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+def minhash_band_keys(docs: DataFrame) -> DataFrame:
+    """Map-only (doc_id, band, key) LSH band index rows: the per-doc minhash
+    signature computed as array-min folds over the shingle set (no
+    explode+groupBy — bit-identical values to minhash_lsh_pairs' aggregate
+    form, same universal-hash family), then one row per band. STATELESS,
+    which is what lets the same expression run on a STREAM side (st12) —
+    a per-doc aggregation would need shuffle state; a fold does not."""
+    base = F.transform(T.word_shingles("text", SHINGLE_N), lambda s: T.hash60(s))
+    rem = F.transform(base, lambda h: h % F.lit(T.MINHASH_P))
+    def _mh(s: int):
+        # factory closure: a `lambda r, s=s:` default would make Spark pass
+        # the array INDEX as the second lambda argument
+        return F.array_min(
+            F.transform(
+                rem,
+                lambda r: (F.lit(T.MINHASH_A[s]) * r + F.lit(T.MINHASH_B[s]))
+                % F.lit(T.MINHASH_P),
+            )
+        )
+
+    mhs = [_mh(s) for s in range(MINHASH_HASHES)]
+    n_bands = MINHASH_HASHES // LSH_BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":", *[mhs[b * LSH_BAND_ROWS + r].cast("string") for r in range(LSH_BAND_ROWS)]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        docs.filter(F.size(T.word_shingles("text", SHINGLE_N)) > 0)
+        .select("doc_id", F.explode(bands).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
+def streaming_neardup_candidates_batch(t: dict[str, DataFrame]) -> DataFrame:
+    """ST12 batch twin: incoming docs' band keys joined against the corpus
+    band index — the candidate feed an always-on ingest consults BEFORE
+    admitting a document (the streaming complement of d3's offline pairs).
+    Directional: (new_doc, index_doc) with band-collision count; the
+    verification (exact Jaccard) happens downstream on this tiny feed.
+
+    Scale shape: the index side is the STORED band table (written clustered
+    by (band, key)); the probe is an equi-join on it — per arriving doc,
+    ~n_bands lookups. Nothing about the corpus is rescanned per batch."""
+    bands = minhash_band_keys(t["documents"])
+    idx = bands.select(
+        F.col("doc_id").alias("index_doc"), "band", "key"
+    )
+    return (
+        bands.join(idx, ["band", "key"])
+        .filter(F.col("doc_id") != F.col("index_doc"))
+        .groupBy(F.col("doc_id").alias("new_doc"), "index_doc")
+        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+    )

@@ -147,3 +147,137 @@ def attributed_purchases(t: dict[str, DataFrame]) -> DataFrame:
             "purchase_value",
         )
     )
+
+
+FUNNEL_STEPS = ("view", "click", "signup", "purchase")
+
+
+def funnel_steps(t: dict[str, DataFrame]) -> DataFrame:
+    """ST11: ordered funnel analysis — of the users who ever did step 1,
+    how many went on to do step 2 strictly later, then step 3 after that,
+    etc. (view → click → signup → purchase). The sequential dependency
+    (each step's timestamp must exceed the user's PREVIOUS step timestamp)
+    is what distinguishes a funnel from four independent counts.
+
+    Spark shape: step k is a per-user min-aggregate of step-k events later
+    than the step-(k-1) timestamp — a chain of filters + groupBys all
+    keyed on user_id, so AQE reuses one user partitioning across the whole
+    chain; each stage's input shrinks monotonically. The final conversion
+    table is 4 rows through a trivial window. At 100 TB the event scan is
+    type-pruned per step and nothing besides (user_id, ts) ever shuffles."""
+    ev = t["events"].select("user_id", "event_type", "ts")
+    prev = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("step_ts"))
+    )
+    counts = [prev.select(F.count(F.lit(1)).alias("n_users")).withColumn(
+        "step", F.lit(f"1_{FUNNEL_STEPS[0]}")
+    )]
+    for i, etype in enumerate(FUNNEL_STEPS[1:], start=2):
+        nxt = (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev.select("user_id", F.col("step_ts").alias("prev_ts")), "user_id")
+            .filter(F.col("ts") > F.col("prev_ts"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("step_ts"))
+        )
+        counts.append(
+            nxt.select(F.count(F.lit(1)).alias("n_users")).withColumn(
+                "step", F.lit(f"{i}_{etype}")
+            )
+        )
+        prev = nxt
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    w = Window.orderBy("step")
+    first = F.first("n_users").over(
+        Window.orderBy("step").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_n = F.lag("n_users", 1, None).over(w)
+    return out.select(
+        "step",
+        "n_users",
+        F.round(F.col("n_users") / first, 4).alias("pct_of_first"),
+        F.round(F.col("n_users") / F.coalesce(prev_n, F.col("n_users")), 4).alias(
+            "pct_of_prev"
+        ),
+    )
+
+
+def cohort_retention(t: dict[str, DataFrame], max_weeks: int = 8) -> DataFrame:
+    """A22: cohort retention triangle — users grouped by signup week
+    (cohort = week of their FIRST signup event), tracked by how many were
+    active again N weeks later. The companion report to the funnel: the
+    funnel measures conversion depth, retention measures durability.
+
+    Spark shape: cohort assignment is one per-user min-aggregate; activity
+    is a (user, week) distinct; both shuffle on user_id once and join on
+    the same partitioning, then the output collapses to at most
+    |cohorts| × max_weeks cells. At 100 TB nothing besides (user_id, ts
+    week) ever moves."""
+    ev = t["events"].select("user_id", "event_type", "ts")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    weeks_between = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    return (
+        activity.join(cohorts, "user_id")
+        .select("user_id", "cohort_week", weeks_between.alias("week_offset"))
+        .filter((F.col("week_offset") >= 0) & (F.col("week_offset") < max_weeks))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def scd2_state_history(t: dict[str, DataFrame]) -> DataFrame:
+    """T8: slowly-changing-dimension (type 2) history construction — turn a
+    mutation log into validity intervals: per user, consecutive runs of
+    the same state (event_type here) collapse into one row with
+    [valid_from, valid_to) and a version number; the current state has
+    valid_to = NULL. The warehouse-side complement of J4's diff join: J4
+    detects what changed now, SCD2 records every state the dimension ever
+    had — the reference's refresh pipeline overwrites in place
+    (embed/refresh.py), so this is the history it discards.
+
+    Spark shape: one shuffle on user_id feeds both window passes (change
+    flag via lag, version via running sum) and the per-version aggregate;
+    valid_to comes from one more lead over the (tiny) per-version rows.
+    The mutation log never re-shuffles."""
+    ev = t["events"].select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    versioned = flagged.withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = versioned.groupBy("user_id", "version").agg(
+        F.first("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    )

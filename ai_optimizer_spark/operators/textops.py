@@ -433,3 +433,165 @@ def bpe_learn(t: dict[str, DataFrame], n_merges: int = 8) -> DataFrame:
     return spark.createDataFrame(
         learned, "merge_rank int, a string, b string, pair_count bigint"
     )
+
+
+def bpe_tokenize(t: dict[str, DataFrame], n_merges: int = 8) -> DataFrame:
+    """TX15: apply a learned BPE merge table to the corpus — the read side
+    of the tokenizer whose write side is `bpe_learn`. Emits the per-doc
+    accounting a data pipeline tracks after switching tokenizers:
+    subword count, unique subwords, and chars-per-subword compression.
+
+    Spark shape: the merge table is tiny driver-side state (it IS the
+    tokenizer model) applied inside an Arrow-batched pandas UDF — BPE's
+    sequential merge loop over each word is the canonical "semantics no
+    built-in expresses efficiently" case (SURVEY §2.10): per-word
+    Python-loop cost, Arrow batch transfer, zero shuffle. The pre-tokenize
+    + per-word merge application parallelizes embarrassingly; token counts
+    aggregate map-side."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    merges = [
+        (r["a"], r["b"]) for r in bpe_learn(t, n_merges=n_merges).collect()
+    ]
+    pretoken = __import__("re").compile(BPE_PRETOKEN_RE)
+
+    def _apply(word: str) -> list[str]:
+        syms = list(word)
+        for a, b in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_subwords", LongType()),
+            StructField("n_uniq_subwords", LongType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+
+    def _tokenize(batches):
+        # per-batch word->tokenization memo: corpora repeat words heavily,
+        # so the merge loop runs once per distinct word per batch
+        for pdf in batches:
+            memo: dict[str, list[str]] = {}
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_sub = 0
+                uniq = set()
+                n_chars = 0
+                for w in pretoken.findall(text):
+                    toks = memo.get(w)
+                    if toks is None:
+                        toks = _apply(w)
+                        memo[w] = toks
+                    n_sub += len(toks)
+                    uniq.update(toks)
+                    n_chars += len(w)
+                rows.append((int(doc_id), n_sub, len(uniq), n_chars))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_subwords", "n_uniq_subwords", "n_chars"])
+
+    docs = t["documents"].select("doc_id", "text")
+    out = docs.mapInPandas(_tokenize, schema)
+    return out.select(
+        "doc_id",
+        "n_subwords",
+        "n_uniq_subwords",
+        F.round(F.col("n_chars") / F.greatest(F.col("n_subwords"), F.lit(1)), 3).alias(
+            "chars_per_subword"
+        ),
+    )
+
+
+def chunk_documents_udtf(t: dict[str, DataFrame]) -> DataFrame:
+    """F17: the chunker as a REAL Python UDTF (SURVEY §2.10) — one input
+    row → N chunk rows via a lateral table function, the literal Spark 4
+    form of the reference's loader/splitter extension point
+    (embed/document.py:69-110). Bit-identical output contract to
+    `chunk_documents` (tx5), which remains the production form: the
+    posexplode expression tier runs JVM-side with no Python in the loop,
+    while this tier demonstrates the extension-point mechanism (arbitrary
+    Python per input row, engine-managed fan-out). Same oracle as tx5."""
+    from pyspark.sql.functions import udtf
+
+    spark = t["documents"].sparkSession
+
+    @udtf(returnType=(
+        "doc_id bigint, chunk_id string, start_index int, "
+        "chunk_text string, chunk_len int"
+    ))
+    class ChunkUDTF:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            n = len(text)
+            idx = 0
+            start = 0
+            while (start == 0 and n > 0) or (start > 0 and start + 20 < n):
+                idx += 1
+                chunk = text[start : start + 100]
+                yield (doc_id, f"{doc_id}_{idx}", start, chunk, len(chunk))
+                start += 80
+
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    t["documents"].select("doc_id", "text").createOrReplaceTempView("__docs_src")
+    return spark.sql(
+        "SELECT c.* FROM __docs_src, LATERAL chunk_udtf(doc_id, text) c"
+    )
+
+
+def source_median_quality(t: dict[str, DataFrame]) -> DataFrame:
+    """A23: per-source EXACT median quality via a pandas grouped-aggregate
+    UDF — the UDAF leg of the §2.10 extension surface (f17 is the UDTF
+    leg; D3's embedder the scalar-iterator leg). Exact medians are the
+    standard UDAF example because no built-in aggregate composes one
+    (percentile_approx is approximate); the Arrow-batched grouped-agg form
+    gets partial-aggregation-free but shuffle-bounded semantics: one
+    exchange on `source`, each group's quality vector reduced in a single
+    numpy call. At 100 TB per-group state is the group's values — fine for
+    bounded groups (sources); unbounded groups would use the t-digest
+    sketch in a15 instead."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _median(v):
+        return float(v.median())
+
+    # annotations set explicitly as live objects: the module's
+    # `from __future__ import annotations` would stringify inline hints,
+    # and pandas_udf's eval-type inference can't resolve them against a
+    # function-local pandas import
+    _median.__annotations__ = {"v": pd.Series, "return": float}
+    median_udaf = pandas_udf(_median, "double")
+
+    def _count(v):
+        return len(v)
+
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one agg(), so the count rides as a second UDAF
+    _count.__annotations__ = {"v": pd.Series, "return": int}
+    count_udaf = pandas_udf(_count, "long")
+
+    docs = t["documents"]
+    w = T.words("text")
+    _, _, _, quality = quality_parts(w)
+    return (
+        docs.select("source", quality.alias("quality"))
+        .groupBy("source")
+        .agg(
+            F.round(median_udaf("quality"), 4).alias("median_quality"),
+            count_udaf("quality").alias("n_docs"),
+        )
+        .orderBy("source")
+    )

@@ -182,3 +182,28 @@ DEDUP_CLUSTERS = f"""
            (node = MIN(label)) AS is_canonical
     FROM cc GROUP BY node
 """
+
+
+# ST12: LSH band-collision candidate feed (directional, pre-verification) —
+# the stream-static join's result equals this static self-join by Structured
+# Streaming's semantics (streaming result = batch query over the full input).
+STREAMING_NEARDUP_CANDIDATES = f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS base
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_minhash_cols()}
+        FROM hashed
+        GROUP BY doc_id
+    ),
+    bands AS (
+        {_bands_union()}
+    )
+    SELECT ba.doc_id AS new_doc, bb.doc_id AS index_doc, COUNT(*) AS n_band_hits
+    FROM bands ba
+    JOIN bands bb ON ba.band = bb.band AND ba.key = bb.key AND ba.doc_id <> bb.doc_id
+    GROUP BY 1, 2
+"""

@@ -2776,6 +2776,141 @@ ORACLE_SQL["st9_streaming_token_assembly"] = _T6_ORACLE
 
 
 _register(
+    "st11_funnel_steps",
+    E.funnel_steps,
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS step_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS step_ts FROM events e
+        JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.step_ts
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS step_ts FROM events e
+        JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.step_ts
+        WHERE e.event_type = 'signup' GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS step_ts FROM events e
+        JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.step_ts
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    steps AS (
+        SELECT '1_view' AS step, COUNT(*) AS n_users FROM s1
+        UNION ALL SELECT '2_click', COUNT(*) FROM s2
+        UNION ALL SELECT '3_signup', COUNT(*) FROM s3
+        UNION ALL SELECT '4_purchase', COUNT(*) FROM s4
+    )
+    SELECT step, n_users,
+           ROUND(n_users / FIRST_VALUE(n_users) OVER (ORDER BY step), 4) AS pct_of_first,
+           ROUND(n_users / COALESCE(LAG(n_users) OVER (ORDER BY step), n_users), 4) AS pct_of_prev
+    FROM steps
+    """,
+)
+
+# F17: the chunker as a REAL Python UDTF (lateral table function) —
+# §2.10's extension-point mechanism demonstrated literally; bit-identical
+# contract to tx5, so it shares tx5's oracle.
+_register("f17_chunk_udtf", TX.chunk_documents_udtf, None)
+ORACLE_SQL["f17_chunk_udtf"] = ORACLE_SQL["tx5_chunk_documents"]
+
+_register(
+    "st12b_neardup_candidates_batch",
+    D.streaming_neardup_candidates_batch,
+    OD.STREAMING_NEARDUP_CANDIDATES,
+)
+
+
+def _st12_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.event_stream import streaming_neardup_candidates
+
+    return streaming_neardup_candidates(spark, sf_dir)
+
+
+QUERIES["st12_streaming_neardup_candidates"] = _st12_streaming_neardup
+ORACLE_SQL["st12_streaming_neardup_candidates"] = OD.STREAMING_NEARDUP_CANDIDATES
+
+_register(
+    "t8_scd2_history",
+    E.scd2_state_history,
+    """
+    WITH flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN LAG(event_type) OVER w IS NULL
+                         OR LAG(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versioned AS (
+        SELECT user_id, event_type, ts,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, version, MIN(event_type) AS state,
+               MIN(ts) AS valid_from, COUNT(*) AS n_events
+        FROM versioned GROUP BY user_id, version
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+           n_events
+    FROM runs
+    """,
+)
+
+_register(
+    "a23_source_median_quality",
+    TX.source_median_quality,
+    f"""
+    WITH w AS (
+        SELECT source, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
+    ),
+    m AS (
+        SELECT source,
+               len(words) * 1.0 AS n,
+               len(list_filter(words, x -> x IN {TX.STOPWORDS!r})) * 1.0 AS n_stop,
+               len(list_distinct(words)) * 1.0 AS n_uniq
+        FROM w
+    ),
+    q AS (
+        SELECT source,
+               ROUND(0.4 * LEAST(1.0, n / 50.0) + 0.3 * (n_uniq / n) + 0.3 * (1.0 - n_stop / n), 3) AS quality
+        FROM m
+    )
+    SELECT source, ROUND(median(quality), 4) AS median_quality, COUNT(*) AS n_docs
+    FROM q GROUP BY source ORDER BY source
+    """,
+)
+
+_register(
+    "a22_cohort_retention",
+    E.cohort_retention,
+    """
+    WITH cohorts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_active
+    FROM (
+        SELECT a.user_id, c.cohort_week,
+               CAST(date_diff('day', c.cohort_week, a.active_week) / 7 AS INTEGER) AS week_offset
+        FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    )
+    WHERE week_offset >= 0 AND week_offset < 8
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+
+_register(
     "smp7_leakage_safe_split",
     SMP.leakage_safe_split,
     f"""
@@ -2876,6 +3011,12 @@ _register(
 # check; exact parity with a pure-Python textbook trainer is unit-tested
 # (tests/test_bpe.py).
 _register("tx14_bpe_learn", TX.bpe_learn, None)
+
+# BPE tokenization applies the learned merge model inside an Arrow-batched
+# mapInPandas (the sequential merge loop is the canonical pandas-UDF case);
+# iterative model fit upstream → rows-only driver check, parity with the
+# Python reference tokenizer unit-tested (tests/test_bpe.py).
+_register("tx15_bpe_tokenize", TX.bpe_tokenize, None)
 
 _register(
     "j20_volume_shipping",
@@ -3106,6 +3247,14 @@ _PRIORITY: list[str] = [
     "smp7_leakage_safe_split",
     "tx13_bpe_pair_counts",
     "tx14_bpe_learn",
+    "tx15_bpe_tokenize",
+    "st11_funnel_steps",
+    "a22_cohort_retention",
+    "a23_source_median_quality",
+    "f17_chunk_udtf",
+    "st12_streaming_neardup_candidates",
+    "st12b_neardup_candidates_batch",
+    "t8_scd2_history",
     "v17_ivfpq_topk",
     "smp1_hash_split",
     "smp2_stratified_sample",

@@ -314,3 +314,31 @@ def run_segment_purchases_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"st_segments_{uuid.uuid4().hex[:12]}"
     plan = segment_purchase_stats(events_stream(spark, sf_dir), customer)
     return run_to_memory(spark, plan, name, timeout_sec=300)
+
+
+def streaming_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST12: streaming near-dup candidate feed — arriving documents' LSH
+    band keys (computed STATELESSLY per row via the array-min fold in
+    minhash_band_keys; a per-doc aggregation would need keyed state, a
+    fold needs none) joined against the STATIC corpus band index — a
+    stream-static equi-join, the always-on ingest form of d3's offline
+    candidate generation. Aggregated to (new_doc, index_doc, n_band_hits)
+    in complete mode; exact-Jaccard verification consumes this tiny feed
+    downstream. Same plan as the batch twin
+    (operators/dedup.streaming_neardup_candidates_batch) → same oracle."""
+    from ..operators.dedup import minhash_band_keys
+
+    docs = documents_stream(spark, sf_dir)
+    stream_bands = minhash_band_keys(docs)
+    static_index = minhash_band_keys(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select(F.col("doc_id").alias("index_doc"), "band", "key")
+    plan = (
+        stream_bands.join(static_index, ["band", "key"])
+        .filter(F.col("doc_id") != F.col("index_doc"))
+        .groupBy(F.col("doc_id").alias("new_doc"), "index_doc")
+        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+    )
+    import uuid
+
+    return run_to_memory(spark, plan, f"st12_{uuid.uuid4().hex[:8]}")

@@ -66,6 +66,10 @@ HEADLINE = [
     "smp6_sequence_packing",
     "t6_token_stream_assembly",
     "st2_sessionize",
+    "st11_funnel_steps",
+    "a22_cohort_retention",
+    "d13_topic_clusters",
+    "smp7_leakage_safe_split",
     "e2e_curation_pipeline",
 ]
 N_PASSES = 2  # report min-of-N: isolates plan cost from JIT/codegen warm-up

@@ -101,3 +101,84 @@ def test_bpe_learn_matches_python_reference(spark, sf_small):
     # counts are positive and ranks are dense
     assert [g[0] for g in got] == list(range(len(got)))
     assert all(g[3] > 0 for g in got)
+
+
+def test_bpe_tokenize_matches_python_reference(spark, sf_small):
+    from ai_optimizer_spark.operators.textops import bpe_tokenize
+
+    t = load_tables(spark, sf_small)
+    texts = {
+        r.doc_id: r.text
+        for r in t["documents"].select("doc_id", "text").collect()
+    }
+    merges = [(a, b) for _, a, b, _ in _py_bpe_learn(list(texts.values()), 6)]
+
+    def tok(word):
+        syms = list(word)
+        for a, b in merges:
+            syms = list(_py_merge(syms, a, b))
+        return syms
+
+    got = {
+        r.doc_id: (r.n_subwords, r.n_uniq_subwords, r.chars_per_subword)
+        for r in bpe_tokenize(t, n_merges=6).collect()
+    }
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        n_sub, uniq, n_chars = 0, set(), 0
+        for w in re.findall(BPE_PRETOKEN_RE, text):
+            toks = tok(w)
+            n_sub += len(toks)
+            uniq.update(toks)
+            n_chars += len(w)
+        exp_cps = round(n_chars / max(n_sub, 1), 3)
+        assert got[doc_id][0] == n_sub
+        assert got[doc_id][1] == len(uniq)
+        assert abs(got[doc_id][2] - exp_cps) < 1e-9
+
+
+def test_merge_fold_property(spark):
+    """Property test: the Catalyst fold in _merge_pair implements greedy
+    left-to-right non-overlapping pair merging exactly — checked against
+    the Python reference over randomized symbol sequences, including the
+    overlap traps ('aaa' with (a,a) → [aa, a]) and merged-symbol
+    collisions."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.operators.textops import _merge_pair
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "ab", "ba", "aa"]
+    cases = []
+    for _ in range(120):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(0, 10))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((syms, a, b))
+    # degenerate overlap traps, explicitly
+    cases += [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b", "a"], "a", "b"),
+        ([], "a", "b"),
+        (["b"], "a", "b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)], "i int, syms array<string>"
+    )
+    # group cases by (a,b) so each merge pair evaluates as one expression
+    by_pair: dict = {}
+    for i, (syms, a, b) in enumerate(cases):
+        by_pair.setdefault((a, b), []).append(i)
+    got = {}
+    for (a, b), idxs in by_pair.items():
+        rows = (
+            df.filter(F.col("i").isin(idxs))
+            .select("i", _merge_pair(F.col("syms"), a, b).alias("m"))
+            .collect()
+        )
+        for r in rows:
+            got[r.i] = list(r.m)
+    for i, (syms, a, b) in enumerate(cases):
+        assert got[i] == list(_py_merge(syms, a, b)), (syms, a, b, got[i])

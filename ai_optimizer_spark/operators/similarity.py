@@ -961,3 +961,87 @@ def ivfpq_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def filtered_topk(
+    t: dict[str, DataFrame],
+    query_id: int = 0,
+    k: int = TOP_K,
+    label_filter: int = 1,
+) -> DataFrame:
+    """V18: metadata-filtered vector search — top-k among only the vectors
+    whose metadata matches a predicate (label here; in the reference the
+    analog is per-store scoping + Deep-Data-Security row filters on the
+    retriever, mcp/tools/vs_retriever.py). PRE-filter strategy: the
+    predicate is applied before scoring, so selectivity prunes the scan —
+    the right default when the predicate reaches the storage layer
+    (parquet predicate pushdown / partition pruning on the label column).
+    The alternative (post-filter after an unfiltered top-k) under-returns
+    when the filter is selective — the classic filtered-ANN trap; this
+    operator never under-returns k.
+
+    Plan shape: filter is pushed to the scan (PushedFilters on label),
+    then the same broadcast-query score + TakeOrderedAndProject tail as
+    v1. At 100 TB with the store partitioned by label/tenant the scan
+    reads only matching partitions."""
+    emb = t["embeddings"].filter(F.col("label") == label_filter)
+    q = _query_vectors(t, [query_id])
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    return (
+        emb.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def crossencoder_rerank(
+    t: dict[str, DataFrame],
+    query_id: int = 0,
+    k: int = TOP_K,
+    fetch_k: int = FETCH_K,
+) -> DataFrame:
+    """D14: two-stage retrieval — bi-encoder recall then cross-encoder
+    precision: stage 1 takes the cosine top-`fetch_k` (cheap, index-
+    servable); stage 2 scores each (query, candidate) PAIR with a
+    cross-encoder and keeps the top-`k` by that score. The standard RAG
+    precision backstop the reference approximates with its LLM grade step
+    (mcp/tools/vs_grade.py) — graded per retrieved set there, per pair
+    here.
+
+    The cross-encoder is a deterministic double (portable hash60 of the
+    pair identity → [0,1) score) behind the REAL serving shape: an
+    Arrow-batched pandas UDF over the fetch_k pair rows — exactly where a
+    model client would batch its forward passes (same seam as
+    embedding.py's scalar-iterator embedder; swap the double for a client
+    without touching the plan). Because the double is the portable hash,
+    the WHOLE two-stage pipeline is DuckDB-hash-verified, not rows-only.
+
+    Scale shape: stage 1 is v1's TakeOrdered plan; stage 2 touches only
+    fetch_k rows per query — model cost, not data cost."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cross_score(pair_key):
+        return pair_key.map(
+            lambda s: (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 1000)
+            / 1000.0
+        )
+
+    _cross_score.__annotations__ = {"pair_key": pd.Series, "return": pd.Series}
+    cross_udf = pandas_udf(_cross_score, "double")
+
+    stage1 = cosine_topk(t, query_id=query_id, k=fetch_k)
+    pair_key = F.concat_ws(":", F.lit(query_id), F.col("vec_id"))
+    return (
+        stage1.select(
+            "vec_id",
+            "cos_sim",
+            F.round(cross_udf(pair_key), 3).alias("cross_score"),
+        )
+        .orderBy(F.desc("cross_score"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -2818,6 +2818,42 @@ _register("f17_chunk_udtf", TX.chunk_documents_udtf, None)
 ORACLE_SQL["f17_chunk_udtf"] = ORACLE_SQL["tx5_chunk_documents"]
 
 _register(
+    "d14_crossencoder_rerank",
+    S.crossencoder_rerank,
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    stage1 AS (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 3) + 0.0 AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT 20
+    )
+    SELECT vec_id, cos_sim,
+           ROUND((('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000) / 1000.0, 3)
+               AS cross_score
+    FROM stage1
+    ORDER BY cross_score DESC, vec_id ASC
+    LIMIT 8
+    """,
+)
+
+_register(
+    "v18_filtered_topk",
+    S.filtered_topk,
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 3) + 0.0 AS cos_sim
+    FROM embeddings e, q
+    WHERE e.label = 1 AND e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 8
+    """,
+)
+
+_register(
     "st12b_neardup_candidates_batch",
     D.streaming_neardup_candidates_batch,
     OD.STREAMING_NEARDUP_CANDIDATES,
@@ -3227,9 +3263,9 @@ _PRIORITY: list[str] = [
     "a16_parts_supplier_counts",
     "a17_pivot_status_year",
     "a18_idle_rich_customers",
-    # windows / sets / sampling
-    "w7_rolling_frames",
-    "w8_balance_distribution",
+    # streaming near-dup + SCD2 (round-3 flagships)
+    "st12_streaming_neardup_candidates",
+    "t8_scd2_history",
     "v16_range_search_pruned",
     "smp5_temperature_mix",
     "v13_clustered_ivf_topk",
@@ -3254,8 +3290,11 @@ _PRIORITY: list[str] = [
     "f17_chunk_udtf",
     "st12_streaming_neardup_candidates",
     "st12b_neardup_candidates_batch",
-    "t8_scd2_history",
+    "v18_filtered_topk",
+    "d14_crossencoder_rerank",
     "v17_ivfpq_topk",
+    "w7_rolling_frames",
+    "w8_balance_distribution",
     "smp1_hash_split",
     "smp2_stratified_sample",
 ]

@@ -1034,7 +1034,14 @@ def crossencoder_rerank(
     _cross_score.__annotations__ = {"pair_key": pd.Series, "return": pd.Series}
     cross_udf = pandas_udf(_cross_score, "double")
 
-    stage1 = cosine_topk(t, query_id=query_id, k=fetch_k)
+    # Materialize the stage-1 cut: with the UDF downstream, Catalyst would
+    # otherwise plan stage 1 as a global range-sort + limit (the UDF blocks
+    # TakeOrderedAndProject fusion) and score up to fetch_k rows PER
+    # PARTITION. Checkpointing the fetch_k rows keeps stage 1 a TakeOrdered
+    # job and bounds the model's forward passes to exactly fetch_k.
+    stage1 = cosine_topk(t, query_id=query_id, k=fetch_k).localCheckpoint(
+        eager=False
+    )
     pair_key = F.concat_ws(":", F.lit(query_id), F.col("vec_id"))
     return (
         stage1.select(

@@ -268,3 +268,30 @@ def test_topic_clusters_assignment_map_only(spark):
     p = plan_of(spark, "d13_topic_clusters")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
+
+
+def test_filtered_topk_pushes_label_predicate(spark):
+    """v18 PRE-filter strategy: the metadata predicate must reach the
+    parquet scan, not sit above a full-scan score."""
+    p = plan_of(spark, "v18_filtered_topk")
+    assert "EqualTo(label,1)" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_crossencoder_rerank_scores_only_fetch_k(spark):
+    """d14 stage 2 (the Python pair scorer) must consume the CHECKPOINTED
+    stage-1 cut (fetch_k rows), not the corpus scan: without the barrier
+    Catalyst plans stage 1 as a global range-sort and the UDF scores up to
+    fetch_k rows PER PARTITION."""
+    p = plan_of(spark, "d14_crossencoder_rerank")
+    assert "ArrowEvalPython" in p
+    assert "Scan ExistingRDD" in p
+    assert "embeddings.parquet" not in p
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """st11: the chained per-user aggregates must not introduce nested
+    loops; every join is keyed on user_id."""
+    p = plan_of(spark, "st11_funnel_steps")
+    assert "BroadcastNestedLoop" not in p
+    assert "CartesianProduct" not in p

@@ -249,9 +249,14 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         ),
         CAST(0 AS BIGINT), (a, x) -> a + x)
     """
+    # the no-shingle filter tests the cheap word count, NOT size(__h__):
+    # a pushed-down filter on the hash array would re-evaluate the whole
+    # shingle-hashing transform once in the Filter and again in the Project
+    # (word_shingles yields non-empty iff the doc has ≥ n words, so the
+    # predicates are equivalent)
     return (
-        docs.withColumn("__h__", hashes)
-        .filter(F.size("__h__") > 0)
+        docs.filter(F.size(T.words("text")) >= SHINGLE_N)
+        .withColumn("__h__", hashes)
         .select(
             "doc_id",
             F.expr(fold.replace("__h__", "`__h__`")).alias("simhash"),

@@ -75,6 +75,14 @@ def get_spark(app_name: str = "ai_optimizer_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Big working set of generated classes: ~50 headline queries compile
+        # hundreds of whole-stage-codegen classes. Headroom over the JVM
+        # default (240 MB) plus flushing keeps JIT compilation available for
+        # late-session queries; protective, not a measured bottleneck.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -194,6 +194,48 @@ PACK_CAPACITY = 2048  # tokens per training sequence
 PACK_BUCKET_SHIFT = 55  # top 5 bits of hash60 -> 32 order-aligned buckets
 
 
+def pack_token_stream(
+    docs: DataFrame, capacity: int = PACK_CAPACITY
+) -> DataFrame:
+    """Pack a (doc_id, n_tokens) DataFrame into `capacity`-token bins via
+    the two-pass distributed prefix sum described in sequence_packing —
+    factored out so composed pipelines (e2e_training_export) can pack any
+    upstream doc set, not just the raw corpus."""
+    docs = docs.select(
+        "doc_id",
+        "n_tokens",
+        hash60(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    docs = docs.withColumn("bucket", F.shiftright(F.col("h"), PACK_BUCKET_SHIFT))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0).cast("long"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        docs.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bt").over(w_b), F.lit(0).cast("long")).alias("boff"),
+        )
+    )
+    return (
+        docs.withColumn("within", within)
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("boff") + F.col("within")) / F.lit(float(capacity)))
+            .cast("long")
+            .alias("bin_id"),
+            ((F.col("boff") + F.col("within")) % capacity).alias("bin_offset"),
+        )
+    )
+
+
 def sequence_packing(t: dict[str, DataFrame], capacity: int = PACK_CAPACITY) -> DataFrame:
     """Training-sequence packing: lay the (deterministically shuffled)
     corpus out as one contiguous token stream and chop it into
@@ -218,40 +260,9 @@ def sequence_packing(t: dict[str, DataFrame], capacity: int = PACK_CAPACITY) -> 
     from ..functions.text import token_count
 
     docs = t["documents"].select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        hash60(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))).alias("h"),
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
-    docs = docs.withColumn("bucket", F.shiftright(F.col("h"), PACK_BUCKET_SHIFT))
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    within = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0).cast("long"))
-    # bucket offsets: 32 rows — the single-partition window is over the
-    # bucket TOTALS, never the data
-    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        docs.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("bt"))
-        .select(
-            "bucket",
-            F.coalesce(F.sum("bt").over(w_b), F.lit(0).cast("long")).alias("boff"),
-        )
-    )
-    return (
-        docs.withColumn("within", within)
-        .join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.floor((F.col("boff") + F.col("within")) / F.lit(float(capacity)))
-            .cast("long")
-            .alias("bin_id"),
-            ((F.col("boff") + F.col("within")) % capacity).alias("bin_offset"),
-        )
-    )
+    return pack_token_stream(docs, capacity)
 
 
 def leakage_safe_split(t: dict[str, DataFrame]) -> DataFrame:

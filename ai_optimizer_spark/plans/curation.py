@@ -63,3 +63,23 @@ def curation_stats(t: dict[str, DataFrame]) -> DataFrame:
             F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
     )
+
+
+def training_export(t: dict[str, DataFrame], capacity: int = 2048) -> DataFrame:
+    """E2E training export — the full write path a trainer consumes, as
+    ONE composed plan: curate (language → quality → dedup-canonical keep)
+    → take the train split → pack the surviving docs into fixed-capacity
+    token sequences. The output manifest maps every training document to
+    (sequence bin, offset) — what a sequence-packing data loader reads.
+
+    Composition is the point: the curation projection fuses into the
+    scan, the dedup anti-join broadcasts its loser set, and the packing
+    prefix-sum runs the two-pass bucket form over only the curated train
+    docs. Hash-verified end-to-end against a single DuckDB oracle that
+    chains the recursive-CTE components, the split hash, and the packing
+    window."""
+    from ..operators.sampling import pack_token_stream
+
+    curated = curation_pipeline(t)
+    train = curated.filter(F.col("split") == "train").select("doc_id", "n_tokens")
+    return pack_token_stream(train, capacity)

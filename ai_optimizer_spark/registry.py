@@ -1952,6 +1952,33 @@ _register(
     """,
 )
 
+from .plans.curation import training_export  # noqa: E402
+
+_register(
+    "e2e_training_export",
+    training_export,
+    rf"""
+    WITH curated AS ({_CURATION_SQL}),
+    train AS (
+        SELECT doc_id, n_tokens,
+               {_h60("'pack|' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM curated WHERE split = 'train'
+    ),
+    s AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_tok
+        FROM train
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS bin_id,
+           start_tok % 2048 AS bin_offset
+    FROM s
+    """,
+)
+
 _register(
     "j13_local_supplier_volume",
     R.local_supplier_volume,
@@ -2869,6 +2896,33 @@ def _st12_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["st12_streaming_neardup_candidates"] = _st12_streaming_neardup
 ORACLE_SQL["st12_streaming_neardup_candidates"] = OD.STREAMING_NEARDUP_CANDIDATES
 
+def _st13_streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.event_stream import streaming_ivf_assign
+
+    return streaming_ivf_assign(spark, sf_dir)
+
+
+QUERIES["st13_streaming_ivf_assign"] = _st13_streaming_ivf_assign
+ORACLE_SQL["st13_streaming_ivf_assign"] = """
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    )
+    SELECT cid, COUNT(*) AS n_vecs,
+           MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+    FROM assigned GROUP BY cid
+"""
+
 _register(
     "t8_scd2_history",
     E.scd2_state_history,
@@ -3290,6 +3344,8 @@ _PRIORITY: list[str] = [
     "f17_chunk_udtf",
     "st12_streaming_neardup_candidates",
     "st12b_neardup_candidates_batch",
+    "e2e_training_export",
+    "st13_streaming_ivf_assign",
     "v18_filtered_topk",
     "d14_crossencoder_rerank",
     "v17_ivfpq_topk",

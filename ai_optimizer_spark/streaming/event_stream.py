@@ -342,3 +342,36 @@ def streaming_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     return run_to_memory(spark, plan, f"st12_{uuid.uuid4().hex[:8]}")
+
+
+def streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST13: streaming ANN index ingestion — arriving embeddings assigned
+    to the EXISTING IVF coarse quantizer and rolled up per cell. The
+    assignment is the same map-only inlined-centroid argmin the batch
+    tier uses (_assign_cells), which is what makes it streamable: the
+    model ships inside the plan, so assignment is STATELESS — only the
+    per-cell counters are state (n_centroids rows, bounded). This is the
+    write path an always-on vector store runs: route each new vector to
+    its cell/partition, keep per-cell occupancy current (the signal for
+    when to re-train centroids or split cells)."""
+    from ..operators.similarity import _assign_cells
+
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = static.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    assigned = _assign_cells(stream, cents)
+    plan = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+    import uuid
+
+    return run_to_memory(spark, plan, f"st13_{uuid.uuid4().hex[:8]}")

@@ -72,6 +72,7 @@ HEADLINE = [
     "d13_topic_clusters",
     "smp7_leakage_safe_split",
     "e2e_curation_pipeline",
+    "e2e_training_export",
 ]
 N_PASSES = 2  # report min-of-N: isolates plan cost from JIT/codegen warm-up
 

@@ -160,9 +160,9 @@ def funnel_steps(t: dict[str, DataFrame]) -> DataFrame:
     is what distinguishes a funnel from four independent counts.
 
     Spark shape: step k is a per-user min-aggregate of step-k events later
-    than the step-(k-1) timestamp — a chain of filters + groupBys all
-    keyed on user_id, so AQE reuses one user partitioning across the whole
-    chain; each stage's input shrinks monotonically. The final conversion
+    than the step-(k-1) timestamp — a chain of filters + groupBys whose
+    every exchange keys user_id and whose input shrinks monotonically
+    (step k's events ⋈ step k-1's survivors). The final conversion
     table is 4 rows through a trivial window. At 100 TB the event scan is
     type-pruned per step and nothing besides (user_id, ts) ever shuffles."""
     ev = t["events"].select("user_id", "event_type", "ts")
@@ -213,10 +213,9 @@ def cohort_retention(t: dict[str, DataFrame], max_weeks: int = 8) -> DataFrame:
     funnel measures conversion depth, retention measures durability.
 
     Spark shape: cohort assignment is one per-user min-aggregate; activity
-    is a (user, week) distinct; both shuffle on user_id once and join on
-    the same partitioning, then the output collapses to at most
-    |cohorts| × max_weeks cells. At 100 TB nothing besides (user_id, ts
-    week) ever moves."""
+    is a (user, week) distinct; their join keys user_id, and the output
+    collapses to at most |cohorts| × max_weeks cells. Every exchange
+    carries only (user_id, week) pairs — at 100 TB nothing else moves."""
     ev = t["events"].select("user_id", "event_type", "ts")
     cohorts = (
         ev.filter(F.col("event_type") == "signup")

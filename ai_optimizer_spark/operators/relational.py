@@ -1001,11 +1001,13 @@ def waiting_supplier(t: dict[str, DataFrame], late_days: int = 60, k: int = 20) 
     (shipped > `late_days` after the order date; the schema has no
     commit/receipt dates, so lateness is vs o_orderdate). The classic
     EXISTS + NOT-EXISTS pair decorrelates to one per-(order, supplier)
-    aggregate + one per-order aggregate — two co-partitioned shuffles on
-    orderkey, no nested loops, no repeated scans.
+    aggregate + one per-order aggregate — no nested loops, no repeated
+    scans of the fact table.
 
-    At 100 TB both aggregates and the join run on the same orderkey
-    partitioning (AQE reuses the exchange); output is |suppliers| rows."""
+    At 100 TB the expensive exchange is the first one (lineitem⋈orders on
+    orderkey); every later exchange keys already-aggregated rows — one row
+    per (order, supplier), then per order — so the shuffled volume shrinks
+    monotonically; output is |suppliers| rows."""
     li = t["lineitem"].join(
         t["orders"].select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"),

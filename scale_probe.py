@@ -1,0 +1,137 @@
+"""Scaling probe: measure how the heavy operators behave when the corpus
+grows WELL past the driver's largest fixture (sf0.1 = 5k docs / 5k vectors).
+
+Correctness always runs on the driver fixtures (TESTDATA.md); this probe
+exists only to MEASURE throughput scaling — it synthesizes a larger corpus
+in /tmp (never touching /root/testdata) by tiling the sf0.1 tables with
+shifted ids and perturbed embeddings, then times the operators whose scale
+story matters most (LSH dedup cascade, blocked simhash, connected
+components, curation e2e, matmul kNN, sequence packing) at 1x / 4x / 16x.
+
+A near-linear time ratio between sizes is the evidence the "linear
+candidate generation / no all-pairs / map-only assignment" claims rest on;
+a superlinear blow-up would expose a hidden quadratic term. Results are
+recorded in SCALE.md.
+
+Run: python scale_probe.py  (~10 min, run solo — see verify skill timing
+discipline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from ai_optimizer_spark.registry import QUERIES
+from ai_optimizer_spark.session import get_spark
+from ai_optimizer_spark.tables import load_tables
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/scale_probe"
+FACTORS = (1, 4, 16)
+OPS = [
+    "d1_exact_dedup",
+    "d3_minhash_lsh_pairs",
+    "d4_simhash_pairs",
+    "d6_dedup_clusters",
+    "e2e_curation_pipeline",
+    "v10_matmul_knn",
+    "smp6_sequence_packing",
+    "tx13_bpe_pair_counts",
+]
+# tables the probed ops read; everything else is symlink-copied once
+TILED = ("documents", "embeddings")
+PASSTHROUGH = (
+    "region nation customer supplier part orders lineitem events".split()
+)
+
+
+def build_tile(spark, factor: int) -> str:
+    out = f"{WORK}/x{factor}"
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_docs = docs.count()
+    n_emb = emb.count()
+    tiles_d = []
+    tiles_e = []
+    for i in range(factor):
+        # shift ids per tile; interleave a tile-specific marker token after
+        # every 4th word so tiles are semantically DISTINCT (cross-tile
+        # Jaccard/simhash similarity collapses) while each tile keeps the
+        # fixture's internal near-dup structure — true near-dup density
+        # stays constant as the corpus grows, which is what a real corpus
+        # does; without this the tiling itself manufactures O(factor²)
+        # genuine near-dup pairs and every dedup op is output-bound
+        marked = F.regexp_replace(
+            F.col("text"), r"((?:\S+\s+){4})", f"$1zz{i}tile "
+        )
+        tiles_d.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+                marked.alias("text"),
+                "source",
+                "lang",
+                "n_chars",
+            )
+        )
+        # perturb one dimension deterministically so vectors differ per tile
+        tiles_e.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * n_emb)).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x, j: x + (j == 0).cast("float") * (i * 1e-3)
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    d = tiles_d[0]
+    for t in tiles_d[1:]:
+        d = d.unionByName(t)
+    e = tiles_e[0]
+    for t in tiles_e[1:]:
+        e = e.unionByName(t)
+    d.repartition(max(factor, 4)).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    e.repartition(max(factor, 4)).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+    for t in PASSTHROUGH:
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1).count()
+    results: dict[str, dict[int, float]] = {op: {} for op in OPS}
+    for factor in FACTORS:
+        sf_dir = build_tile(spark, factor)
+        for op in OPS:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[op](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results[op][factor] = round(best, 2)
+            spark.catalog.clearCache()
+        print(f"x{factor} done", flush=True)
+    print(json.dumps(results))
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

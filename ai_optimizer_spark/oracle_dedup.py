@@ -207,3 +207,52 @@ STREAMING_NEARDUP_CANDIDATES = f"""
     JOIN bands bb ON ba.band = bb.band AND ba.key = bb.key AND ba.doc_id <> bb.doc_id
     GROUP BY 1, 2
 """
+
+
+# d3c: the PRODUCTION LSH configuration (bucket cap ON) with the cap
+# encoded in the oracle itself — band buckets above the cap are dropped
+# whole before candidate generation, exactly like
+# minhash_lsh_pairs(max_bucket_size=...).
+def minhash_lsh_capped(max_bucket_size: int) -> str:
+    return f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS base
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_minhash_cols()}
+        FROM hashed
+        GROUP BY doc_id
+    ),
+    bands AS (
+        {_bands_union()}
+    ),
+    sized AS (
+        SELECT band, key, COUNT(*) AS bn FROM bands GROUP BY band, key
+    ),
+    kept AS (
+        SELECT b.doc_id, b.band, b.key
+        FROM bands b JOIN sized s ON b.band = s.band AND b.key = s.key
+        WHERE s.bn <= {max_bucket_size}
+    ),
+    candidates AS (
+        SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+        FROM kept ba JOIN kept bb
+          ON ba.band = bb.band AND ba.key = bb.key AND ba.doc_id < bb.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM candidates c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 3) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 3) >= {JACCARD_THRESHOLD}
+"""

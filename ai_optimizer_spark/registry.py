@@ -2866,6 +2866,16 @@ _register(
     """,
 )
 
+# d3c: the PRODUCTION LSH configuration — bucket cap ON and encoded in the
+# oracle itself, so the skew-guarded form is hash-verified directly (d3
+# stays the exact-candidates baseline; SCALE.md finding 3 is the measured
+# difference between them at 16x corpus).
+_register(
+    "d3c_minhash_lsh_capped",
+    lambda t: D.minhash_lsh_pairs(t, max_bucket_size=D.LSH_MAX_BUCKET_DEFAULT),
+    OD.minhash_lsh_capped(D.LSH_MAX_BUCKET_DEFAULT),
+)
+
 _register(
     "v18_filtered_topk",
     S.filtered_topk,
@@ -3345,6 +3355,7 @@ _PRIORITY: list[str] = [
     "st12_streaming_neardup_candidates",
     "st12b_neardup_candidates_batch",
     "e2e_training_export",
+    "d3c_minhash_lsh_capped",
     "st13_streaming_ivf_assign",
     "v18_filtered_topk",
     "d14_crossencoder_rerank",

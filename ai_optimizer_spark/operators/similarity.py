@@ -1052,3 +1052,36 @@ def crossencoder_rerank(
         .orderBy(F.desc("cross_score"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ann_operating_curve(
+    t: dict[str, DataFrame],
+    n_queries: int = 20,
+    k: int = 3,
+    n_centroids: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+) -> DataFrame:
+    """V19: the full ANN operating curve — mean/min recall@k of the IVF
+    tier at every candidate `n_probe`, in one DataFrame. This is the table
+    a deployment reads to pick its operating point (the recall/cost knee);
+    v12 measures one point of it.
+
+    Plan shape: one exact-kNN side shared across the sweep (Spark caches
+    nothing here, but each side reduces to n_queries·k rows before any
+    comparison join, so the whole sweep costs |probes| IVF plans + one
+    exact plan on a sample — the measurement runs on samples by design."""
+    out = None
+    for p in probes:
+        r = (
+            ann_recall(
+                t, n_queries=n_queries, k=k, n_centroids=n_centroids, n_probe=p
+            )
+            .agg(
+                F.round(F.avg("recall_at_k"), 3).alias("mean_recall"),
+                F.round(F.min("recall_at_k"), 3).alias("min_recall"),
+                F.sum("n_hits").alias("total_hits"),
+            )
+            .select(F.lit(p).alias("n_probe"), "mean_recall", "min_recall", "total_hits")
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

@@ -2866,6 +2866,85 @@ _register(
     """,
 )
 
+def _ann_recall_block(p: int) -> str:
+    """Per-n_probe aggregated recall block for the v19 operating curve —
+    the v12 oracle with the probe width parameterized and the per-query
+    rows collapsed to (mean, min, total)."""
+    return f"""
+    SELECT {p} AS n_probe,
+           ROUND(AVG(recall_at_k), 3) AS mean_recall,
+           ROUND(MIN(recall_at_k), 3) AS min_recall,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits
+    FROM (
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+            FROM embeddings WHERE vec_id < 16
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 20
+        ),
+        assigned AS (
+            SELECT vec_id, ee, cid FROM (
+                SELECT e.vec_id, e.ee, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                       ) AS rn
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+                CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT cid, query_id, qe FROM (
+                SELECT c.cid, qq.query_id, qq.qe,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qq.query_id
+                           ORDER BY list_distance(c.ce, qq.qe) ASC, c.cid ASC
+                       ) AS rn
+                FROM cents c CROSS JOIN q qq
+            ) WHERE rn <= {p}
+        ),
+        ivf AS (
+            SELECT query_id, vec_id FROM (
+                SELECT p.query_id, a.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY ROUND(list_cosine_similarity(a.ee, p.qe), 3) + 0.0 DESC,
+                                    a.vec_id ASC
+                       ) AS rnk
+                FROM assigned a JOIN probe p ON a.cid = p.cid
+                WHERE a.vec_id <> p.query_id
+            ) WHERE rnk <= 3
+        ),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 3) + 0.0 DESC,
+                                    e.vec_id ASC
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            ) WHERE rnk <= 3
+        )
+        SELECT e.query_id,
+               CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+               ROUND(COUNT(i.vec_id) / 3.0, 3) AS recall_at_k
+        FROM exact e LEFT JOIN ivf i
+          ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+        GROUP BY e.query_id
+    )
+    """
+
+
+_register(
+    "v19_ann_operating_curve",
+    S.ann_operating_curve,
+    "\nUNION ALL\n".join(_ann_recall_block(p) for p in (1, 2, 4, 8)),
+)
+
 # d3c: the PRODUCTION LSH configuration — bucket cap ON and encoded in the
 # oracle itself, so the skew-guarded form is hash-verified directly (d3
 # stays the exact-candidates baseline; SCALE.md finding 3 is the measured
@@ -3355,6 +3434,7 @@ _PRIORITY: list[str] = [
     "st12_streaming_neardup_candidates",
     "st12b_neardup_candidates_batch",
     "e2e_training_export",
+    "v19_ann_operating_curve",
     "d3c_minhash_lsh_capped",
     "st13_streaming_ivf_assign",
     "v18_filtered_topk",

@@ -295,3 +295,14 @@ def test_funnel_reuses_user_partitioning(spark):
     p = plan_of(spark, "st11_funnel_steps")
     assert "BroadcastNestedLoop" not in p
     assert "CartesianProduct" not in p
+
+
+def test_training_export_has_no_global_sort(spark):
+    """e2e_training_export: the packing prefix-sum must be the two-pass
+    bucket form — per-bucket hash-partitioned windows plus ONE
+    single-partition pass over the 32 bucket totals; a rangepartitioning
+    exchange would mean a corpus-wide global sort snuck back in."""
+    p = plan_of(spark, "e2e_training_export")
+    assert "rangepartitioning" not in p
+    assert p.count("SinglePartition") == 1
+    assert "hashpartitioning(bucket" in p

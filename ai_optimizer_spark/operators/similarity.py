@@ -814,6 +814,69 @@ def range_search(
     )
 
 
+def _ivfpq_model(
+    emb: DataFrame,
+    query_id: int,
+    n_centroids: int,
+    n_probe: int,
+    m: int,
+    n_codes: int,
+    dims: int,
+):
+    """Driver-side IVFPQ model fit, shared by the expression tier
+    (ivfpq_topk) and the numpy tier (ivfpq_topk_np): ONE bounded collect
+    (centroids + codebook seeds + query) → (C, books, probed, qd,
+    assigned). These are exactly the artifacts a FAISS index file holds;
+    fitting them is a write-path cost."""
+    model_rows = (
+        emb.filter((F.col("vec_id") < max(n_centroids, n_codes)) | (F.col("vec_id") == query_id))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in model_rows}
+    C = [by_id[c] for c in range(n_centroids)]
+    assigned = _assign_cells(
+        emb,
+        emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        ),
+        rows=[{"cid": c, "ce": C[c]} for c in range(n_centroids)],
+    )
+    d = dims // m
+
+    def _d2(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc += (x - y) ** 2
+        return acc
+
+    # shared residual codebooks per subspace, seeded from the corpus head
+    # (deterministic, same convention as pq_topk / ivf_topk): codebook
+    # entry `code` of subspace `s` is that head vector's residual slice
+    books: list[list[list[float]]] = [[None] * n_codes for _ in range(m)]
+    for code in range(n_codes):
+        e = by_id[code]
+        cid = min(range(len(C)), key=lambda c: (_d2(e, C[c]), c))
+        resid = [x - y for x, y in zip(e, C[cid])]
+        for s in range(m):
+            books[s][code] = resid[s * d : (s + 1) * d]
+
+    # probe the n_probe nearest cells; per-cell ADC table from the
+    # query residual: qd[p][s][c] = ||q_resid_slice - codebook[s][c]||^2
+    qe = by_id[query_id]
+    probed = sorted(range(len(C)), key=lambda c: (_d2(qe, C[c]), c))[:n_probe]
+    qd = []
+    for cid in probed:
+        qresid = [x - y for x, y in zip(qe, C[cid])]
+        qd.append(
+            [
+                [_d2(qresid[s * d : (s + 1) * d], books[s][c]) for c in range(n_codes)]
+                for s in range(m)
+            ]
+        )
+    return C, books, probed, qd, qe, assigned
+
+
 def ivfpq_topk(
     t: dict[str, DataFrame],
     query_id: int = 0,
@@ -848,54 +911,10 @@ def ivfpq_topk(
     driver check; recall is unit-tested against brute force
     (tests/test_similarity.py)."""
     emb = t["embeddings"]
-
-    # --- driver-side model fit (bounded: n_centroids + n_codes rows, ONE
-    # collect job for centroids+codebook seeds+query) ---
-    model_rows = (
-        emb.filter((F.col("vec_id") < max(n_centroids, n_codes)) | (F.col("vec_id") == query_id))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    by_id = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in model_rows}
-    C = [by_id[c] for c in range(n_centroids)]
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    assigned = _assign_cells(
-        emb, cents, rows=[{"cid": c, "ce": C[c]} for c in range(n_centroids)]
+    C, books, probed, qd, qe, assigned = _ivfpq_model(
+        emb, query_id, n_centroids, n_probe, m, n_codes, dims
     )
     d = dims // m
-
-    def _d2(u, v):
-        acc = 0.0
-        for x, y in zip(u, v):
-            acc += (x - y) ** 2
-        return acc
-
-    # shared residual codebooks per subspace, seeded from the corpus head
-    # (deterministic, same convention as pq_topk / ivf_topk): codebook
-    # entry `code` of subspace `s` is that head vector's residual slice
-    books: list[list[list[float]]] = [[None] * n_codes for _ in range(m)]
-    for code in range(n_codes):
-        e = by_id[code]
-        cid = min(range(len(C)), key=lambda c: (_d2(e, C[c]), c))
-        resid = [x - y for x, y in zip(e, C[cid])]
-        for s in range(m):
-            books[s][code] = resid[s * d : (s + 1) * d]
-
-    # probe the n_probe nearest cells; per-cell ADC table from the
-    # query residual: qd[p][s][c] = ||q_resid_slice − codebook[s][c]||²
-    qe = by_id[query_id]
-    probed = sorted(range(len(C)), key=lambda c: (_d2(qe, C[c]), c))[:n_probe]
-    qd = []
-    for cid in probed:
-        qresid = [x - y for x, y in zip(qe, C[cid])]
-        qd.append(
-            [
-                [_d2(qresid[s * d : (s + 1) * d], books[s][c]) for c in range(n_codes)]
-                for s in range(m)
-            ]
-        )
 
     # --- map-only candidate scoring, inlined models ---
     ce_arr = F.array(*[F.lit(C[c]) for c in range(len(C))])
@@ -1085,3 +1104,90 @@ def ann_operating_curve(
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+def ivfpq_topk_np(
+    t: dict[str, DataFrame],
+    query_id: int = 0,
+    k: int = TOP_K,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    refine: int = 4,
+) -> DataFrame:
+    """V20: the BLAS tier of IVFPQ — same logical operator as ivfpq_topk,
+    different physical strategy for the candidate scoring: instead of the
+    interpreted higher-order-function expressions, an Arrow-batched
+    mapInPandas kernel does cell argmin, code argmin, and the ADC sum as
+    numpy matrix ops (the v10 pattern applied to the compressed domain).
+    All arithmetic is float64; numpy's pairwise summation can differ from
+    the expression fold by round-off ulps, but the refine·k cut has slack
+    and the final re-rank is exact cosine either way — the tiers produce
+    identical results on the fixtures (equality-tested in
+    tests/test_similarity.py).
+
+    At 100 TB this is the tier that serves: per Arrow batch of B vectors,
+    assignment is one (B×n_centroids) distance matrix, encoding m
+    (B×n_codes) subspace matrices, and the ADC sum a gather — all BLAS,
+    no per-element interpreter."""
+    import numpy as np
+    import pandas as pd
+
+    emb = t["embeddings"]
+    C, books, probed, qd, qe, _assigned = _ivfpq_model(
+        emb, query_id, n_centroids, n_probe, m, n_codes, dims
+    )
+    d = dims // m
+    Cnp = np.asarray(C, dtype=np.float64)                      # (nc, dims)
+    Bnp = np.asarray(books, dtype=np.float64)                  # (m, n_codes, d)
+    QD = np.asarray(qd, dtype=np.float64)                      # (n_probe, m, n_codes)
+    probed_arr = np.asarray(probed, dtype=np.int64)
+    probe_pos = {int(c): i for i, c in enumerate(probed)}
+
+    def _score(batches):
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if X.size == 0:
+                yield pd.DataFrame({"vec_id": [], "approx_d": []})
+                continue
+            # cell assignment: argmin over squared distance, cid tie-break
+            d2 = ((X[:, None, :] - Cnp[None, :, :]) ** 2).sum(axis=2)
+            cids = d2.argmin(axis=1)  # argmin returns FIRST min → cid asc tie-break
+            mask = np.isin(cids, probed_arr)
+            if not mask.any():
+                yield pd.DataFrame({"vec_id": [], "approx_d": []})
+                continue
+            Xs = X[mask]
+            cs = cids[mask]
+            resid = Xs - Cnp[cs]                               # (n, dims)
+            sub = resid.reshape(len(Xs), m, d)                 # (n, m, d)
+            # code argmin per subspace: (n, m, n_codes)
+            dd = ((sub[:, :, None, :] - Bnp[None, :, :, :]) ** 2).sum(axis=3)
+            codes = dd.argmin(axis=2)                          # (n, m)
+            ppos = np.asarray([probe_pos[int(c)] for c in cs])
+            # gather qd[ppos, s, codes] and sum over s
+            approx = QD[ppos[:, None], np.arange(m)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"][mask].astype("int64"), "approx_d": approx}
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        _score, "vec_id long, approx_d double"
+    )
+    cands = (
+        scored.filter(F.col("vec_id") != query_id)
+        .orderBy(F.asc("approx_d"), F.asc("vec_id"))
+        .limit(refine * k)
+        .select("vec_id")
+    )
+    sim = F.round(V.cosine_similarity("embedding", F.lit(qe)), 3) + F.lit(0.0)
+    return (
+        emb.join(F.broadcast(cands), "vec_id", "left_semi")
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

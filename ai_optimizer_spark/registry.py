@@ -2289,6 +2289,10 @@ _register("v11_pq_topk", S.pq_topk, None)
 # rows-only convention as v9/v11; recall unit-tested vs brute force.
 _register("v17_ivfpq_topk", S.ivfpq_topk, None)
 
+# v20: the BLAS tier of v17 (numpy mapInPandas candidate scoring) —
+# identical results, ~2.5x faster; equality with v17 is unit-tested.
+_register("v20_ivfpq_topk_np", S.ivfpq_topk_np, None)
+
 _register(
     "u3_changed_concat",
     RF.changed_objects_union,
@@ -3435,6 +3439,7 @@ _PRIORITY: list[str] = [
     "st12b_neardup_candidates_batch",
     "e2e_training_export",
     "v19_ann_operating_curve",
+    "v20_ivfpq_topk_np",
     "d3c_minhash_lsh_capped",
     "st13_streaming_ivf_assign",
     "v18_filtered_topk",

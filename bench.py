@@ -48,6 +48,7 @@ HEADLINE = [
     "j25_waiting_supplier",
     "a21_customer_order_distribution",
     "v17_ivfpq_topk",
+    "v20_ivfpq_topk_np",
     "st4_sliding_window_counts",
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",

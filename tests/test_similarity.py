@@ -192,3 +192,16 @@ def test_ivfpq_recall_and_full_budget_exactness(spark, sf_small):
     assert generous == exact
     default = {r.vec_id for r in ivfpq_topk(t, query_id=0, k=8).collect()}
     assert len(default & exact) >= 4
+
+
+def test_ivfpq_np_tier_matches_expression_tier(spark, sf_small):
+    """v20 (numpy mapInPandas scoring) and v17 (inlined-expression scoring)
+    are two physical strategies for one logical operator: identical rows
+    in identical order on the fixture corpus."""
+    from ai_optimizer_spark.operators.similarity import ivfpq_topk, ivfpq_topk_np
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    a = [tuple(r) for r in ivfpq_topk(t, query_id=0, k=8).collect()]
+    b = [tuple(r) for r in ivfpq_topk_np(t, query_id=0, k=8).collect()]
+    assert a == b

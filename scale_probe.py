@@ -40,6 +40,8 @@ OPS = [
     "d6_dedup_clusters",
     "e2e_curation_pipeline",
     "v10_matmul_knn",
+    "v17_ivfpq_topk",
+    "v20_ivfpq_topk_np",
     "smp6_sequence_packing",
     "tx13_bpe_pair_counts",
 ]

@@ -306,3 +306,13 @@ def test_training_export_has_no_global_sort(spark):
     assert "rangepartitioning" not in p
     assert p.count("SinglePartition") == 1
     assert "hashpartitioning(bucket" in p
+
+
+def test_ivfpq_np_tier_is_arrow_batched_map(spark):
+    """v20: candidate scoring must be one ArrowEvalPython-free mapInPandas
+    pass (MapInPandas node) feeding TakeOrderedAndProject — no shuffle
+    between the scan and the refine cut."""
+    p = plan_of(spark, "v20_ivfpq_topk_np")
+    assert "MapInPandas" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p

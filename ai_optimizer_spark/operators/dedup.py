@@ -502,25 +502,49 @@ def _propagate_labels(
 
 
 def simhash_pairs_blocked(
-    t: dict[str, DataFrame], max_hamming: int = SIMHASH_MAX_HAMMING
+    t: dict[str, DataFrame],
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_blocks: int | None = None,
+    match_blocks: int | None = None,
 ) -> DataFrame:
     """SimHash pairs via pigeonhole blocking — the 100 TB form of
-    simhash_pairs with the IDENTICAL result set (same oracle): split the
-    signature into max_hamming+1 bit blocks; any pair within hamming d
-    must agree exactly on at least one block, so candidates come from an
-    equi-join on (block_id, block_value) instead of an all-pairs scan.
-    Verification (full hamming ≤ d) removes the false positives. Candidate
-    volume scales with bucket occupancy, not n² — the same banding argument
-    as MinHash LSH, with zero false negatives because blocking is exact.
+    simhash_pairs with the IDENTICAL result set (same oracle).
 
-    The distinct() dedups pairs colliding in several blocks; its exchange
+    Generalized Manku-style combination blocking: split the signature into
+    `n_blocks` bit blocks; a pair within hamming d differs in at most d
+    blocks, so it AGREES exactly on some (n_blocks - d)-subset. Keying on
+    every combination of `match_blocks` = n_blocks - d blocks turns the
+    all-pairs scan into an equi-join on (combo_id, concatenated block
+    values) with ZERO false negatives; verification (full hamming ≤ d)
+    removes false positives.
+
+    Why combinations beat single blocks at scale: with B=d+1 single blocks
+    the join key is only ~SIMHASH_BITS/(d+1) bits wide (≈7 bits at
+    60/7), so candidate volume is ~B·n²/2^7 — a quadratic term with a
+    small constant that the 16× scale probe surfaced (9.4× time at 16×
+    data, SCALE.md). With B blocks matched m at a time the key widens to
+    ~m·60/B bits: candidates scale by C(B,m)/2^(m·60/B) — orders of
+    magnitude fewer — at the linear cost of C(B,m) keys per doc. Defaults
+    (B=d+2, m=2) double the key width; callers can raise B/m further when
+    n² pressure dominates the explode factor (the 100-TB setting).
+
+    The distinct() dedups pairs colliding in several combos; its exchange
     carries ONLY verified pairs (post-hamming survivors — output-sized, not
     candidate-sized), so it is the cheapest dedup available. Measured
     alternative (sf0.1, rejected): a "first matching block" join predicate
     eliminates the distinct but evaluates block re-extraction on every
-    candidate row — 30-60% slower than the tiny exchange it saves, whether
-    placed in the ON clause or behind the hamming filter."""
-    n_blocks = max_hamming + 1
+    candidate row — 30-60% slower than the tiny exchange it saves."""
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_blocks = max_hamming + 2
+    if match_blocks is None:
+        match_blocks = n_blocks - max_hamming
+    if n_blocks - match_blocks < max_hamming:
+        raise ValueError(
+            f"pigeonhole violated: need n_blocks - match_blocks >= max_hamming, "
+            f"got {n_blocks} - {match_blocks} < {max_hamming}"
+        )
     # Materialize signatures ONCE before the self-join. The fold form of
     # simhash_signatures is a pure projection with no exchange below it, so
     # without a barrier codegen defers the (expensive, shingle-hashing)
@@ -531,20 +555,27 @@ def simhash_pairs_blocked(
     # compute once, store, self-join the stored table.
     sig = simhash_signatures(t["documents"]).localCheckpoint(eager=False)
     base, extra = divmod(SIMHASH_BITS, n_blocks)
-    blocks, off = [], 0
+    widths, offsets, off = [], [], 0
     for i in range(n_blocks):
-        width = base + (1 if i < extra else 0)
-        blocks.append(
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright(F.col("simhash"), off)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("val"),
-            )
+        w = base + (1 if i < extra else 0)
+        widths.append(w)
+        offsets.append(off)
+        off += w
+
+    def _block_val(i):
+        return F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
         )
-        off += width
+
+    keys = []
+    for ci, combo in enumerate(combinations(range(n_blocks), match_blocks)):
+        val, shift = F.lit(0).cast("long"), 0
+        for i in combo:
+            val = val.bitwiseOR(F.shiftleft(_block_val(i), shift))
+            shift += widths[i]
+        keys.append(F.struct(F.lit(ci).alias("blk"), val.alias("val")))
     keyed = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*blocks)).alias("bk")
+        "doc_id", "simhash", F.explode(F.array(*keys)).alias("bk")
     ).select("doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"))
     a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
@@ -718,7 +749,7 @@ def minhash_band_keys(docs: DataFrame) -> DataFrame:
         ]
     )
     return (
-        docs.filter(F.size(T.word_shingles("text", SHINGLE_N)) > 0)
+        docs.filter(F.size(T.words("text")) >= SHINGLE_N)
         .select("doc_id", F.explode(bands).alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )

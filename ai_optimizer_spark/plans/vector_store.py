@@ -36,6 +36,16 @@ from .nl2sql import validate_identifier
 STORE_SCHEMA = "id string, text string, metadata map<string,string>, embedding array<float>"
 
 
+def _file_bucket(col, n_buckets: int):
+    """Filename → stable bucket id in [0, n_buckets). Used as a Hive
+    partition column so per-file maintenance (stale-chunk deletion on
+    refresh) rewrites only the partitions that contain affected files —
+    the 100-TB answer to the reference's row-level
+    DELETE ... WHERE JSON_VALUE(metadata,'$.filename') IN (...)
+    (embed/vector_store.py:239-245)."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
 class VectorStoreCatalog:
     """File-backed store catalog: one JSON entry per store (alias, model,
     chunk params, distance metric) — the portable analog of `GENAI:` table
@@ -103,6 +113,7 @@ def populate_store(
     distance_metric: str | None = None,
     cluster_by_bucket: bool | None = None,
     bucket_bits: int | None = None,
+    file_buckets: int | None = None,
 ) -> DataFrame:
     """S11+J2+D1+D3: dedup → anti-join → embed only NEW rows → merge →
     atomic publish.
@@ -120,7 +131,15 @@ def populate_store(
     written `partitionBy(bucket)` where bucket = sign-LSH of the embedding,
     so a bucketed search prunes ~(2^bits - 1)/2^bits of the scan as Hive
     partition pruning — the Spark analog of the reference's ANN index
-    (HNSW/IVF per store, embed/vector_store.py:235-237)."""
+    (HNSW/IVF per store, embed/vector_store.py:235-237).
+
+    `file_buckets` is the MAINTENANCE layout: rows are written
+    `partitionBy(fbucket)` where fbucket = hash(filename) % file_buckets,
+    so an incremental refresh appends new rows into their buckets and
+    `delete_stale_chunks` rewrites only the buckets containing changed
+    files — the rest of a 100-TB store is never touched. Mutually
+    exclusive with `cluster_by_bucket` (one physical sort order per
+    table; pick search pruning or maintenance locality per store)."""
     from pyspark.sql import Window
 
     from ..functions import vector as V
@@ -133,6 +152,12 @@ def populate_store(
         cluster_by_bucket = bool(existing_meta.get("clustered", False))
     if bucket_bits is None:
         bucket_bits = int(existing_meta.get("bucket_bits") or 8)
+    if file_buckets is None:
+        file_buckets = existing_meta.get("file_buckets")
+    if file_buckets and cluster_by_bucket:
+        raise ValueError(
+            "file_buckets and cluster_by_bucket are mutually exclusive layouts"
+        )
 
     # deterministic exact dedup: lowest id wins per text (stable across
     # runs, unlike dropDuplicates), so the id-keyed merge stays idempotent
@@ -156,17 +181,32 @@ def populate_store(
     embedded = to_embed.withColumn("embedding", embed_column("text")).select(
         "id", "text", "metadata", "embedding"
     )
-    merged = existing.unionByName(embedded) if existing is not None else embedded
 
-    tmp_path = f"{data_path}__tmp_{uuid.uuid4().hex[:8]}"
-    writer = merged.write.mode("overwrite")
-    if cluster_by_bucket:
-        merged = merged.withColumn("bucket", V.sign_bucket("embedding", bucket_bits))
-        writer = merged.write.mode("overwrite").partitionBy("bucket")
-    writer.parquet(tmp_path)
-    if os.path.exists(data_path):
-        shutil.rmtree(data_path)
-    os.rename(tmp_path, data_path)
+    if file_buckets and existing is not None:
+        # partition-scoped merge: the anti-join above already guarantees id
+        # disjointness, so new rows APPEND as fresh part-files inside their
+        # fbucket partitions — nothing of the existing store is read back
+        # or rewritten (the only merge strategy that survives a 100-TB
+        # store; a full rewrite-and-swap is O(store), this is O(delta))
+        embedded.withColumn(
+            "fbucket", _file_bucket(F.col("metadata")["filename"], file_buckets)
+        ).write.mode("append").partitionBy("fbucket").parquet(data_path)
+    else:
+        merged = existing.unionByName(embedded) if existing is not None else embedded
+        tmp_path = f"{data_path}__tmp_{uuid.uuid4().hex[:8]}"
+        writer = merged.write.mode("overwrite")
+        if cluster_by_bucket:
+            merged = merged.withColumn("bucket", V.sign_bucket("embedding", bucket_bits))
+            writer = merged.write.mode("overwrite").partitionBy("bucket")
+        elif file_buckets:
+            merged = merged.withColumn(
+                "fbucket", _file_bucket(F.col("metadata")["filename"], file_buckets)
+            )
+            writer = merged.write.mode("overwrite").partitionBy("fbucket")
+        writer.parquet(tmp_path)
+        if os.path.exists(data_path):
+            shutil.rmtree(data_path)
+        os.rename(tmp_path, data_path)
 
     catalog.register(
         name,
@@ -176,25 +216,86 @@ def populate_store(
             "dim": 64,
             "clustered": cluster_by_bucket,
             "bucket_bits": bucket_bits if cluster_by_bucket else None,
+            "file_buckets": int(file_buckets) if file_buckets else None,
         },
     )
     return spark.read.parquet(data_path)
 
 
 def delete_stale_chunks(
-    spark: SparkSession, catalog: VectorStoreCatalog, name: str, filenames: list[str]
+    spark: SparkSession,
+    catalog: VectorStoreCatalog,
+    name: str,
+    stale: DataFrame | list[str],
 ) -> DataFrame:
     """T1 delete step: drop all chunks belonging to modified files before
     re-inserting (vector_store.py:239-245 DELETE ... WHERE
-    JSON_VALUE(metadata,'$.filename') IN (...))."""
+    JSON_VALUE(metadata,'$.filename') IN (...)).
+
+    `stale` is a DataFrame with a single `filename` column (a list of
+    strings is accepted as a convenience and converted). The delete is a
+    LEFT ANTI join — the stale set never leaves the cluster, so a refresh
+    wave of millions of changed files costs one shuffle, not a
+    driver-materialized IN-list.
+
+    On a `file_buckets` store the rewrite is PARTITION-SCOPED: only the
+    fbucket partitions that contain stale files are anti-joined and
+    swapped; every other partition directory is untouched. The only
+    driver-side materialization is the DISTINCT affected-partition-id set,
+    bounded by the layout constant `file_buckets` — never the filenames."""
     data_path = catalog.data_path(name)
     existing = spark.read.parquet(data_path)
-    kept = existing.filter(~F.col("metadata")["filename"].isin(filenames))
-    tmp_path = f"{data_path}__tmp_{uuid.uuid4().hex[:8]}"
-    kept.write.mode("overwrite").parquet(tmp_path)
-    shutil.rmtree(data_path)
-    os.rename(tmp_path, data_path)
+    if isinstance(stale, (list, tuple)):
+        stale = spark.createDataFrame([(f,) for f in stale], "filename string")
+    stale = stale.select(F.col(stale.columns[0]).alias("filename")).distinct()
+
+    meta = next((c for c in catalog.discover() if c["name"] == name), {})
+    n_fb = meta.get("file_buckets")
+    if n_fb:
+        affected = [
+            r.fbucket
+            for r in stale.select(
+                _file_bucket(F.col("filename"), n_fb).alias("fbucket")
+            )
+            .distinct()
+            .collect()  # ≤ file_buckets rows: partition metadata, not data
+        ]
+        sub = existing.filter(F.col("fbucket").isin(affected))
+        kept = sub.join(
+            stale, sub["metadata"]["filename"] == stale["filename"], "left_anti"
+        )
+        tmp_path = f"{data_path}__tmp_{uuid.uuid4().hex[:8]}"
+        kept.write.mode("overwrite").partitionBy("fbucket").parquet(tmp_path)
+        for b in affected:
+            dst = os.path.join(data_path, f"fbucket={b}")
+            src = os.path.join(tmp_path, f"fbucket={b}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+        shutil.rmtree(tmp_path, ignore_errors=True)
+    else:
+        kept = existing.join(
+            stale, existing["metadata"]["filename"] == stale["filename"], "left_anti"
+        )
+        tmp_path = f"{data_path}__tmp_{uuid.uuid4().hex[:8]}"
+        kept.write.mode("overwrite").parquet(tmp_path)
+        shutil.rmtree(data_path)
+        os.rename(tmp_path, data_path)
     return spark.read.parquet(data_path)
+
+
+def refresh_diff(current: DataFrame, held: DataFrame) -> DataFrame:
+    """J4 diff join, fully distributed: files in `current` that are new
+    (no store row) or modified (fingerprint mismatch, null-safe — store
+    rows with no fingerprint count as modified). `current` needs columns
+    (doc_id, filename, fp); `held` needs (filename, old_fp)."""
+    held = held.withColumn("in_store", F.lit(True))
+    return (
+        current.join(held, "filename", "left")
+        .filter(F.col("in_store").isNull() | ~F.col("fp").eqNullSafe(F.col("old_fp")))
+        .select("doc_id", "filename")
+    )
 
 
 def refresh_store(
@@ -205,6 +306,7 @@ def refresh_store(
     chunk_size: int = 200,
     overlap: int = 40,
     remove_missing: bool = False,
+    file_buckets: int | None = None,
 ) -> DataFrame:
     """T1: incremental refresh (embed/refresh.py:28-143 + oci/bucket.py:
     151-181): diff the current corpus against what the store already holds
@@ -220,10 +322,16 @@ def refresh_store(
     reference, files absent from `current_docs` are left in place (the
     bucket diff never sees deletions); pass remove_missing=True to also
     drop their chunks — only valid when current_docs is the FULL corpus,
-    not a delta batch."""
+    not a delta batch.
+
+    Unlike the reference's driver-side dict diff (oci/bucket.py:151-181),
+    the changed/missing sets here are DataFrames end-to-end: the delete is
+    a left-anti join and the re-embed set a left-semi join, so a refresh
+    wave of millions of changed files never materializes on the driver."""
     from ..functions import text as T
 
     current = current_docs.select(
+        "doc_id",
         F.concat(F.lit("doc_"), F.col("doc_id")).alias("filename"),
         T.fingerprint(F.col("text")).alias("fp"),
     )
@@ -233,31 +341,31 @@ def refresh_store(
             spark.read.parquet(data_path)
             .select(
                 F.col("metadata")["filename"].alias("filename"),
-                F.col("metadata")["fingerprint"].alias("fp"),
+                F.col("metadata")["fingerprint"].alias("old_fp"),
             )
             .dropDuplicates(["filename"])
         )
-        diff = current.alias("cur").join(
-            held.alias("old"), F.col("cur.filename") == F.col("old.filename"), "left"
-        )
-        changed = diff.filter(
-            F.col("old.filename").isNull()
-            | ~F.col("cur.fp").eqNullSafe(F.col("old.fp"))
-        ).select(F.col("cur.filename").alias("filename"))
-        changed_names = [r.filename for r in changed.collect()]
-        stale_names = list(changed_names)
+        # the diff stays a DataFrame end-to-end. localCheckpoint
+        # materializes it BEFORE delete_stale_chunks replaces the store
+        # files its lineage reads — and doubles as the reuse point (the
+        # same diff feeds the emptiness probe, the delete, and the
+        # re-embed semi-join without recomputing fingerprints).
+        changed = refresh_diff(current, held).localCheckpoint()
+        stale = changed.select("filename")
         if remove_missing:
-            missing = held.join(
-                current.select("filename"), "filename", "left_anti"
-            ).select("filename")
-            stale_names += [r.filename for r in missing.collect()]
-        if not stale_names:
+            missing = (
+                held.join(current.select("filename"), "filename", "left_anti")
+                .select("filename")
+                .localCheckpoint()
+            )
+            stale = stale.unionByName(missing)
+        if stale.isEmpty():
             return spark.read.parquet(data_path)
-        delete_stale_chunks(spark, catalog, name, stale_names)
-        if not changed_names:
+        delete_stale_chunks(spark, catalog, name, stale)
+        if changed.isEmpty():
             return spark.read.parquet(data_path)
-        to_embed = current_docs.filter(
-            F.concat(F.lit("doc_"), F.col("doc_id")).isin(changed_names)
+        to_embed = current_docs.join(
+            changed.select("doc_id"), "doc_id", "left_semi"
         )
     else:
         to_embed = current_docs

@@ -863,7 +863,7 @@ def _e2e_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].limit(100)
+    docs = t["documents"].filter(F.col("doc_id") < 100)
     catalog = VectorStoreCatalog(tempfile.mkdtemp(prefix="aio_stores_"))
     populate_store(
         spark, catalog, "even_docs",
@@ -1449,7 +1449,9 @@ def _e2e_clustered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         search_store,
     )
 
-    docs = load_tables(spark, sf_dir)["documents"].limit(120)
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 120)
     catalog = VectorStoreCatalog(tempfile.mkdtemp(prefix="aio_clustered_"))
     populate_store(
         spark, catalog, "clustered", chunks_from_documents(docs),
@@ -1554,7 +1556,7 @@ def _e2e_vecsearch_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         populate_store,
     )
 
-    docs = load_tables(spark, sf_dir)["documents"].limit(80)
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 80)
     catalog = VectorStoreCatalog(tempfile.mkdtemp(prefix="aio_flow_"))
     populate_store(spark, catalog, "table_docs",
                    chunks_from_documents(docs.filter(F.col("doc_id") % 2 == 0)))
@@ -1568,6 +1570,181 @@ def _e2e_vecsearch_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["e2e_vecsearch_flow"] = _e2e_vecsearch_flow
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the vecsearch e2e pipelines: the hash-embedding double
+# is deterministic (md5 token buckets, embedding.py:46-57), so the WHOLE
+# chunk → dedup → embed → search path is SQL-expressible — the flagship
+# §3.1 read path is hash-verified end-to-end, not rows-only.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_dedup_cte(pred: str, out: str) -> str:
+    """documents WHERE {pred} → chunk(200/40) → min-id-per-text dedup;
+    mirrors functions/text.py chunk_text + populate_store's dedup window."""
+    return f"""
+    {out}_starts AS (
+        SELECT doc_id, text, length(text) AS n,
+               unnest(generate_series(0, CAST(ceil(length(text) / 160.0) AS BIGINT))) AS i
+        FROM documents WHERE {pred}
+    ),
+    {out}_chunks AS (
+        SELECT CAST(doc_id AS VARCHAR) || '_' ||
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS VARCHAR) AS id,
+               substr(text, CAST(i * 160 AS INTEGER) + 1, 200) AS text
+        FROM {out}_starts
+        WHERE (i = 0 AND n > 0) OR (i > 0 AND i * 160 + 40 < n)
+    ),
+    {out} AS (
+        SELECT id, text FROM (
+            SELECT id, text,
+                   ROW_NUMBER() OVER (PARTITION BY text ORDER BY id ASC) AS rn
+            FROM {out}_chunks
+        ) WHERE rn = 1
+    )"""
+
+
+def _hash_embed_cte(src: str, out: str) -> str:
+    """HashEmbedder parity: 60-bit md5 token hash → bucket h%64, sign from
+    bit 30, L2-normalize, float32-quantize each component — bit-exact with
+    embedding.py:46-57 (verified: exact multiset equality at sf0.01)."""
+    return f"""
+    {out}_tb AS (
+        SELECT id,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
+               CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT >> 30) & 1 = 1
+                    THEN 1.0 ELSE -1.0 END AS sgn
+        FROM (
+            SELECT id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+            FROM {src}
+        )
+    ),
+    {out}_vm AS (
+        SELECT id, map_from_entries(list(struct_pack(k := bucket, v := s))) AS m,
+               SQRT(SUM(s * s)) AS nrm
+        FROM (SELECT id, bucket, CAST(SUM(sgn) AS DOUBLE) AS s
+              FROM {out}_tb GROUP BY id, bucket)
+        GROUP BY id
+    ),
+    {out} AS (
+        SELECT d.id, d.text,
+               list_transform(range(0, 64),
+                   i -> CAST(CAST(COALESCE(v.m[i][1], 0.0) / v.nrm AS FLOAT4) AS DOUBLE)) AS emb
+        FROM {src} d JOIN {out}_vm v USING (id)
+    )"""
+
+
+def _qvec_cte(tokens: tuple, out: str = "qv") -> str:
+    """Query-side HashEmbedder over a constant token list."""
+    toklist = ", ".join("'" + t.replace("'", "''") + "'" for t in tokens)
+    return f"""
+    {out}_tb AS (
+        SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
+               CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT >> 30) & 1 = 1
+                    THEN 1.0 ELSE -1.0 END AS sgn
+        FROM (SELECT unnest([{toklist}]) AS tok)
+    ),
+    {out}_vm AS (
+        SELECT map_from_entries(list(struct_pack(k := bucket, v := s))) AS m,
+               SQRT(SUM(s * s)) AS nrm
+        FROM (SELECT bucket, CAST(SUM(sgn) AS DOUBLE) AS s FROM {out}_tb GROUP BY bucket)
+    ),
+    {out} AS (
+        SELECT list_transform(range(0, 64),
+                   i -> CAST(CAST(COALESCE(m[i][1], 0.0) / nrm AS FLOAT4) AS DOUBLE)) AS qe
+        FROM {out}_vm
+    )"""
+
+
+def _store_top_cte(vec: str, store_name: str, out: str, top_k: int = 8) -> str:
+    """search_store: COSINE score 1-(1-cos)/2, ROUND 3, per-store top-k by
+    (similarity DESC, id ASC) — plans/vector_store.py search_store."""
+    return f"""
+    {out} AS (
+        SELECT id, text, similarity, '{store_name}' AS searched_table FROM (
+            SELECT v.id, v.text,
+                   ROUND(1.0 - (1.0 - list_cosine_similarity(v.emb, q.qe)) / 2.0, 3) + 0.0 AS similarity,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND(1.0 - (1.0 - list_cosine_similarity(v.emb, q.qe)) / 2.0, 3) + 0.0 DESC,
+                                v.id ASC) AS rn
+            FROM {vec} v, qv q
+        ) WHERE rn <= {top_k}
+    )"""
+
+
+ORACLE_SQL["e2e_vector_search"] = f"""
+    WITH {_chunk_dedup_cte('doc_id < 100 AND doc_id % 2 = 0', 'even_d')},
+    {_chunk_dedup_cte('doc_id < 100 AND doc_id % 2 = 1', 'odd_d')},
+    {_hash_embed_cte('even_d', 'even_vec')},
+    {_hash_embed_cte('odd_d', 'odd_vec')},
+    {_qvec_cte(('table', 'join', 'filter', 'fast'))},
+    {_store_top_cte('even_vec', 'even_docs', 'even_top')},
+    {_store_top_cte('odd_vec', 'odd_docs', 'odd_top')},
+    united AS (SELECT * FROM even_top UNION ALL SELECT * FROM odd_top),
+    kept AS (
+        SELECT id, text, similarity, searched_table FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY text
+                ORDER BY similarity DESC, searched_table ASC, id ASC) AS rn
+            FROM united
+        ) WHERE rn = 1
+    )
+    SELECT id, text, similarity, searched_table
+    FROM kept ORDER BY similarity DESC, id ASC LIMIT 8
+"""
+
+_SIGN4 = (
+    "(CASE WHEN {v}[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN {v}[2] >= 0 THEN 2 ELSE 0 END)"
+    " + (CASE WHEN {v}[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN {v}[4] >= 0 THEN 8 ELSE 0 END)"
+)
+
+ORACLE_SQL["e2e_clustered_search"] = f"""
+    WITH {_chunk_dedup_cte('doc_id < 120', 'cl_d')},
+    {_hash_embed_cte('cl_d', 'cl_vec')},
+    {_qvec_cte(('table', 'join', 'filter', 'fast'))},
+    qb AS (SELECT {_SIGN4.format(v='qe')} AS qbucket FROM qv)
+    SELECT id, text, similarity FROM (
+        SELECT v.id, v.text,
+               ROUND(1.0 - (1.0 - list_cosine_similarity(v.emb, q.qe)) / 2.0, 3) + 0.0 AS similarity,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(1.0 - (1.0 - list_cosine_similarity(v.emb, q.qe)) / 2.0, 3) + 0.0 DESC,
+                            v.id ASC) AS rn
+        FROM cl_vec v, qv q, qb
+        WHERE {_SIGN4.format(v='v.emb')} = qb.qbucket
+    ) WHERE rn <= 8
+"""
+
+# flow: rephrase appends "(re: <last history turn>)" (plans/flow.py:60-66);
+# routing picks only table_docs (shared token "table"); grade terms
+# join/merge/table blank non-matching hits (flow.py:88-99)
+_FLOW_TOKENS = tuple("table join filter fast (re: prior a)".split())
+
+ORACLE_SQL["e2e_vecsearch_flow"] = f"""
+    WITH {_chunk_dedup_cte('doc_id < 80 AND doc_id % 2 = 0', 'fl_d')},
+    {_hash_embed_cte('fl_d', 'fl_vec')},
+    {_qvec_cte(_FLOW_TOKENS)},
+    {_store_top_cte('fl_vec', 'table_docs', 'fl_top')},
+    kept AS (
+        SELECT id, text, similarity, searched_table FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY text
+                ORDER BY similarity DESC, searched_table ASC, id ASC) AS rn
+            FROM fl_top
+        ) WHERE rn = 1
+    ),
+    final AS (
+        SELECT id, text, similarity, searched_table
+        FROM kept ORDER BY similarity DESC, id ASC LIMIT 8
+    )
+    SELECT id,
+           CASE WHEN lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%'
+                     OR lower(text) LIKE '%table%' THEN text ELSE '' END AS text,
+           similarity, searched_table,
+           CASE WHEN lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%'
+                     OR lower(text) LIKE '%table%' THEN 'yes' ELSE 'no' END AS grade
+    FROM final
+"""
 
 
 def _e2e_evaluation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3364,9 +3541,9 @@ _PRIORITY: list[str] = [
     # ANN / similarity tiers (IVF, matmul, PQ, recall measurement)
     "v7_ivf_topk",
     "v8_ivf_knn_join",
-    "v9_ivf_kmeans_topk",
+    "v19_ann_operating_curve",
     "v10_matmul_knn",
-    "v11_pq_topk",
+    "d3c_minhash_lsh_capped",
     "v12_ann_recall",
     # temporal / skew / bucketed / analytic join shapes
     "j10_salted_skew_join",
@@ -3406,7 +3583,7 @@ _PRIORITY: list[str] = [
     "a12_rollup_totals",
     "a13_quantile_summary",
     "a14_cube_summary",
-    "a15_approx_sketch_stats",
+    "e2e_training_export",
     "a16_parts_supplier_counts",
     "a17_pivot_status_year",
     "a18_idle_rich_customers",
@@ -3435,12 +3612,11 @@ _PRIORITY: list[str] = [
     "a22_cohort_retention",
     "a23_source_median_quality",
     "f17_chunk_udtf",
-    "st12_streaming_neardup_candidates",
     "st12b_neardup_candidates_batch",
-    "e2e_training_export",
-    "v19_ann_operating_curve",
+    "v9_ivf_kmeans_topk",
+    "v11_pq_topk",
+    "a15_approx_sketch_stats",
     "v20_ivfpq_topk_np",
-    "d3c_minhash_lsh_capped",
     "st13_streaming_ivf_assign",
     "v18_filtered_topk",
     "d14_crossencoder_rerank",

@@ -6,9 +6,13 @@ only until the watermark passes its event time + delay, so state is
 bounded by (duplicate-arrival horizon x ingest rate), not by stream
 history — the property that makes exact dedup feasible on an unbounded
 100 TB/day feed. Duplicates arriving within the horizon are dropped by
-state lookup; ones arriving later than the watermark are dropped as late
-data. Either way the output carries each event once, which is exactly the
-batch `distinct` result — the parity the test asserts.
+state lookup; rows arriving later than the watermark are dropped as late
+data BEFORE the duplicate check — including late FIRST occurrences, which
+are lost entirely. That is the deliberate trade for bounded state: on an
+in-order feed the output equals the batch `distinct` result (the parity
+test_streaming.py asserts); under watermark-late arrivals it is the
+batch result minus the late-loss set (test_streaming_late_data.py pins
+both halves of that contract).
 """
 
 from __future__ import annotations

@@ -360,12 +360,17 @@ def streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = static.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
-    )
+    # FileStreamSource monitors a DIRECTORY: stream the table dir when
+    # embeddings.parquet is directory-style (multi-part layout), else fall
+    # back to globbing the single file out of its parent
+    import os as _os
+
+    table_path = f"{sf_dir}/embeddings.parquet"
+    reader = spark.readStream.schema(static.schema).option("maxFilesPerTrigger", 1)
+    if _os.path.isdir(table_path):
+        stream = reader.parquet(table_path)
+    else:
+        stream = reader.option("pathGlobFilter", "embeddings.parquet").parquet(sf_dir)
     assigned = _assign_cells(stream, cents)
     plan = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vecs"),

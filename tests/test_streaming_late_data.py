@@ -1,0 +1,244 @@
+"""Late/out-of-order event semantics for the streaming family (VERDICT r3
+task #5): what happens when events arrive AFTER the watermark has passed
+their event time, asserted against the documented drop/update semantics —
+and, where the batch twin differs, the difference itself is asserted.
+
+Mechanics: a file-per-micro-batch feed (maxFilesPerTrigger=1, mtimes force
+processing order) so the watermark advances between batches exactly like an
+always-on ingest. Spark's watermark propagates at micro-batch boundaries
+with a one-batch lag (measured here: a row arriving in the same batch that
+finalizes its window still merges before eviction), so each scenario puts a
+filler batch between the watermark-advancing event and the late arrival —
+the steady-state shape of a real ingest, where lateness spans many batches.
+
+Reference analog: the T2 terminal-write guard's late-finish story
+(embed/jobs.py:249-313) — a state update arriving after the terminal state
+is sealed is discarded, not applied.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_optimizer_spark.streaming.event_stream import (
+    session_window_stats,
+    windowed_counts,
+)
+
+EVENT_SCHEMA = "ts timestamp, event_type string, value double, user_id long, event_id long"
+
+
+def _ts(h, m=0):
+    return datetime(2024, 3, 1, h, m)
+
+
+def _feed_dir(spark, tmp_path, batches):
+    """Write each batch of rows as ONE parquet file with increasing mtimes
+    so FileStreamSource (maxFilesPerTrigger=1) processes them in order."""
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed, exist_ok=True)
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dst = os.path.join(feed, f"batch{i:03d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    return feed
+
+
+def _stream(spark, feed):
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+
+
+def _run_append(spark, plan, name, timeout_sec=120):
+    q = (
+        plan.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"streaming query {name!r} did not finish")
+    return spark.table(name)
+
+
+def test_tumbling_counts_drop_late_events(spark, tmp_path):
+    """st6 semantics: an event below the watermark is DROPPED — the
+    finalized window holds only on-time events, while the batch twin (which
+    sees all rows at once) counts the late row too."""
+    b1 = [
+        (_ts(10, 15), "A", 1.0, 1, 1),   # window [10:00, 11:00)
+        (_ts(13, 30), "A", 1.0, 1, 2),   # advances watermark to 11:30
+    ]
+    b2 = [
+        (_ts(14, 30), "A", 1.0, 1, 4),   # filler: watermark → 12:30
+    ]
+    b3 = [
+        (_ts(10, 30), "A", 5.0, 1, 3),   # LATE: 10:30 < watermark 12:30
+        (_ts(14, 45), "A", 1.0, 1, 5),
+    ]
+    feed = _feed_dir(spark, tmp_path, [b1, b2, b3])
+    got = _run_append(
+        spark, windowed_counts(_stream(spark, feed)), "late_tumbling"
+    ).collect()
+
+    # only window [10:00,11:00) is past the final watermark (12:30); the
+    # late event contributed nothing to it
+    assert len(got) == 1
+    row = got[0]
+    assert row.window_start == _ts(10) and row.event_type == "A"
+    assert row.n_events == 1 and row.value_sum == 1.0
+
+    # the batch twin has no watermark: same aggregation over the same rows
+    # includes the late event — the difference IS the documented semantics
+    batch = (
+        spark.createDataFrame(b1 + b2 + b3, EVENT_SCHEMA)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("w.start") == _ts(10))
+        .collect()
+    )
+    assert batch[0].n_events == 2
+
+
+def test_session_windows_drop_late_events(spark, tmp_path):
+    """st7 semantics: a late event belonging to an already-finalized
+    session is dropped — the emitted session keeps its on-time bounds and
+    count; the batch sessionizer would have absorbed the event."""
+    b1 = [
+        (_ts(10, 0), "A", 1.0, 7, 1),
+        (_ts(10, 10), "A", 1.0, 7, 2),   # session [10:00, 10:10] (gap 30m)
+        (_ts(15, 0), "A", 1.0, 8, 3),    # advances watermark to 13:00
+    ]
+    b2 = [
+        (_ts(15, 5), "A", 1.0, 8, 6),    # filler: watermark applies next batch
+    ]
+    b3 = [
+        (_ts(10, 20), "A", 1.0, 7, 4),   # LATE: would extend u7's session
+        (_ts(18, 0), "A", 1.0, 8, 5),    # advances watermark past u8 too
+    ]
+    feed = _feed_dir(spark, tmp_path, [b1, b2, b3])
+    got = {
+        r.user_id: r
+        for r in _run_append(
+            spark, session_window_stats(_stream(spark, feed)), "late_sessions"
+        ).collect()
+    }
+
+    assert 7 in got
+    u7 = got[7]
+    assert u7.n_events == 2                      # late event NOT absorbed
+    assert u7.session_start == _ts(10, 0)
+    assert u7.session_end == _ts(10, 10)         # on-time bound kept
+
+    # batch sessionizer (no watermark) absorbs it: 3 events, end 10:20
+    from ai_optimizer_spark.operators.events import sessionize
+
+    batch = sessionize(
+        {"events": spark.createDataFrame(b1 + b2 + b3, EVENT_SCHEMA)}
+    )
+    b7 = batch.filter(F.col("user_id") == 7).collect()[0]
+    assert b7.n_events == 3 and b7.session_end == _ts(10, 20)
+
+
+def test_streaming_dedup_drops_watermark_late_first_occurrences(spark, tmp_path):
+    """st8 semantics, the sharp edge: dropDuplicatesWithinWatermark drops
+    late rows BEFORE the duplicate check, so a late-arriving FIRST
+    occurrence is lost entirely — bounded state trades completeness for
+    feasibility on an unbounded feed. The batch `distinct` keeps it."""
+    from ai_optimizer_spark.streaming.dedup_stream import deduped_events
+
+    b1 = [
+        (_ts(10, 0), "A", 1.0, 1, 100),
+        (_ts(15, 0), "A", 1.0, 1, 200),  # advances watermark to 13:00
+    ]
+    b2 = [
+        (_ts(15, 5), "A", 1.0, 1, 250),  # filler: watermark applies next batch
+    ]
+    b3 = [
+        (_ts(15, 10), "A", 9.0, 1, 200), # duplicate within watermark → dropped
+        (_ts(10, 30), "A", 1.0, 1, 300), # LATE first occurrence → dropped
+        (_ts(15, 30), "A", 1.0, 1, 400), # on-time new id → kept
+    ]
+    feed = _feed_dir(spark, tmp_path, [b1, b2, b3])
+    got = _run_append(
+        spark, deduped_events(_stream(spark, feed)), "late_dedup"
+    ).collect()
+    ids = sorted(r.event_id for r in got)
+    assert ids == [100, 200, 250, 400]   # 300 lost to lateness, 200 once
+
+    batch_ids = sorted(
+        r.event_id
+        for r in spark.createDataFrame(b1 + b2 + b3, EVENT_SCHEMA)
+        .select("event_id")
+        .distinct()
+        .collect()
+    )
+    assert batch_ids == [100, 200, 250, 300, 400]  # batch distinct keeps 300
+
+
+def test_neardup_feed_is_arrival_order_invariant(spark, sf_small, tmp_path):
+    """st12 semantics: the near-dup candidate feed is STATELESS per row
+    (band keys are a fold, the index side is static), so arrival order —
+    including 'late' arrivals, which have no meaning without event time —
+    cannot change the output. Feed the same docs in forward and reverse
+    file order and assert identical candidate sets."""
+    from ai_optimizer_spark.operators.dedup import minhash_band_keys
+    from ai_optimizer_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_small)["documents"].limit(60)
+    static_index = minhash_band_keys(docs).select(
+        F.col("doc_id").alias("index_doc"), "band", "key"
+    )
+    half_a = [tuple(r) for r in docs.filter(F.col("doc_id") % 2 == 0).collect()]
+    half_b = [tuple(r) for r in docs.filter(F.col("doc_id") % 2 == 1).collect()]
+    schema = docs.schema
+
+    results = []
+    for order_name, batches in (("fwd", [half_a, half_b]), ("rev", [half_b, half_a])):
+        feed = str(tmp_path / f"feed_{order_name}")
+        os.makedirs(feed)
+        for i, rows in enumerate(batches):
+            stage = str(tmp_path / f"stage_{order_name}_{i}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            dst = os.path.join(feed, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(feed)
+        plan = (
+            minhash_band_keys(stream)
+            .join(static_index, ["band", "key"])
+            .filter(F.col("doc_id") != F.col("index_doc"))
+            .groupBy(F.col("doc_id").alias("new_doc"), "index_doc")
+            .agg(F.count(F.lit(1)).alias("n_band_hits"))
+        )
+        q = (
+            plan.writeStream.format("memory")
+            .queryName(f"st12_order_{order_name}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        results.append(
+            {tuple(r) for r in spark.table(f"st12_order_{order_name}").collect()}
+        )
+    assert results[0] == results[1] and results[0]

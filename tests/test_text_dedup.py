@@ -211,3 +211,28 @@ def test_simhash_blocked_equals_exact_on_multiblock_collisions(spark):
     assert len(blocked_rows) == len(blocked)  # no duplicate emissions
     # the identical-doc clique is all there: C(8,2) zero-distance pairs
     assert sum(1 for _, _, h in blocked if h == 0) >= 8 * 7 // 2
+
+
+def test_simhash_combo_blocking_configs_agree(spark, sf_small):
+    """Manku-style combination blocking (match m of B blocks) must produce
+    the IDENTICAL pair set for every valid (B, m) — wider keys only change
+    candidate volume, never the verified result. Also: invalid configs
+    that break the pigeonhole guarantee are rejected."""
+    import pytest as _pytest
+
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    base = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_pairs_blocked(t, n_blocks=8, match_blocks=1).collect()
+    }
+    assert base
+    for B, m in ((9, 2), (10, 3)):
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in D.simhash_pairs_blocked(t, n_blocks=B, match_blocks=m).collect()
+        }
+        assert got == base, f"config ({B},{m}) changed the result set"
+    with _pytest.raises(ValueError):
+        D.simhash_pairs_blocked(t, n_blocks=8, match_blocks=2)  # 8-2 < 7

@@ -256,3 +256,74 @@ def test_populate_idempotent_with_duplicate_texts(spark, catalog):
     assert again.count() == n1
     assert {r.id for r in again.select("id").collect()} == ids1
     assert "3_1" in ids1 and "7_1" not in ids1  # lowest doc id wins
+
+
+def test_file_bucketed_delete_is_partition_scoped(spark, sf_small, catalog):
+    """file_buckets layout: delete_stale_chunks rewrites ONLY the fbucket
+    partitions holding stale files — every other partition's part-files
+    are byte-for-byte untouched (the O(delta) maintenance story)."""
+    import os
+
+    from ai_optimizer_spark.plans.vector_store import _file_bucket
+
+    docs = _docs(spark, sf_small).select("doc_id", "text", "source")
+    chunks = chunks_from_documents(docs)
+    store = populate_store(spark, catalog, "store_fb", chunks, file_buckets=8)
+    total = store.count()
+    data_path = catalog.data_path("store_fb")
+    parts = sorted(d for d in os.listdir(data_path) if d.startswith("fbucket="))
+    assert len(parts) > 1  # actually partitioned
+
+    b0 = spark.range(1).select(_file_bucket(F.lit("doc_0"), 8).alias("b")).first().b
+
+    def snapshot():
+        out = {}
+        for d in parts:
+            if d == f"fbucket={b0}":
+                continue
+            pdir = os.path.join(data_path, d)
+            for f in sorted(os.listdir(pdir)):
+                p = os.path.join(pdir, f)
+                out[p] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    before = snapshot()
+    n_doc0 = store.filter(F.col("metadata")["filename"] == "doc_0").count()
+    assert n_doc0 > 0
+    kept = delete_stale_chunks(spark, catalog, "store_fb", ["doc_0"])
+    assert kept.count() == total - n_doc0
+    assert kept.filter(F.col("metadata")["filename"] == "doc_0").count() == 0
+    assert snapshot() == before  # untouched partitions byte-stable
+
+
+def test_file_bucketed_refresh_appends_only_changed(spark, sf_small, catalog):
+    """Refresh on a file-bucketed store: unchanged files keep their rows
+    and their partitions are not rewritten; the changed file's chunks are
+    replaced via partition-scoped delete + append."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.plans.vector_store import refresh_store
+
+    docs = _docs(spark, sf_small).select("doc_id", "text", "source")
+    store1 = refresh_store(spark, catalog, "store_fb2", docs, file_buckets=8)
+    n1 = store1.count()
+    before = {
+        r.id for r in store1.filter(F.col("metadata")["filename"] == "doc_1").collect()
+    }
+
+    modified = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.lit("fresh text for doc zero")).otherwise(
+            F.col("text")
+        ),
+    )
+    store2 = refresh_store(spark, catalog, "store_fb2", modified)
+    doc0 = store2.filter(F.col("metadata")["filename"] == "doc_0")
+    assert doc0.count() == 1 and "fresh text" in doc0.first().text
+    after = {
+        r.id for r in store2.filter(F.col("metadata")["filename"] == "doc_1").collect()
+    }
+    assert before == after and before
+    # search still works over the partitioned layout
+    hits = search_store(spark, catalog, "store_fb2", "fresh text", top_k=3).collect()
+    assert len(hits) == 3

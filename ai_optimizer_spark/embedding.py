@@ -101,7 +101,14 @@ class ProviderEmbedder:
     ``(texts: list[str], **call_kwargs) -> list[list[float]]``. The default
     transport import-gates litellm and raises `EmbedderUnavailable` when the
     library is absent — the engine's doubles remain the test path; this
-    class is the production drop-in."""
+    class is the production drop-in.
+
+    Transient transport failures are retried `max_retries` times with
+    exponential backoff (the adapter owns retries; the reference delegates
+    them to litellm's client). Protocol violations — wrong embedding count,
+    ragged vector widths, or a width differing from the configured `dim` —
+    raise immediately without retrying: a provider answering with the wrong
+    shape will answer with the wrong shape again."""
 
     def __init__(
         self,
@@ -111,11 +118,17 @@ class ProviderEmbedder:
         batch_size: int = PROVIDER_BATCH,
         rate_limit: int = 0,
         transport=None,
+        dim: int | None = None,
+        max_retries: int = 2,
+        retry_backoff: float = 0.5,
     ):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.model = model
         self.batch_size = batch_size
+        self.dim = dim
+        self.max_retries = max_retries
+        self.retry_backoff = retry_backoff
         self._call_kwargs = {"model": model}
         if api_key is not None:
             self._call_kwargs["api_key"] = api_key
@@ -124,17 +137,43 @@ class ProviderEmbedder:
         self._throttle = Throttle(rate_limit)
         self._transport = transport if transport is not None else _litellm_transport()
 
+    def _call_with_retry(self, chunk: list[str]) -> list[list[float]]:
+        import time
+
+        for attempt in range(self.max_retries + 1):
+            self._throttle.wait()
+            try:
+                return self._transport(chunk, **self._call_kwargs)
+            except Exception:
+                if attempt == self.max_retries:
+                    raise
+                time.sleep(self.retry_backoff * (2**attempt))
+        raise AssertionError("unreachable")
+
+    def _validate(self, vecs: list[list[float]], chunk: list[str]) -> None:
+        if len(vecs) != len(chunk):
+            raise ValueError(
+                f"provider returned {len(vecs)} embeddings for "
+                f"{len(chunk)} inputs (model={self.model})"
+            )
+        widths = {len(v) for v in vecs}
+        if len(widths) > 1:
+            raise ValueError(
+                f"provider returned ragged embedding widths {sorted(widths)} "
+                f"(model={self.model})"
+            )
+        if self.dim is not None and widths and widths != {self.dim}:
+            raise ValueError(
+                f"provider returned dim {widths.pop()}, expected {self.dim} "
+                f"(model={self.model})"
+            )
+
     def embed_documents(self, texts: list[str]) -> list[list[float]]:
         out: list[list[float]] = []
         for i in range(0, len(texts), self.batch_size):
             chunk = texts[i : i + self.batch_size]
-            self._throttle.wait()
-            vecs = self._transport(chunk, **self._call_kwargs)
-            if len(vecs) != len(chunk):
-                raise ValueError(
-                    f"provider returned {len(vecs)} embeddings for "
-                    f"{len(chunk)} inputs (model={self.model})"
-                )
+            vecs = self._call_with_retry(chunk)
+            self._validate(vecs, chunk)
             out.extend(vecs)
         return out
 
@@ -173,6 +212,9 @@ def make_embedder(config: dict | None = None, transport=None):
             batch_size=cfg.get("batch_size", PROVIDER_BATCH),
             rate_limit=cfg.get("rate_limit", 0),
             transport=transport,
+            dim=cfg.get("dim"),
+            max_retries=cfg.get("max_retries", 2),
+            retry_backoff=cfg.get("retry_backoff", 0.5),
         )
     raise ValueError(f"unknown embedding provider: {provider!r}")
 
@@ -192,7 +234,11 @@ def embed_column(
     double, so results stay verifiable)."""
     cfg = dict(config or {})
     cfg.setdefault("provider", "hash")
-    cfg.setdefault("dim", dim)
+    if cfg["provider"] == "hash":
+        # only the hash double gets a default dim; for a real provider the
+        # width is the model's to declare — an explicit cfg["dim"] opts in
+        # to enforcement, an absent one must not impose the double's 64
+        cfg.setdefault("dim", dim)
     cfg.setdefault("rate_limit", rate_limit)
 
     @F.pandas_udf(ArrayType(FloatType()))

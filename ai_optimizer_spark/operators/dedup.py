@@ -775,3 +775,38 @@ def streaming_neardup_candidates_batch(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy(F.col("doc_id").alias("new_doc"), "index_doc")
         .agg(F.count(F.lit(1)).alias("n_band_hits"))
     )
+
+
+def choose_simhash_blocking(
+    n_docs: int, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> tuple[int, int]:
+    """Pick (n_blocks, match_blocks) for simhash_pairs_blocked from the
+    corpus size, minimizing the measured two-term cost model:
+
+        cost ≈ α·n·C(B,m)                      (key explode + shuffle)
+             + β·n²·C(B,m)/2^(m·SIMHASH_BITS/B) (candidate generation)
+
+    α ≈ 3e-7 s/keyed-row and β ≈ 8e-10 s/candidate were fitted on the
+    64× scale-probe tile (SCALE.md finding 5; 32-core local mode — the
+    RATIO is what matters, both terms scale with cluster width). Small
+    corpora land on (d+1, 1) — single-block keys, minimal explode; the
+    candidate term's n² growth pushes large corpora onto wider
+    combination keys. The result set is identical for every valid
+    config (pigeonhole-exact; test-enforced), so this is purely a cost
+    choice."""
+    from math import comb
+
+    ALPHA, BETA = 3e-7, 8e-10
+    best: tuple[float, tuple[int, int]] | None = None
+    for extra in range(1, 7):
+        b = max_hamming + extra
+        m = b - max_hamming
+        if m * SIMHASH_BITS // b < 1:
+            continue
+        c = comb(b, m)
+        key_bits = m * SIMHASH_BITS / b
+        cost = ALPHA * n_docs * c + BETA * n_docs * n_docs * c / (2.0**key_bits)
+        if best is None or cost < best[0]:
+            best = (cost, (b, m))
+    assert best is not None
+    return best[1]

@@ -86,3 +86,47 @@ def incremental_refresh(t: dict[str, DataFrame]) -> DataFrame:
         F.sum("etag").alias("total_etag"),
         F.round(F.sum("size"), 4).alias("total_size"),
     )
+
+
+def incremental_rollup(t: dict[str, DataFrame], cutoff: int = 50_000) -> DataFrame:
+    """T9 (beyond the reference): incremental materialized-view maintenance
+    — the lakehouse pattern the reference's full-recompute refresh lacks
+    (its refresh re-runs the whole pipeline, embed/refresh.py:28-143).
+
+    The rollup R = events → groupBy(hour, event_type) → (count, value_sum)
+    is maintained from a delta batch WITHOUT rescanning history: counts and
+    DECIMAL sums are mergeable partial aggregates, so
+    R_new = merge(R_old, rollup(delta)) — a groupBy over the union of
+    partials that sums them. Here R_old is recomputed from the < cutoff
+    half to make the query self-contained; in production R_old is the
+    STORED rollup (group-count-sized, not event-count-sized) and only the
+    delta is scanned — maintaining a 100 TB corpus's rollup costs
+    O(delta + groups).
+
+    The merged result is BIT-identical to the full recompute (decimal
+    addition is associative, unlike double), which is exactly what the
+    oracle asserts: the incremental path vs DuckDB's one-shot GROUP BY."""
+    from ..tables import normalize_event_ts
+
+    ev = normalize_event_ts(t["events"])
+    dec = F.col("value").cast("decimal(18,6)")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec).alias("value_sum"),
+        )
+
+    materialized = rollup(ev.filter(F.col("event_id") < cutoff))
+    delta = rollup(ev.filter(F.col("event_id") >= cutoff))
+    return (
+        materialized.unionByName(delta)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("value_sum"), 4).cast("double").alias("value_sum"),
+        )
+    )

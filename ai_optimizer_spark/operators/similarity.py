@@ -236,8 +236,10 @@ def ivf_kmeans_topk(
     """IVF with k-means-refined centroids: deterministic seed centroids,
     `iterations` Lloyd updates (assign → mean → re-assign), then the same
     probe+search plan as ivf_topk. Tighter cells → better recall at equal
-    n_probe. Iterative-algorithm shape → rows-only driver check; recall is
-    unit-tested against brute force."""
+    n_probe. Oracle-backed despite the iterative shape: the fixed 2-round
+    Lloyd loop unrolls into chained SQL CTEs (assign → per-dim AVG →
+    float32-quantize → reassign), exact at sf0.01 and sf0.1; recall is
+    additionally unit-tested against brute force."""
     emb = t["embeddings"]
     cents, assigned = _ivf_assign(emb, n_centroids)
     for _ in range(iterations):
@@ -518,7 +520,9 @@ def mmr_rerank(
     driver-side numpy is the right tool; the heavy lifting (scoring all N
     vectors) stayed in Spark.
 
-    Non-SQL-expressible (iterative greedy) → rows-only driver check.
+    Oracle-backed despite being iterative: the greedy selection is a
+    recursive CTE in DuckDB (the chosen set rides as a list, a correlated
+    argmax picks each step) — exact match at sf0.01 and sf0.1.
     """
     import numpy as np
 
@@ -593,8 +597,9 @@ def pq_topk(
     candidate generation reads m bytes/vector instead of 4·dims. Codebooks
     seed deterministically from the corpus head (same convention as
     `ivf_topk`; k-means refinement composes exactly as `_lloyd_update`).
-    Approximate op → rows-only driver check; recall is unit-tested against
-    brute force."""
+    Approximate by design, but deterministic — the encode/ADC/refine
+    pipeline is hash-verified against a full SQL re-derivation; recall is
+    additionally unit-tested against brute force."""
     emb = t["embeddings"]
     subs = _pq_subvectors(emb, m, dims)
     books = subs.filter(F.col("vec_id") < n_codes).select(
@@ -907,8 +912,10 @@ def ivfpq_topk(
     refine·k cut and a broadcast-semi-join exact re-rank. At 100 TB the
     store is written clustered by cid with codes precomputed alongside
     (write-path cost), making the probe filter partition pruning and the
-    projection a lookup instead of an argmin. Approximate op → rows-only
-    driver check; recall is unit-tested against brute force
+    projection a lookup instead of an argmin. The whole index — coarse
+    assignment, residual codebooks, ADC tables, refine — is hash-verified
+    against a full SQL re-derivation (exact at sf0.01/sf0.1); recall is
+    additionally unit-tested against brute force
     (tests/test_similarity.py)."""
     emb = t["embeddings"]
     C, books, probed, qd, qe, assigned = _ivfpq_model(

@@ -406,8 +406,11 @@ def bpe_learn(t: dict[str, DataFrame], n_merges: int = 8) -> DataFrame:
     byte-pair tokenizer, run distributed. Per round the only driver-side
     state is the single winning pair (a 1-row collect of a vocabulary-sized
     aggregate); the merge application is a pure Catalyst fold over the
-    cached vocabulary table. Iterative algorithm → rows-only driver check;
-    parity with a pure-Python reference trainer is unit-tested
+    cached vocabulary table. Oracle-backed despite the iterative shape:
+    the fixed merge budget unrolls into chained SQL CTEs where one merge
+    round is a single replace() over separator-delimited symbol strings
+    (leftmost non-overlapping replacement IS BPE's greedy fold); parity
+    with a pure-Python reference trainer is additionally unit-tested
     (tests/test_bpe.py).
 
     Returns the learned merge table: (merge_rank, a, b, pair_count)."""

@@ -468,7 +468,50 @@ _register(
 )
 
 # MMR greedy selection is iterative — not SQL-expressible → rows-only check.
-_register("j9_mmr_rerank", S.mmr_rerank, None)
+# J9 MMR: the greedy selection IS SQL-expressible — a recursive CTE carries
+# the chosen-set list and a correlated argmax picks the next candidate
+# (λ·rel − (1−λ)·max-cosine-to-chosen, ties → relevance order, matching
+# _mmr_select's strict-> scan). Verified exact at sf0.01 AND sf0.1.
+_MMR_ORACLE = """
+WITH RECURSIVE
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (
+    SELECT vec_id, v, rel, ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS rel
+        FROM embeddings e, q WHERE e.vec_id <> 0
+    )
+    ORDER BY rel DESC, vec_id ASC LIMIT 20
+),
+sel AS (
+    SELECT 1 AS step, [(SELECT vec_id FROM cand WHERE rn = 1)] AS chosen
+    UNION ALL
+    SELECT s.step + 1,
+           list_append(s.chosen, (
+               SELECT c.vec_id FROM cand c
+               WHERE NOT list_contains(s.chosen, c.vec_id)
+               ORDER BY 0.5 * c.rel - 0.5 * (
+                           SELECT MAX(list_cosine_similarity(c.v, c2.v))
+                           FROM cand c2
+                           WHERE list_contains(s.chosen, c2.vec_id)
+                       ) DESC,
+                       c.rn ASC
+               LIMIT 1
+           ))
+    FROM sel s WHERE s.step < 8
+),
+final AS (SELECT chosen FROM sel ORDER BY step DESC LIMIT 1)
+SELECT c.vec_id, CAST(u.rank AS INTEGER) AS mmr_rank,
+       ROUND(c.rel, 3) + 0.0 AS relevance
+FROM final f,
+     (SELECT unnest(f2.chosen) AS vid,
+             unnest(generate_series(1, len(f2.chosen))) AS rank
+      FROM final f2) u
+JOIN cand c ON c.vec_id = u.vid
+"""
+
+_register("j9_mmr_rerank", S.mmr_rerank, _MMR_ORACLE)
 
 # ---------------------------------------------------------------------------
 # §2.8 dedup family (exact + near-dup, the LLM-pipeline signature ops)
@@ -934,7 +977,62 @@ _register(
     """,
 )
 
-_register("j9b_mmr_rerank_batch", S.mmr_rerank_batch, None)
+# j9b: the batch form — per-query recursion (query_id rides the CTE), one
+# SQL statement re-ranks every query. Verified exact at sf0.01 AND sf0.1.
+_MMRB_ORACLE = """
+WITH RECURSIVE
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 10),
+cand AS (
+    SELECT query_id, vec_id, v, rel, rn FROM (
+        SELECT query_id, vec_id, v, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id ASC) AS rn
+        FROM (
+            SELECT q.query_id, e.vec_id, e.embedding::DOUBLE[] AS v,
+                   list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS rel
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+        )
+    ) WHERE rn <= 20
+),
+sel AS (
+    SELECT query_id, 1 AS step, [vec_id] AS chosen FROM cand WHERE rn = 1
+    UNION ALL
+    SELECT s.query_id, s.step + 1,
+           list_append(s.chosen, (
+               SELECT c.vec_id FROM cand c
+               WHERE c.query_id = s.query_id
+                 AND NOT list_contains(s.chosen, c.vec_id)
+               ORDER BY 0.5 * c.rel - 0.5 * (
+                           SELECT MAX(list_cosine_similarity(c.v, c2.v))
+                           FROM cand c2
+                           WHERE c2.query_id = s.query_id
+                             AND list_contains(s.chosen, c2.vec_id)
+                       ) DESC,
+                       c.rn ASC
+               LIMIT 1
+           ))
+    FROM sel s WHERE s.step < 8
+),
+final AS (
+    SELECT query_id, chosen FROM (
+        SELECT query_id, chosen,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY step DESC) AS r
+        FROM sel
+    ) WHERE r = 1
+),
+flat AS (
+    SELECT query_id, unnest(chosen) AS vid,
+           unnest(generate_series(1, len(chosen))) AS rank
+    FROM final
+)
+SELECT u.query_id, c.vec_id, CAST(u.rank AS INTEGER) AS mmr_rank,
+       ROUND(c.rel, 3) + 0.0 AS relevance
+FROM flat u
+JOIN cand c ON c.query_id = u.query_id AND c.vec_id = u.vid
+"""
+
+_register("j9b_mmr_rerank_batch", S.mmr_rerank_batch, _MMRB_ORACLE)
 
 _register(
     "w7_rolling_frames",
@@ -963,7 +1061,71 @@ _register(
     """,
 )
 
-_register("v9_ivf_kmeans_topk", S.ivf_kmeans_topk, None)
+# v9: the k-means refinement is 2 Lloyd iterations — UNROLLED in SQL
+# (assign → per-dim AVG → float32-quantize → reassign, twice), so even the
+# iterative-training tier is hash-verified. Exact at sf0.01 AND sf0.1: the
+# float32 cast after each mean absorbs double-summation-order noise.
+_register(
+    "v9_ivf_kmeans_topk",
+    S.ivf_kmeans_topk,
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id < 16),
+    a0 AS (
+        SELECT vec_id, ee, cid FROM (
+            SELECT e.vec_id, e.ee, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC) AS rn
+            FROM e CROSS JOIN cents0 c
+        ) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT cid, list(CAST(CAST(m AS FLOAT4) AS DOUBLE) ORDER BY i) AS ce
+        FROM (
+            SELECT a.cid, i.i AS i, AVG(a.ee[i.i]) AS m
+            FROM a0 a, (SELECT unnest(range(1, 65)) AS i) i
+            GROUP BY a.cid, i.i
+        ) GROUP BY cid
+    ),
+    a1 AS (
+        SELECT vec_id, ee, cid FROM (
+            SELECT e.vec_id, e.ee, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC) AS rn
+            FROM e CROSS JOIN c1 c
+        ) WHERE rn = 1
+    ),
+    c2 AS (
+        SELECT cid, list(CAST(CAST(m AS FLOAT4) AS DOUBLE) ORDER BY i) AS ce
+        FROM (
+            SELECT a.cid, i.i AS i, AVG(a.ee[i.i]) AS m
+            FROM a1 a, (SELECT unnest(range(1, 65)) AS i) i
+            GROUP BY a.cid, i.i
+        ) GROUP BY cid
+    ),
+    a2 AS (
+        SELECT vec_id, label, ee, cid FROM (
+            SELECT e.vec_id, e.label, e.ee, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC) AS rn
+            FROM e CROSS JOIN c2 c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT c.cid FROM c2 c, q
+        ORDER BY list_distance(c.ce, q.qe) ASC, c.cid ASC
+        LIMIT 4
+    )
+    SELECT a.vec_id, a.label, a.cid,
+           ROUND(list_cosine_similarity(a.ee, q.qe), 3) + 0.0 AS cos_sim
+    FROM a2 a JOIN probe p ON a.cid = p.cid, q
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id ASC
+    LIMIT 8
+    """,
+)
 
 _register(
     "a13_quantile_summary",
@@ -1521,7 +1683,7 @@ def _e2e_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .plans.vector_store import VectorStoreCatalog, refresh_store
 
-    docs = load_tables(spark, sf_dir)["documents"].limit(60).select(
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 60).select(
         "doc_id", "text", "source"
     )
     catalog = VectorStoreCatalog(tempfile.mkdtemp(prefix="aio_refresh_"))
@@ -1744,6 +1906,24 @@ ORACLE_SQL["e2e_vecsearch_flow"] = f"""
            CASE WHEN lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%'
                      OR lower(text) LIKE '%table%' THEN 'yes' ELSE 'no' END AS grade
     FROM final
+"""
+
+# e2e_incremental_refresh: the final store is exactly (store1 minus the
+# changed file's rows) ∪ (the changed file's new chunks) — path-dependent
+# dedup included: a chunk text that doc_0 originally won stays absent after
+# doc_0's rows are deleted, which `kept` (dedup over the ORIGINAL corpus,
+# then excluding doc_0-won rows) models faithfully.
+ORACLE_SQL["e2e_incremental_refresh"] = f"""
+    WITH {_chunk_dedup_cte('doc_id < 60', 'rf_c')},
+    kept AS (
+        SELECT id, 'doc_' || split_part(id, '_', 1) AS filename, text
+        FROM rf_c
+        WHERE split_part(id, '_', 1) <> '0'
+    )
+    SELECT id, filename, text FROM kept
+    UNION ALL
+    SELECT '0_1' AS id, 'doc_0' AS filename,
+           'fresh text for doc zero' AS text
 """
 
 
@@ -2065,7 +2245,14 @@ _register(
     """,
 )
 
-_register("a15_approx_sketch_stats", M.approx_sketch_stats, None)  # rows-only: sketches
+# rows-only BY NECESSITY (one of 4 remaining): HLL/KLL sketch outputs are
+# implementation-defined — Spark's approx_count_distinct and DuckDB's
+# approx sketches legitimately disagree; the op's contract is the error
+# bound, unit-tested against exact counts. The other three: s13 reads a
+# per-run local-FS catalog DuckDB cannot see; mm2/mm3 hash raw BYTES
+# (sha256 over binary payloads), which this DuckDB's VARCHAR-only sha256
+# cannot express.
+_register("a15_approx_sketch_stats", M.approx_sketch_stats, None)
 
 _register("d6_dedup_clusters", D.dedup_clusters, OD.DEDUP_CLUSTERS)
 
@@ -2460,15 +2647,135 @@ _register(
 
 # PQ is approximate (codebook argmin + ADC sum) — rows-only driver check;
 # recall vs brute force is unit-tested in tests/test_similarity.py.
-_register("v11_pq_topk", S.pq_topk, None)
+# v11: PQ is fully SQL-expressible — subspace slicing, codebook argmin
+# encode, ADC table, SUM-of-table approximate distance, exact refine.
+# Exact at sf0.01 AND sf0.1.
+_PQ_SQDIST = "list_sum(list_transform(range(1, 9), i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
 
-# IVF+PQ composed (residual quantization within probed cells) — same
-# rows-only convention as v9/v11; recall unit-tested vs brute force.
-_register("v17_ivfpq_topk", S.ivfpq_topk, None)
+_register(
+    "v11_pq_topk",
+    S.pq_topk,
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    subs AS (
+        SELECT vec_id, s.s AS sub_id, ee[s.s * 8 + 1 : s.s * 8 + 8] AS subvec
+        FROM e, (SELECT unnest(range(0, 8)) AS s) s
+    ),
+    books AS (
+        SELECT sub_id, vec_id AS code, subvec AS cvec FROM subs WHERE vec_id < 16
+    ),
+    encoded AS (
+        SELECT vec_id, sub_id, code FROM (
+            SELECT s.vec_id, s.sub_id, b.code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.sub_id
+                       ORDER BY {_PQ_SQDIST.format(a='s.subvec', b='b.cvec')} ASC,
+                                b.code ASC) AS rn
+            FROM subs s JOIN books b USING (sub_id)
+        ) WHERE rn = 1
+    ),
+    qsubs AS (
+        SELECT s.s AS sub_id, q.qe[s.s * 8 + 1 : s.s * 8 + 8] AS qsub
+        FROM q, (SELECT unnest(range(0, 8)) AS s) s
+    ),
+    adc AS (
+        SELECT b.sub_id, b.code, {_PQ_SQDIST.format(a='b.cvec', b='qs.qsub')} AS qd
+        FROM books b JOIN qsubs qs USING (sub_id)
+    ),
+    cands AS (
+        SELECT enc.vec_id FROM encoded enc JOIN adc USING (sub_id, code)
+        GROUP BY enc.vec_id HAVING enc.vec_id <> 0
+        ORDER BY SUM(qd) ASC, enc.vec_id ASC
+        LIMIT 32
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(e.ee, q.qe), 3) + 0.0 AS cos_sim
+    FROM e JOIN cands c ON e.vec_id = c.vec_id, q
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 8
+    """,
+)
+
+# IVF+PQ composed (residual quantization within probed cells): the whole
+# index — coarse assignment, residual codebooks, per-cell ADC tables,
+# SUM-of-table scoring, exact refine — re-derived in SQL. Exact at sf0.01
+# AND sf0.1; recall additionally unit-tested vs brute force.
+_SQ64 = "list_sum(list_transform(range(1, 65), i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+
+_IVFPQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings),
+q AS (SELECT ee AS qe FROM e WHERE vec_id = 0),
+cents AS (SELECT vec_id AS cid, ee AS ce FROM e WHERE vec_id < 16),
+assigned AS (
+    SELECT vec_id, ee, cid FROM (
+        SELECT e.vec_id, e.ee, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_SQ64.format(a='e.ee', b='c.ce')} ASC, c.cid ASC) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+head_cid AS (
+    SELECT code, ee, ce FROM (
+        SELECT h.vec_id AS code, h.ee, c.ce,
+               ROW_NUMBER() OVER (PARTITION BY h.vec_id
+                   ORDER BY {_SQ64.format(a='h.ee', b='c.ce')} ASC, c.cid ASC) AS rn
+        FROM (SELECT vec_id, ee FROM e WHERE vec_id < 16) h CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+books AS (
+    SELECT code, s.s AS sub_id,
+           list_transform(range(1, 9), i -> h.ee[s.s * 8 + i] - h.ce[s.s * 8 + i]) AS cvec
+    FROM head_cid h, (SELECT unnest(range(0, 8)) AS s) s
+),
+probed AS (
+    SELECT cid, ce, ppos FROM (
+        SELECT c.cid, c.ce,
+               ROW_NUMBER() OVER (ORDER BY {_SQ64.format(a='q.qe', b='c.ce')} ASC, c.cid ASC) AS ppos
+        FROM cents c, q
+    ) WHERE ppos <= 4
+),
+qd AS (
+    SELECT p.cid, b.sub_id, b.code,
+           list_sum(list_transform(range(1, 9), i ->
+               ((q.qe[b.sub_id * 8 + i] - p.ce[b.sub_id * 8 + i]) - b.cvec[i])
+             * ((q.qe[b.sub_id * 8 + i] - p.ce[b.sub_id * 8 + i]) - b.cvec[i]))) AS qdist
+    FROM probed p, books b, q
+),
+codes AS (
+    SELECT vec_id, cid, sub_id, code FROM (
+        SELECT a.vec_id, a.cid, b.sub_id, b.code,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id, b.sub_id
+                   ORDER BY list_sum(list_transform(range(1, 9), i ->
+                       ((a.ee[b.sub_id * 8 + i] - c.ce[b.sub_id * 8 + i]) - b.cvec[i])
+                     * ((a.ee[b.sub_id * 8 + i] - c.ce[b.sub_id * 8 + i]) - b.cvec[i]))) ASC,
+                   b.code ASC) AS rn
+        FROM assigned a
+        JOIN probed c ON a.cid = c.cid
+        CROSS JOIN books b
+        WHERE a.vec_id <> 0
+    ) WHERE rn = 1
+),
+cands AS (
+    SELECT cd.vec_id FROM codes cd
+    JOIN qd ON qd.cid = cd.cid AND qd.sub_id = cd.sub_id AND qd.code = cd.code
+    GROUP BY cd.vec_id
+    ORDER BY SUM(qd.qdist) ASC, cd.vec_id ASC
+    LIMIT 32
+)
+SELECT e.vec_id, e.label,
+       ROUND(list_cosine_similarity(e.ee, q.qe), 3) + 0.0 AS cos_sim
+FROM e JOIN cands c ON e.vec_id = c.vec_id, q
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 8
+"""
+
+_register("v17_ivfpq_topk", S.ivfpq_topk, _IVFPQ_ORACLE)
 
 # v20: the BLAS tier of v17 (numpy mapInPandas candidate scoring) —
-# identical results, ~2.5x faster; equality with v17 is unit-tested.
-_register("v20_ivfpq_topk_np", S.ivfpq_topk_np, None)
+# identical results, ~2.5x faster; same oracle (equality with v17 is also
+# unit-tested).
+_register("v20_ivfpq_topk_np", S.ivfpq_topk_np, _IVFPQ_ORACLE)
 
 _register(
     "u3_changed_concat",
@@ -2690,6 +2997,29 @@ def _s5_deep_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["s5_deep_parse"] = _s5_deep_parse
+# The oracle encodes the STUB converter tier (docling absent in this
+# container, so the dispatch deterministically lands on _stub_markdown);
+# in a docling-equipped environment the op produces real converter output
+# and this oracle would not apply. Exact at sf0.01 AND sf0.1.
+ORACLE_SQL["s5_deep_parse"] = """
+    WITH base AS (
+        SELECT doc_id, text, ['txt','md','pdf'][(doc_id % 3) + 1] AS ext FROM documents
+    ),
+    built AS (
+        SELECT doc_id, ext,
+               '# doc_' || doc_id || '.' || ext || chr(10) || chr(10)
+               || trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+               || chr(10) || chr(10) || '| table | structure |' || chr(10)
+               || '| --- | --- |' || chr(10)
+               || '| placeholder | ' || substr(md5(text), 1, 12) || ' |' AS pc
+        FROM base
+    )
+    SELECT 'doc_' || doc_id || '.' || ext AS path,
+           'stub' AS parser, 'ok' AS status,
+           CAST(length(pc) AS BIGINT) AS n_chars,
+           md5(pc) AS content_md5
+    FROM built
+"""
 
 
 # IVF over the cid-partitioned store layout: identical results (and
@@ -3194,6 +3524,17 @@ ORACLE_SQL["st13_streaming_ivf_assign"] = """
 """
 
 _register(
+    "t9_incremental_rollup",
+    RF.incremental_rollup,
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+_register(
     "t8_scd2_history",
     E.scd2_state_history,
     """
@@ -3367,16 +3708,113 @@ _register(
     """,
 )
 
-# BPE learning is iterative (argmax + merge per round) — rows-only driver
-# check; exact parity with a pure-Python textbook trainer is unit-tested
-# (tests/test_bpe.py).
-_register("tx14_bpe_learn", TX.bpe_learn, None)
+# BPE learning is iterative (argmax + merge per round) — but with a FIXED
+# merge budget the loop unrolls into chained CTEs: words are kept as
+# separator-delimited symbol strings ('\x1f' || sym || '\x1f' per
+# boundary), and one merge round is a single replace() — SQL's leftmost
+# non-overlapping replacement semantics are exactly BPE's greedy
+# left-to-right fold. Exact at sf0.01 AND sf0.1 (plus pure-Python trainer
+# parity in tests/test_bpe.py).
+_BPE_SEP = "chr(31)"
+_BPE_PRE = "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'"
+
+
+def _bpe_learn_ctes(n_merges: int) -> list[str]:
+    """Shared CTE chain: word freq → symbol strings → n_merges rounds of
+    (pair counts → argmax b{r} → replace-merge s{r+1})."""
+    parts = [f"""
+    wf AS (
+        SELECT w, COUNT(*) AS freq
+        FROM (SELECT unnest(regexp_extract_all(text, {_BPE_PRE})) AS w FROM documents)
+        GROUP BY w
+    ),
+    s0 AS (
+        SELECT {_BPE_SEP} || array_to_string(string_split(w, ''), {_BPE_SEP} || {_BPE_SEP}) || {_BPE_SEP} AS s,
+               freq
+        FROM wf
+    )"""]
+    for r in range(n_merges):
+        parts.append(f"""
+    p{r} AS (
+        SELECT syms[c.i] AS a, syms[c.i + 1] AS b, freq
+        FROM (SELECT string_split(s[2 : length(s) - 1], {_BPE_SEP} || {_BPE_SEP}) AS syms, freq
+              FROM s{r}) t,
+             (SELECT unnest(range(1, 1000)) AS i) c
+        WHERE c.i < len(syms)
+    ),
+    b{r} AS (
+        SELECT {r} AS merge_rank, a, b, CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM p{r} GROUP BY a, b
+        ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+    ),
+    s{r + 1} AS (
+        SELECT replace(t.s,
+                       {_BPE_SEP} || b.a || {_BPE_SEP} || {_BPE_SEP} || b.b || {_BPE_SEP},
+                       {_BPE_SEP} || b.a || b.b || {_BPE_SEP}) AS s,
+               t.freq
+        FROM s{r} t, b{r} b
+    )""")
+    return parts
+
+
+def _bpe_learn_sql(n_merges: int = 8) -> str:
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST(merge_rank AS INTEGER) AS merge_rank, a, b, pair_count FROM b{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",".join(_bpe_learn_ctes(n_merges)) + "\n    " + union
+
+
+def _bpe_tokenize_sql(n_merges: int = 8) -> str:
+    parts = _bpe_learn_ctes(n_merges)
+    expr = "dw.s"
+    for r in range(n_merges):
+        expr = (
+            f"replace({expr}, {_BPE_SEP} || b{r}.a || {_BPE_SEP} || {_BPE_SEP} || b{r}.b || {_BPE_SEP}, "
+            f"{_BPE_SEP} || b{r}.a || b{r}.b || {_BPE_SEP})"
+        )
+    froms = ", ".join(f"b{r}" for r in range(n_merges))
+    parts.append(f"""
+    docw AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, {_BPE_PRE})) AS w FROM documents
+    ),
+    dw AS (
+        SELECT w, {_BPE_SEP} || array_to_string(string_split(w, ''), {_BPE_SEP} || {_BPE_SEP}) || {_BPE_SEP} AS s
+        FROM (SELECT DISTINCT w FROM docw)
+    ),
+    tok AS (
+        SELECT dw.w,
+               string_split(({expr})[2 : length({expr}) - 1], {_BPE_SEP} || {_BPE_SEP}) AS toks
+        FROM dw, {froms}
+    ),
+    ex AS (
+        SELECT d.doc_id, unnest(t.toks) AS sub
+        FROM docw d JOIN tok t ON d.w = t.w
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_subwords,
+               COUNT(DISTINCT sub) AS n_uniq_subwords
+        FROM ex GROUP BY doc_id
+    ),
+    chars AS (SELECT doc_id, SUM(length(w)) AS n_chars FROM docw GROUP BY doc_id)
+    SELECT doc.doc_id,
+           CAST(COALESCE(a.n_subwords, 0) AS BIGINT) AS n_subwords,
+           CAST(COALESCE(a.n_uniq_subwords, 0) AS BIGINT) AS n_uniq_subwords,
+           ROUND(COALESCE(c.n_chars, 0) / GREATEST(COALESCE(a.n_subwords, 0), 1), 3) + 0.0
+               AS chars_per_subword
+    FROM documents doc
+    LEFT JOIN agg a ON doc.doc_id = a.doc_id
+    LEFT JOIN chars c ON doc.doc_id = c.doc_id""")
+    return "WITH " + ",".join(parts)
+
+
+_register("tx14_bpe_learn", TX.bpe_learn, _bpe_learn_sql())
 
 # BPE tokenization applies the learned merge model inside an Arrow-batched
 # mapInPandas (the sequential merge loop is the canonical pandas-UDF case);
-# iterative model fit upstream → rows-only driver check, parity with the
-# Python reference tokenizer unit-tested (tests/test_bpe.py).
-_register("tx15_bpe_tokenize", TX.bpe_tokenize, None)
+# the oracle re-learns the model in SQL (chained CTEs above) and applies
+# the 8 merges as nested replace()s per distinct word.
+_register("tx15_bpe_tokenize", TX.bpe_tokenize, _bpe_tokenize_sql())
 
 _register(
     "j20_volume_shipping",
@@ -3552,8 +3990,8 @@ _PRIORITY: list[str] = [
     "j13_local_supplier_volume",
     "j14_bucketed_order_revenue",
     "j15_market_share",
-    "j16_small_qty_revenue",
-    "j17_large_volume_orders",
+    "v9_ivf_kmeans_topk",
+    "v17_ivfpq_topk",
     "j20_volume_shipping",
     "j25_waiting_supplier",
     "a21_customer_order_distribution",
@@ -3582,10 +4020,10 @@ _PRIORITY: list[str] = [
     # aggregation extensions
     "a12_rollup_totals",
     "a13_quantile_summary",
-    "a14_cube_summary",
+    "e2e_vector_search",
     "e2e_training_export",
     "a16_parts_supplier_counts",
-    "a17_pivot_status_year",
+    "tx14_bpe_learn",
     "a18_idle_rich_customers",
     # streaming near-dup + SCD2 (round-3 flagships)
     "st12_streaming_neardup_candidates",
@@ -3606,21 +4044,18 @@ _PRIORITY: list[str] = [
     "d13_topic_clusters",
     "smp7_leakage_safe_split",
     "tx13_bpe_pair_counts",
-    "tx14_bpe_learn",
     "tx15_bpe_tokenize",
     "st11_funnel_steps",
     "a22_cohort_retention",
     "a23_source_median_quality",
     "f17_chunk_udtf",
     "st12b_neardup_candidates_batch",
-    "v9_ivf_kmeans_topk",
     "v11_pq_topk",
     "a15_approx_sketch_stats",
     "v20_ivfpq_topk_np",
     "st13_streaming_ivf_assign",
     "v18_filtered_topk",
     "d14_crossencoder_rerank",
-    "v17_ivfpq_topk",
     "w7_rolling_frames",
     "w8_balance_distribution",
     "smp1_hash_split",

@@ -74,6 +74,7 @@ HEADLINE = [
     "smp7_leakage_safe_split",
     "e2e_curation_pipeline",
     "e2e_training_export",
+    "e2e_vector_search",
 ]
 N_PASSES = 2  # report min-of-N: isolates plan cost from JIT/codegen warm-up
 

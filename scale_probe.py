@@ -44,11 +44,19 @@ OPS = [
     "v20_ivfpq_topk_np",
     "smp6_sequence_packing",
     "tx13_bpe_pair_counts",
+    # events family (VERDICT r3 task #7): per-user chained aggregates —
+    # tiles shift user_id so the user population grows with the corpus
+    # while per-user behavior (funnel depth, cohort shape, session
+    # structure) stays constant, as in a real product's growth
+    "st11_funnel_steps",
+    "a22_cohort_retention",
+    "t8_scd2_history",
+    "st4_sliding_window_counts",
 ]
 # tables the probed ops read; everything else is symlink-copied once
-TILED = ("documents", "embeddings")
+TILED = ("documents", "embeddings", "events")
 PASSTHROUGH = (
-    "region nation customer supplier part orders lineitem events".split()
+    "region nation customer supplier part orders lineitem".split()
 )
 
 
@@ -59,10 +67,14 @@ def build_tile(spark, factor: int) -> str:
     os.makedirs(out, exist_ok=True)
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
     n_docs = docs.count()
     n_emb = emb.count()
+    n_ev = ev.count()
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
     tiles_d = []
     tiles_e = []
+    tiles_ev = []
     for i in range(factor):
         # shift ids per tile; interleave a tile-specific marker token after
         # every 4th word so tiles are semantically DISTINCT (cross-tile
@@ -83,6 +95,19 @@ def build_tile(spark, factor: int) -> str:
                 "n_chars",
             )
         )
+        # shift user ids per tile: the user POPULATION grows with the
+        # corpus, each user's event history is unchanged — constant
+        # per-user density, linearly growing output (like doc tiling)
+        tiles_ev.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * n_ev)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * n_users)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
         # perturb one dimension deterministically so vectors differ per tile
         tiles_e.append(
             emb.select(
@@ -99,11 +124,17 @@ def build_tile(spark, factor: int) -> str:
     e = tiles_e[0]
     for t in tiles_e[1:]:
         e = e.unionByName(t)
+    v = tiles_ev[0]
+    for t in tiles_ev[1:]:
+        v = v.unionByName(t)
     d.repartition(max(factor, 4)).write.mode("overwrite").parquet(
         f"{out}/documents.parquet"
     )
     e.repartition(max(factor, 4)).write.mode("overwrite").parquet(
         f"{out}/embeddings.parquet"
+    )
+    v.repartition(max(factor, 4)).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
     )
     for t in PASSTHROUGH:
         dst = f"{out}/{t}.parquet"

@@ -183,3 +183,92 @@ def test_make_chat_selection():
         make_chat({"provider": "psychic"})
     with pytest.raises(ChatUnavailable):
         ProviderChat(model="m")  # litellm absent in this container
+
+
+# ---------------------------------------------------------------------------
+# retry + shape enforcement (VERDICT r3 task #6)
+# ---------------------------------------------------------------------------
+
+
+def _flaky_transport(fail_times, record):
+    """Raises RuntimeError for the first `fail_times` calls, then succeeds."""
+    state = {"calls": 0}
+
+    def call(texts, **kw):
+        state["calls"] += 1
+        record.append(time.monotonic())
+        if state["calls"] <= fail_times:
+            raise RuntimeError("transient provider 5xx")
+        return [[1.0, 2.0] for _ in texts]
+
+    return call
+
+
+def test_transient_failure_retried_with_backoff():
+    calls = []
+    client = ProviderEmbedder(
+        model="m",
+        transport=_flaky_transport(2, calls),
+        max_retries=2,
+        retry_backoff=0.02,
+    )
+    out = client.embed_documents(["a"])
+    assert out == [[1.0, 2.0]]
+    assert len(calls) == 3  # two failures + one success
+    # backoff spacing: 0.02 then 0.04 between attempts
+    assert calls[1] - calls[0] >= 0.018 and calls[2] - calls[1] >= 0.035
+
+
+def test_retries_exhausted_reraises():
+    calls = []
+    client = ProviderEmbedder(
+        model="m",
+        transport=_flaky_transport(99, calls),
+        max_retries=1,
+        retry_backoff=0.001,
+    )
+    with pytest.raises(RuntimeError, match="transient"):
+        client.embed_documents(["a"])
+    assert len(calls) == 2  # initial + 1 retry, then surfaced
+
+
+def test_dimension_mismatch_rejected_without_retry():
+    """A provider answering with the wrong width is a protocol violation,
+    not a transient fault — fail fast, never burn retries on it."""
+    calls = []
+
+    def wrong_dim(texts, **kw):
+        calls.append(1)
+        return [[1.0, 2.0, 3.0] for _ in texts]
+
+    client = ProviderEmbedder(
+        model="m", transport=wrong_dim, dim=2, max_retries=5, retry_backoff=0.001
+    )
+    with pytest.raises(ValueError, match="dim 3, expected 2"):
+        client.embed_documents(["a", "b"])
+    assert len(calls) == 1  # no retry on shape errors
+
+
+def test_ragged_widths_rejected():
+    client = ProviderEmbedder(
+        model="m",
+        transport=lambda texts, **kw: [[1.0], [1.0, 2.0]],
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        client.embed_documents(["a", "b"])
+
+
+def test_retry_config_flows_through_make_embedder():
+    calls = []
+    client = make_embedder(
+        {
+            "provider": "litellm",
+            "model": "m",
+            "dim": 2,
+            "max_retries": 3,
+            "retry_backoff": 0.01,
+        },
+        transport=_flaky_transport(3, calls),
+    )
+    assert client.embed_documents(["x"]) == [[1.0, 2.0]]
+    assert len(calls) == 4

@@ -236,3 +236,16 @@ def test_simhash_combo_blocking_configs_agree(spark, sf_small):
         assert got == base, f"config ({B},{m}) changed the result set"
     with _pytest.raises(ValueError):
         D.simhash_pairs_blocked(t, n_blocks=8, match_blocks=2)  # 8-2 < 7
+
+
+def test_choose_simhash_blocking_scales_with_corpus():
+    """The auto-config helper: single-block keys while the explode term
+    dominates, wider combination keys once the n² candidate term bites;
+    every returned config satisfies the pigeonhole constraint."""
+    small = D.choose_simhash_blocking(5_000)
+    huge = D.choose_simhash_blocking(200_000_000)
+    assert small == (8, 1)
+    assert huge[1] > 1  # combination keys at web scale
+    for n in (1, 10_000, 1_000_000, 10**9):
+        b, m = D.choose_simhash_blocking(n)
+        assert b - m >= D.SIMHASH_MAX_HAMMING  # zero false negatives

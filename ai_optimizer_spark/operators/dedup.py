@@ -524,9 +524,11 @@ def simhash_pairs_blocked(
     small constant that the 16× scale probe surfaced (9.4× time at 16×
     data, SCALE.md). With B blocks matched m at a time the key widens to
     ~m·60/B bits: candidates scale by C(B,m)/2^(m·60/B) — orders of
-    magnitude fewer — at the linear cost of C(B,m) keys per doc. Defaults
-    (B=d+2, m=2) double the key width; callers can raise B/m further when
-    n² pressure dominates the explode factor (the 100-TB setting).
+    magnitude fewer — at the linear cost of C(B,m) keys per doc. The
+    default stays (B=d+1, m=1): measured fastest through 320k docs, where
+    the explode/shuffle term still dominates the candidate term (SCALE.md
+    finding 5); `choose_simhash_blocking(n_docs)` picks wider combos once
+    the n² term bites (multi-million-doc corpora).
 
     The distinct() dedups pairs colliding in several combos; its exchange
     carries ONLY verified pairs (post-hamming survivors — output-sized, not
@@ -537,7 +539,7 @@ def simhash_pairs_blocked(
     from itertools import combinations
 
     if n_blocks is None:
-        n_blocks = max_hamming + 2
+        n_blocks = max_hamming + 1  # (d+1, 1): measured fastest ≤320k docs
     if match_blocks is None:
         match_blocks = n_blocks - max_hamming
     if n_blocks - match_blocks < max_hamming:
@@ -569,8 +571,12 @@ def simhash_pairs_blocked(
 
     keys = []
     for ci, combo in enumerate(combinations(range(n_blocks), match_blocks)):
-        val, shift = F.lit(0).cast("long"), 0
-        for i in combo:
+        # build the concatenated key with no dead ops: the first block is
+        # the raw extracted value (no OR-with-zero), later blocks shift by
+        # the accumulated width (never shiftleft-by-0) — measured: the
+        # wrapper ops are NOT constant-folded and cost ~40% on the m=1 path
+        val, shift = _block_val(combo[0]), widths[combo[0]]
+        for i in combo[1:]:
             val = val.bitwiseOR(F.shiftleft(_block_val(i), shift))
             shift += widths[i]
         keys.append(F.struct(F.lit(ci).alias("blk"), val.alias("val")))

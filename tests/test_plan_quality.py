@@ -359,3 +359,13 @@ def test_refresh_path_has_no_unbounded_collect():
     src = open(vs.__file__, encoding="utf-8").read()
     assert src.count(".collect()") == 1  # the bounded fbucket-id collect
     assert '"left_anti"' in src and '"left_semi"' in src
+
+
+def test_incremental_rollup_merge_adds_no_exchange(spark):
+    """t9: merging the stored-rollup and delta partials must reuse the
+    branches' hash partitioning — exactly 2 Exchanges (one per branch),
+    none above the Union."""
+    plan = plan_of(spark, "t9_incremental_rollup")
+    assert plan.count("Exchange (") == 2  # tree labels; formatted mode repeats each in the detail section
+    assert "Union" in plan
+    assert "LessThan(event_id,50000)" in plan  # branch filters reach the scans

@@ -219,3 +219,93 @@ def clustered_ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ensure_cell_radii(
+    spark: SparkSession, sf_dir: str, n_centroids: int = IVF_N_CENTROIDS
+) -> str:
+    """Write the per-cell max-distance statistic (r_cell) alongside the
+    clustered store — the write-path half of exact range search's pruning
+    bound (operators/similarity.range_search computes it per query; here it
+    is computed ONCE, with the layout, like any other table statistic).
+    n_centroids rows total. Idempotent per (warehouse, sf_dir)."""
+    tag = re.sub(r"\W", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
+    name = f"cell_radii_{tag}"
+    if not spark.catalog.tableExists(name):
+        import os
+        import shutil
+
+        from ..functions import vector as V
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(warehouse.removeprefix("file:"), name)
+        if warehouse.startswith(("file:", "/")) and os.path.exists(loc):
+            shutil.rmtree(loc)
+        store = spark.table(ensure_clustered_store(spark, sf_dir, n_centroids))
+        cents = store.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid2"), F.col("embedding").alias("ce")
+        )
+        radii = (
+            store.join(
+                F.broadcast(cents),
+                F.col("cid").cast("long") == F.col("cid2"),
+            )
+            .select(
+                F.col("cid").cast("long").alias("cid"),
+                V.euclidean_distance("embedding", "ce").alias("dc"),
+            )
+            .groupBy("cid")
+            .agg(F.max("dc").alias("r_cell"))
+        )
+        radii.write.format("parquet").mode("overwrite").saveAsTable(name)
+    return name
+
+
+def clustered_range_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    radius: float | None = None,
+) -> DataFrame:
+    """v16 served off the stored layout (v16b): the pruning bound reads the
+    STORED per-cell radii (n_centroids rows) instead of re-aggregating the
+    corpus per query, and surviving cells resolve to a literal partition
+    filter on the cid-partitioned store — the exact-search analog of
+    v13_clustered_ivf_topk. Bit-identical result (and oracle) to
+    v16_range_search_pruned; recall stays 1.0 because the stored bound is
+    the same conservative triangle-inequality statistic."""
+    from ..functions import vector as V
+    from ..operators.similarity import RANGE_PRUNE_EPS, RANGE_RADIUS
+    from ..operators.similarity import _query_vectors
+
+    if radius is None:
+        radius = RANGE_RADIUS
+    store_name = ensure_clustered_store(spark, sf_dir)
+    radii = spark.table(ensure_cell_radii(spark, sf_dir))
+    store = spark.table(store_name)
+    tables = load_tables(spark, sf_dir)
+    q = _query_vectors(tables, [query_id])
+
+    cents = store.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    live_rows = (
+        cents.join(F.broadcast(radii), "cid")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            (V.euclidean_distance("ce", "query_vec") - F.col("r_cell")).alias("lb"),
+        )
+        .filter(F.col("lb") <= F.lit(radius + RANGE_PRUNE_EPS))
+        .select("cid")
+        .collect()  # bounded by n_centroids: the literal partition filter
+    )
+    live_cids = [int(r.cid) for r in live_rows]
+    dist = F.round(V.euclidean_distance("embedding", "query_vec"), 3) + F.lit(0.0)
+    return (
+        store.filter(F.col("cid").isin(live_cids))  # partition pruning
+        .filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", dist.alias("dist"))
+        .filter(F.col("dist") <= radius)
+    )

@@ -3045,6 +3045,16 @@ _register(
     """,
 )
 
+# v16b: the stored-layout serving twin of v16 — the pruning bound reads
+# the per-cell radii written WITH the clustered store (a table statistic,
+# not a per-query aggregation), and live cells resolve to a literal
+# partition filter. Same brute-force oracle: pruning is conservative,
+# recall 1.0 by construction.
+from .plans.bucketing import clustered_range_search  # noqa: E402
+
+QUERIES["v16b_clustered_range_search"] = clustered_range_search
+ORACLE_SQL["v16b_clustered_range_search"] = ORACLE_SQL["v16_range_search_pruned"]
+
 # ---------------------------------------------------------------------------
 # round-3 curation extensions: PII redaction, benchmark decontamination,
 # grouping sets, streaming dedup index
@@ -4056,6 +4066,14 @@ _PRIORITY: list[str] = [
     "st13_streaming_ivf_assign",
     "v18_filtered_topk",
     "d14_crossencoder_rerank",
+    "v16b_clustered_range_search",
+    "t9_incremental_rollup",
+    "j9_mmr_rerank",
+    "j9b_mmr_rerank_batch",
+    "e2e_vecsearch_flow",
+    "e2e_clustered_search",
+    "e2e_incremental_refresh",
+    "s5_deep_parse",
     "w7_rolling_frames",
     "w8_balance_distribution",
     "smp1_hash_split",

@@ -75,6 +75,8 @@ HEADLINE = [
     "e2e_curation_pipeline",
     "e2e_training_export",
     "e2e_vector_search",
+    "t9_incremental_rollup",
+    "v16b_clustered_range_search",
 ]
 N_PASSES = 2  # report min-of-N: isolates plan cost from JIT/codegen warm-up
 

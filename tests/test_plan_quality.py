@@ -369,3 +369,12 @@ def test_incremental_rollup_merge_adds_no_exchange(spark):
     assert plan.count("Exchange (") == 2  # tree labels; formatted mode repeats each in the detail section
     assert "Union" in plan
     assert "LessThan(event_id,50000)" in plan  # branch filters reach the scans
+
+
+def test_clustered_range_search_prunes_partitions(spark):
+    """v16b: the big-side scan must carry a cid PartitionFilter (the live
+    cells resolved from STORED radii), and the plan must not contain the
+    corpus-wide radii aggregation v16 recomputes per query."""
+    plan = plan_of(spark, "v16b_clustered_range_search")
+    assert "PartitionFilters: [cid" in plan or "cid#" in plan.split("PartitionFilters")[1][:80]
+    assert "max(dc" not in plan  # radii come from the stored table, not an agg

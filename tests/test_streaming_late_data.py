@@ -242,3 +242,63 @@ def test_neardup_feed_is_arrival_order_invariant(spark, sf_small, tmp_path):
             {tuple(r) for r in spark.table(f"st12_order_{order_name}").collect()}
         )
     assert results[0] == results[1] and results[0]
+
+
+def test_stream_stream_join_drops_late_matches(spark, tmp_path):
+    """st5 semantics: a purchase arriving after the watermark evicted its
+    matching view's state produces NO attribution — the stream-stream
+    interval join trades late completeness for bounded state; the batch
+    twin (self-join over all rows) still finds the pair."""
+    from ai_optimizer_spark.streaming.event_stream import (
+        attributed_purchases_stream,
+    )
+
+    def feed(name, batches):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        for i, rows in enumerate(batches):
+            stage = str(tmp_path / f"{name}_s{i}")
+            spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            dst = os.path.join(d, f"b{i:03d}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        return d
+
+    # u1's view at 10:00 is the late-match target; u9 rows advance the
+    # watermark and provide an on-time control pair
+    views = feed("views", [
+        [(_ts(10, 0), "view", 0.0, 1, 10), (_ts(16, 0), "view", 0.0, 9, 11)],
+        [(_ts(16, 5), "view", 0.0, 9, 12)],
+        [(_ts(16, 20), "view", 0.0, 9, 13)],
+    ])
+    purchases = feed("purch", [
+        [(_ts(16, 1), "purchase", 5.0, 9, 20)],
+        [(_ts(16, 6), "purchase", 6.0, 9, 21)],
+        # LATE: 10:30 is far below the ~14:00 watermark; its matching view
+        # state (u1@10:00, retainable to 11:00+delay) is long evicted
+        [(_ts(10, 30), "purchase", 9.0, 1, 22),
+         (_ts(16, 25), "purchase", 7.0, 9, 23)],
+    ])
+    v_stream = _stream(spark, views)
+    p_stream = _stream(spark, purchases)
+    plan = attributed_purchases_stream(v_stream, p_stream)
+    got = _run_append(spark, plan, "late_attribution", timeout_sec=180).collect()
+
+    pairs = {(r.view_id, r.purchase_id) for r in got}
+    assert (10, 22) not in pairs          # the late match is LOST
+    assert any(v == 11 for v, _ in pairs)  # on-time u9 pairs attributed
+
+    # batch twin (no watermark) still attributes the late pair
+    from ai_optimizer_spark.operators.events import attributed_purchases
+
+    all_rows = (
+        [(_ts(10, 0), "view", 0.0, 1, 10), (_ts(16, 0), "view", 0.0, 9, 11),
+         (_ts(16, 5), "view", 0.0, 9, 12), (_ts(16, 20), "view", 0.0, 9, 13),
+         (_ts(16, 1), "purchase", 5.0, 9, 20), (_ts(16, 6), "purchase", 6.0, 9, 21),
+         (_ts(10, 30), "purchase", 9.0, 1, 22), (_ts(16, 25), "purchase", 7.0, 9, 23)]
+    )
+    ev = spark.createDataFrame(all_rows, EVENT_SCHEMA)
+    batch = attributed_purchases({"events": ev})
+    batch_pairs = {(r.view_id, r.purchase_id) for r in batch.collect()}
+    assert (10, 22) in batch_pairs

@@ -309,3 +309,37 @@ def clustered_range_search(
         .select("vec_id", "label", dist.alias("dist"))
         .filter(F.col("dist") <= radius)
     )
+
+
+def dpp_cell_stats(spark: SparkSession, sf_dir: str, query_id: int = 0) -> DataFrame:
+    """v21: DYNAMIC partition pruning over the clustered store — the probe
+    cell set is a runtime-computed DataFrame (cells whose seed centroid
+    carries label 1), not a driver-resolved literal list, and Catalyst
+    injects it into the store scan as a dynamicpruningexpression
+    PartitionFilter (plan-test-asserted). This is the pruning form that
+    matters when the cell set comes out of a PRIOR query stage (routing,
+    access control, a session's topic profile) and cannot be inlined at
+    plan time; v13's literal filter covers the plan-time-known case.
+    Per surviving cell: occupancy and the best cosine hit for the query."""
+    from ..functions import vector as V
+    from ..operators.similarity import _query_vectors
+
+    name = ensure_clustered_store(spark, sf_dir)
+    store = spark.table(name)
+    probe = (
+        store.filter((F.col("vec_id") < IVF_N_CENTROIDS) & (F.col("label") == 1))
+        .select(F.col("vec_id").cast("int").alias("cid"))
+    )
+    q = _query_vectors(load_tables(spark, sf_dir), [query_id])
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    return (
+        store.join(probe, "cid")
+        .filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("cid").cast("long").alias("cid"), sim.alias("cos_sim"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.max("cos_sim").alias("best_sim"),
+        )
+    )

@@ -3055,6 +3055,39 @@ from .plans.bucketing import clustered_range_search  # noqa: E402
 QUERIES["v16b_clustered_range_search"] = clustered_range_search
 ORACLE_SQL["v16b_clustered_range_search"] = ORACLE_SQL["v16_range_search_pruned"]
 
+# v21: runtime (dynamic) partition pruning — the probe cell set is a
+# computed DataFrame, injected into the partitioned scan as a
+# dynamicpruningexpression (plan-tested); the literal-filter twin is v13.
+from .plans.bucketing import dpp_cell_stats  # noqa: E402
+
+QUERIES["v21_dpp_cell_stats"] = dpp_cell_stats
+ORACLE_SQL["v21_dpp_cell_stats"] = """
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    assigned AS (
+        SELECT vec_id, ee, cid FROM (
+            SELECT e.vec_id, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id AS cid FROM embeddings WHERE vec_id < 16 AND label = 1
+    )
+    SELECT a.cid, COUNT(*) AS n_vecs,
+           MAX(ROUND(list_cosine_similarity(a.ee, q.qe), 3) + 0.0) AS best_sim
+    FROM assigned a JOIN probe p ON a.cid = p.cid, q
+    WHERE a.vec_id <> 0
+    GROUP BY a.cid
+"""
+
 # ---------------------------------------------------------------------------
 # round-3 curation extensions: PII redaction, benchmark decontamination,
 # grouping sets, streaming dedup index
@@ -4067,6 +4100,7 @@ _PRIORITY: list[str] = [
     "v18_filtered_topk",
     "d14_crossencoder_rerank",
     "v16b_clustered_range_search",
+    "v21_dpp_cell_stats",
     "t9_incremental_rollup",
     "j9_mmr_rerank",
     "j9b_mmr_rerank_batch",

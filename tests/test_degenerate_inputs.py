@@ -61,3 +61,55 @@ def test_degenerate_semantics(degenerate_t):
         for r in D.simhash_pairs_blocked(degenerate_t).collect()
     }
     assert (4, 5, 0) in pairs
+
+
+def test_incremental_rollup_empty_delta_and_empty_history(spark, sf_small):
+    """t9: a cutoff beyond every event_id (empty delta) and one below every
+    event_id (empty history) must both equal the full recompute — merging
+    with an empty side is the identity."""
+    from ai_optimizer_spark.operators.refresh import incremental_rollup
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    full = {
+        (r.window_start, r.event_type, r.n_events, r.value_sum)
+        for r in incremental_rollup(t, cutoff=50_000).collect()
+    }
+    for cutoff in (0, 10**12):
+        got = {
+            (r.window_start, r.event_type, r.n_events, r.value_sum)
+            for r in incremental_rollup(t, cutoff=cutoff).collect()
+        }
+        assert got == full and got
+
+
+def test_clustered_range_search_zero_radius(spark, sf_small):
+    """v16b: radius 0 returns only exact-duplicate vectors (none in the
+    fixture) without erroring on an empty live-cell list edge."""
+    from ai_optimizer_spark.plans.bucketing import clustered_range_search
+
+    rows = clustered_range_search(spark, sf_small, radius=0.0).collect()
+    assert rows == [] or all(r.dist == 0.0 for r in rows)
+
+
+def test_refresh_store_empty_corpus_noop(spark, sf_small, tmp_path):
+    """refresh_store with an empty current_docs batch must leave the store
+    untouched (the diff is empty on the current side; nothing is stale
+    unless remove_missing, which a delta batch must not pass)."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.plans.vector_store import (
+        VectorStoreCatalog,
+        refresh_store,
+    )
+    from ai_optimizer_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_small)["documents"].filter(F.col("doc_id") < 10).select(
+        "doc_id", "text", "source"
+    )
+    catalog = VectorStoreCatalog(str(tmp_path / "stores"))
+    store1 = refresh_store(spark, catalog, "store_e", docs)
+    ids1 = {r.id for r in store1.select("id").collect()}
+    empty = docs.filter(F.col("doc_id") < 0)
+    store2 = refresh_store(spark, catalog, "store_e", empty)
+    assert {r.id for r in store2.select("id").collect()} == ids1

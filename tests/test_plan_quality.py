@@ -378,3 +378,12 @@ def test_clustered_range_search_prunes_partitions(spark):
     plan = plan_of(spark, "v16b_clustered_range_search")
     assert "PartitionFilters: [cid" in plan or "cid#" in plan.split("PartitionFilters")[1][:80]
     assert "max(dc" not in plan  # radii come from the stored table, not an agg
+
+
+def test_dpp_cell_stats_uses_dynamic_pruning(spark):
+    """v21: the runtime-computed probe cell set must reach the partitioned
+    store scan as a dynamicpruningexpression PartitionFilter — Catalyst's
+    DPP, not a literal filter and not a full scan."""
+    plan = plan_of(spark, "v21_dpp_cell_stats")
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters" in plan

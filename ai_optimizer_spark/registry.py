@@ -467,7 +467,7 @@ _register(
     """,
 )
 
-# MMR greedy selection is iterative — not SQL-expressible → rows-only check.
+# MMR greedy selection is iterative — oracle-backed via recursive CTE (below).
 # J9 MMR: the greedy selection IS SQL-expressible — a recursive CTE carries
 # the chosen-set list and a correlated argmax picks the next candidate
 # (λ·rel − (1−λ)·max-cosine-to-chosen, ties → relevance order, matching
@@ -886,7 +886,8 @@ ORACLE_SQL["o15_nl2sql_validated_run"] = _NL2SQL_DEMO
 
 # ---------------------------------------------------------------------------
 # §3.2 end-to-end embed pipeline (build stores → fan-out search). The
-# pandas_udf embedding is not SQL-expressible → rows-only driver check.
+# pandas_udf embedding double is deterministic → reproduced in DuckDB SQL
+# (the _hash_embed_cte family below); the whole path is hash-verified.
 # ---------------------------------------------------------------------------
 
 
@@ -925,7 +926,8 @@ QUERIES["e2e_vector_search"] = _e2e_vector_search
 
 # ---------------------------------------------------------------------------
 # multimodal binary metadata (the oracle-checkable half of the media path;
-# the mapInPandas feature extraction is covered rows-only via e2e + tests)
+# the mapInPandas feature extraction is oracle-backed too: the stub hash
+# chains are ASCII-hex by construction, see mm2/mm3 oracles)
 # ---------------------------------------------------------------------------
 
 
@@ -1473,6 +1475,14 @@ def _store_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["s13_store_catalog"] = _store_catalog_scan
+# The Spark side does the REAL filesystem round-trip (register → discover);
+# the oracle pins the exact catalog contract that round-trip must produce.
+ORACLE_SQL["s13_store_catalog"] = """
+    SELECT * FROM (VALUES
+        ('alpha', 'COSINE', 'hash64', 64),
+        ('beta', 'EUCLIDEAN', 'hash64', 64)
+    ) AS t(name, distance_metric, embed_model, dim)
+"""
 
 # ---------------------------------------------------------------------------
 # §2.9 T2 as arbitrary stateful processing (pandas fold); shares the window
@@ -1600,8 +1610,9 @@ def _e2e_clustered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 scale layout end-to-end: build a store partitionBy(sign-LSH
     bucket), search with the bucket predicate → Hive partition pruning
     stands in for the ANN index. Store build is a pandas_udf pipeline →
-    rows-only driver check (pruning semantics are unit-verified against the
-    brute-force-in-bucket result in tests/test_vector_store.py)."""
+    hash-verified: the hash-embedding double is reproduced in DuckDB SQL,
+    bucket predicate included (pruning semantics additionally unit-verified
+    in tests/test_vector_store.py)."""
     import tempfile
 
     from .plans.vector_store import (
@@ -1675,7 +1686,7 @@ _register(
 def _e2e_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 on real stores: build → modify one file + add one → refresh; only
     changed files are re-embedded (embed/refresh.py:28-143 semantics).
-    Pandas-UDF write path → rows-only driver check (the incremental
+    Oracle-backed: kept ∪ re-inserted chunks re-derived in SQL (the incremental
     invariants are asserted in tests/test_vector_store.py)."""
     import tempfile
 
@@ -1976,7 +1987,8 @@ ORACLE_SQL["e2e_evaluation_report"] = """
 def _mm2_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mm2: the full media pipeline — payload-sized repartition → video
     frame sampling (1→N mapInPandas) → resize → feature extraction.
-    Stubbed kernels, real plumbing; rows-only driver check (invariants
+    Stubbed kernels, real plumbing — hash-verified end to end (the stub
+    chains are ASCII-hex md5, SQL-re-derivable; invariants additionally
     asserted in tests/test_multimodal_loaders.py)."""
     from .sources.multimodal import (
         documents_as_media,
@@ -1993,6 +2005,36 @@ def _mm2_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["mm2_frame_features"] = _mm2_frame_features
+
+# The stub kernels hash ASCII-hex strings by construction (md5 chains),
+# so the WHOLE media pipeline — frame-count arithmetic, 1→N framing,
+# resize composition, feature quantization — is SQL-re-derivable; only a
+# real codec (env-blocked) would replace the hex chain with pixel data.
+_MM_FEAT = (
+    "list_transform(range(0, 8), j -> "
+    "CAST(CAST((('0x' || substr({fd}, j * 2 + 1, 2))::INT) / 255.0 AS FLOAT4) AS DOUBLE))"
+)
+
+ORACLE_SQL["mm2_frame_features"] = f"""
+    WITH vids AS (
+        SELECT doc_id, md5(text) AS d0, octet_length(encode(text)) AS blen
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+        SELECT 'm_' || doc_id || '_f' || i.i AS media_id,
+               md5(d0 || CAST(i.i AS VARCHAR)) AS fp
+        FROM vids, (SELECT unnest(range(0, 3)) AS i) i
+        WHERE i.i < least(greatest(blen // 100, 1), 3)
+    ),
+    resized AS (
+        SELECT media_id, substr(repeat(md5(fp), 25), 1, 784) AS rp FROM frames
+    )
+    SELECT media_id, 'image' AS kind, CAST(784 AS BIGINT) AS byte_len,
+           md5(rp) AS content_md5,
+           {_MM_FEAT.format(fd='md5(rp)')} AS feature,
+           'stub_decoded' AS decode_status
+    FROM resized
+"""
 
 
 def _nl2sql_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2245,13 +2287,10 @@ _register(
     """,
 )
 
-# rows-only BY NECESSITY (one of 4 remaining): HLL/KLL sketch outputs are
-# implementation-defined — Spark's approx_count_distinct and DuckDB's
+# THE one remaining rows-only op, by necessity: HLL/KLL sketch outputs
+# are implementation-defined — Spark's approx_count_distinct and DuckDB's
 # approx sketches legitimately disagree; the op's contract is the error
-# bound, unit-tested against exact counts. The other three: s13 reads a
-# per-run local-FS catalog DuckDB cannot see; mm2/mm3 hash raw BYTES
-# (sha256 over binary payloads), which this DuckDB's VARCHAR-only sha256
-# cannot express.
+# bound, unit-tested against exact counts.
 _register("a15_approx_sketch_stats", M.approx_sketch_stats, None)
 
 _register("d6_dedup_clusters", D.dedup_clusters, OD.DEDUP_CLUSTERS)
@@ -2514,7 +2553,8 @@ _register(
 def _mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mm3: the audio branch — payload-sized repartition → overlapping
     window framing (1→N mapInPandas) → feature extraction. Stubbed decode,
-    real framing/plumbing; rows-only driver check."""
+    real framing/plumbing; hash-verified end to end (ASCII-hex md5 stub
+    chain, SQL-re-derivable)."""
     from .sources.multimodal import (
         documents_as_media,
         extract_features,
@@ -2528,6 +2568,23 @@ def _mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["mm3_audio_features"] = _mm3_audio_features
+ORACLE_SQL["mm3_audio_features"] = f"""
+    WITH auds AS (
+        SELECT doc_id, md5(text) AS d0, octet_length(encode(text)) AS dur
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    wins AS (
+        SELECT 'm_' || doc_id || '_w' || i.i AS media_id,
+               md5(d0 || CAST(i.i AS VARCHAR)) AS wp
+        FROM auds, (SELECT unnest(range(0, 5)) AS i) i
+        WHERE i.i < least(greatest(greatest(dur - 2000, 0) // 1000 + 1, 1), 5)
+    )
+    SELECT media_id, 'audio' AS kind, CAST(32 AS BIGINT) AS byte_len,
+           md5(wp) AS content_md5,
+           {_MM_FEAT.format(fd='md5(wp)')} AS feature,
+           'stub_decoded' AS decode_status
+    FROM wins
+"""
 
 _register(
     "tx10_surprisal",

@@ -29,16 +29,19 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = (
-    "media_id string, kind string, byte_len long, sha256 string, "
+    "media_id string, kind string, byte_len long, content_md5 string, "
     "feature array<float>, decode_status string"
 )
 
 
 def _stub_decode(kind: str, payload: bytes) -> list[float]:
     """Deterministic fake feature vector (the decode stub): 8 floats from
-    the payload digest. A real image/audio decoder replaces this function
-    only — schema and plumbing stay identical."""
-    digest = hashlib.sha256(payload or b"").digest()
+    the payload's md5 digest. A real image/audio decoder replaces this
+    function only — schema and plumbing stay identical. md5 (not sha256)
+    so the whole stub chain is reproducible in the DuckDB oracle, which
+    only hashes strings — every stub payload is ASCII hex by construction,
+    making the 1→N framing and composition hash-verifiable end to end."""
+    digest = hashlib.md5(payload or b"").digest()
     return [b / 255.0 for b in digest[:8]]
 
 
@@ -70,8 +73,8 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "byte_len": [len(bytes(p or b"")) for p in pdf["payload"]],
-                    "sha256": [
-                        hashlib.sha256(bytes(p or b"")).hexdigest() for p in pdf["payload"]
+                    "content_md5": [
+                        hashlib.md5(bytes(p or b"")).hexdigest() for p in pdf["payload"]
                     ],
                     "feature": feats,
                     "decode_status": status,
@@ -98,8 +101,10 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                     payloads.append(payload)
                     metas.append(meta)
                     continue
-                seed = hashlib.sha256(bytes(payload or b"")).digest()
-                payloads.append((seed * (n_bytes // len(seed) + 1))[:n_bytes])
+                seed = hashlib.md5(bytes(payload or b"")).hexdigest()
+                payloads.append(
+                    (seed * (n_bytes // len(seed) + 1))[:n_bytes].encode()
+                )
                 m = dict(meta) if meta is not None else {}
                 m.update({"mime": "image/raw", "width": width, "height": height})
                 metas.append(m)
@@ -131,13 +136,16 @@ def sample_frames(
                 blob = bytes(payload or b"")
                 # stub duration: 1 ms per payload byte
                 n_frames = min(max(len(blob) // max(every_ms, 1), 1), max_frames)
-                digest = hashlib.sha256(blob).digest()
+                digest = hashlib.md5(blob).hexdigest()
                 for i in range(n_frames):
                     rows.append(
                         {
                             "media_id": f"{media_id}_f{i}",
                             "kind": "image",
-                            "payload": hashlib.sha256(digest + bytes([i])).digest(),
+                            # ASCII-hex payload: the oracle re-derives it
+                            "payload": hashlib.md5(
+                                (digest + str(i)).encode()
+                            ).hexdigest().encode(),
                             "meta": {
                                 "mime": "image/raw",
                                 "width": None,
@@ -178,13 +186,16 @@ def window_audio(
                     max((max(duration_ms - window_ms, 0)) // max(hop_ms, 1) + 1, 1),
                     max_windows,
                 )
-                digest = hashlib.sha256(blob).digest()
+                digest = hashlib.md5(blob).hexdigest()
                 for i in range(n_win):
                     rows.append(
                         {
                             "media_id": f"{media_id}_w{i}",
                             "kind": "audio",
-                            "payload": hashlib.sha256(digest + bytes([i])).digest(),
+                            # ASCII-hex payload: the oracle re-derives it
+                            "payload": hashlib.md5(
+                                (digest + str(i)).encode()
+                            ).hexdigest().encode(),
                             "meta": {
                                 "mime": "audio/raw",
                                 "width": None,

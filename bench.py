@@ -77,6 +77,7 @@ HEADLINE = [
     "e2e_vector_search",
     "t9_incremental_rollup",
     "v16b_clustered_range_search",
+    "v21_dpp_cell_stats",
 ]
 N_PASSES = 2  # report min-of-N: isolates plan cost from JIT/codegen warm-up
 

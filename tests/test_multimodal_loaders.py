@@ -24,10 +24,10 @@ def test_media_feature_extraction(spark, sf_small):
     doc0 = docs.filter(F.col("doc_id") == 0).collect()[0]
     payload = doc0.text.encode("utf-8")
     assert r0.byte_len == len(payload)
-    assert r0.sha256 == hashlib.sha256(payload).hexdigest()
+    assert r0.content_md5 == hashlib.md5(payload).hexdigest()
     assert len(r0.feature) == 8 and r0.decode_status == "stub_decoded"
     # deterministic: same payload → same stub feature
-    digest = hashlib.sha256(payload).digest()
+    digest = hashlib.md5(payload).digest()
     assert [round(x, 6) for x in r0.feature] == [round(b / 255.0, 6) for b in digest[:8]]
 
 

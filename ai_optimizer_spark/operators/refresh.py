@@ -105,7 +105,10 @@ def incremental_rollup(t: dict[str, DataFrame], cutoff: int = 50_000) -> DataFra
 
     The merged result is BIT-identical to the full recompute (decimal
     addition is associative, unlike double), which is exactly what the
-    oracle asserts: the incremental path vs DuckDB's one-shot GROUP BY."""
+    oracle asserts: the incremental path vs DuckDB's one-shot GROUP BY.
+    The always-on form of the same rollup is the st6 streaming tumbling
+    aggregation (streaming/event_stream.windowed_counts): watermarked
+    state replaces the stored-partials merge when the delta is a stream."""
     from ..tables import normalize_event_ts
 
     ev = normalize_event_ts(t["events"])

@@ -286,3 +286,49 @@ def leakage_safe_split(t: dict[str, DataFrame]) -> DataFrame:
         "cluster_id",
         split_expr(F.col("cluster_id")).alias("split"),
     )
+
+
+RESAMPLE_TARGET = 1.0  # p(keep) = quality/target; 1.0 → survival prob IS the score
+
+
+def quality_resample(
+    t: dict[str, DataFrame], target: float = RESAMPLE_TARGET
+) -> DataFrame:
+    """smp8: quality-weighted importance resampling — the soft form of a
+    quality gate. Instead of a hard threshold (tx6-style bins), each doc
+    survives with probability proportional to its quality score:
+
+        p(keep) = min(1, quality / target)
+        keep    = hash60('qrs|' || doc_id) % 1e6 < round(p · 1e6)
+
+    so borderline documents survive in proportion to their score — the
+    resampling move quality-classifier curation pipelines use to smooth
+    the decision boundary instead of cliff-cutting at a threshold.
+    Deterministic (stable hash, 3-decimal quality → integer ppm), so the
+    DuckDB oracle runs the identical arithmetic.
+
+    Scale shape: quality parts and the keep filter fuse into one narrow
+    map over the scan — no shuffle, no state; at 100 TB this is a pure
+    projection pass like tx2/smp1."""
+    from ..operators.textops import quality_parts
+    from ..functions.text import words
+
+    docs = t["documents"]
+    w = words(F.col("text"))
+    _, _, _, quality = quality_parts(w)
+    p_ppm = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.round(quality * F.lit(1_000_000.0) / F.lit(target)).cast("long"),
+    )
+    u = _bucket(F.col("doc_id"), "qrs", 1_000_000)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            quality.alias("quality"),
+            p_ppm.alias("p_keep_ppm"),
+            u.alias("u_ppm"),
+        )
+        .filter(F.col("u_ppm") < F.col("p_keep_ppm"))
+        .select("doc_id", "source", "quality", "p_keep_ppm")
+    )

@@ -3712,6 +3712,32 @@ _register(
 )
 
 _register(
+    "smp8_quality_resample",
+    SMP.quality_resample,
+    f"""
+    WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
+    m AS (
+        SELECT doc_id, source,
+               len(words) * 1.0 AS n,
+               len(list_filter(words, x -> x IN {TX.STOPWORDS!r})) * 1.0 AS n_stop,
+               len(list_distinct(words)) * 1.0 AS n_uniq
+        FROM w
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               ROUND(0.4 * LEAST(1.0, n / 50.0) + 0.3 * (n_uniq / n)
+                     + 0.3 * (1.0 - n_stop / n), 3) AS quality
+        FROM m
+    )
+    SELECT doc_id, source, quality,
+           LEAST(1000000, CAST(ROUND(quality * 1000000.0 / 1.0) AS BIGINT)) AS p_keep_ppm
+    FROM scored
+    WHERE {_h60("'qrs|' || CAST(doc_id AS VARCHAR)")} % 1000000
+          < LEAST(1000000, CAST(ROUND(quality * 1000000.0 / 1.0) AS BIGINT))
+    """,
+)
+
+_register(
     "smp7_leakage_safe_split",
     SMP.leakage_safe_split,
     f"""
@@ -4110,7 +4136,7 @@ _PRIORITY: list[str] = [
     "tx7_bpe_token_stats",
     "tx8_top_terms",
     "tx9_tfidf_terms",
-    "tx10_surprisal",
+    "mm2_frame_features",
     "tx11_repetition_stats",
     # streaming / event-time
     "st4_sliding_window_counts",
@@ -4158,13 +4184,13 @@ _PRIORITY: list[str] = [
     "d14_crossencoder_rerank",
     "v16b_clustered_range_search",
     "v21_dpp_cell_stats",
+    "smp8_quality_resample",
     "t9_incremental_rollup",
     "j9_mmr_rerank",
     "j9b_mmr_rerank_batch",
     "e2e_vecsearch_flow",
     "e2e_clustered_search",
     "e2e_incremental_refresh",
-    "s5_deep_parse",
     "w7_rolling_frames",
     "w8_balance_distribution",
     "smp1_hash_split",

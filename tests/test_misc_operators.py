@@ -106,3 +106,26 @@ def test_sketch_stats_bound_error_vs_exact(t):
         assert abs(g.approx_users - e.users) <= max(1, 0.05 * e.users)
         assert abs(g.p50_value_sketch - e.p50) <= 0.10 * max(1.0, e.p50)
         assert abs(g.p95_value_sketch - e.p95) <= 0.10 * max(1.0, e.p95)
+
+
+def test_quality_resample_tracks_scores(spark, sf_small):
+    """smp8: survival probability equals the quality score — the kept
+    fraction approximates mean quality, every kept doc's hash-uniform is
+    below its own p, and higher-quality docs are kept at a higher rate."""
+    from ai_optimizer_spark.operators.sampling import quality_resample
+    from ai_optimizer_spark.operators.textops import quality_score
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    kept = quality_resample(t).collect()
+    scores = {r.doc_id: r.quality for r in quality_score(t).collect()}
+    n, mean_q = len(scores), sum(scores.values()) / len(scores)
+    frac = len(kept) / n
+    assert abs(frac - mean_q) < 0.1  # law of large numbers at fixture size
+    assert all(r.quality == scores[r.doc_id] for r in kept)
+    kept_ids = {r.doc_id for r in kept}
+    hi = [d for d, q in scores.items() if q >= mean_q]
+    lo = [d for d, q in scores.items() if q < mean_q]
+    hi_rate = sum(1 for d in hi if d in kept_ids) / len(hi)
+    lo_rate = sum(1 for d in lo if d in kept_ids) / len(lo)
+    assert hi_rate > lo_rate

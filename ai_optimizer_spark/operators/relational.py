@@ -1038,3 +1038,76 @@ def waiting_supplier(t: dict[str, DataFrame], late_days: int = 60, k: int = 20) 
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(k)
     )
+
+
+def shipping_priority(t: dict[str, DataFrame], k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape (the last classic missing from the join corpus):
+    unshipped-revenue shipping priority — BUILDING-segment customers'
+    orders placed before a date, restricted to lines shipped after it,
+    top-k orders by revenue. (o_orderpriority stands in for the schema's
+    absent o_shippriority.)
+
+    Plan shape at 100 TB: the segment-filtered customer dim broadcasts
+    into date-pruned orders (both predicates reach their scans), that
+    result broadcasts into the date-pruned lineitem scan at fixture scale
+    (co-partitioned SMJ at real scale), and the top-k fuses into
+    TakeOrderedAndProject. DECIMAL revenue sums keep the ranking
+    order-free across engines."""
+    cutoff = F.to_timestamp(F.lit("1995-03-15"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(revenue_expr().cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def disjunctive_part_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of predicate bundles, each
+    tying part attributes (brand, size) to line attributes (quantity) —
+    the classic disjunctive-pushdown stressor. Adapted to this schema's
+    part columns (no container attribute).
+
+    Plan shape: part prunes to the union of the three brand/size ranges
+    at the scan (the OR's part-only conjuncts ARE pushable), the pruned
+    dim broadcasts, and the mixed part×line conjuncts evaluate post-join
+    — one scan each side, no shuffle join, single global aggregate."""
+    p = t["part"].select("p_partkey", "p_brand", "p_size")
+    li = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    bundle = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return joined.filter(bundle).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(revenue_expr().cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )

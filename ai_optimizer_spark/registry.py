@@ -3712,6 +3712,40 @@ _register(
 )
 
 _register(
+    "j26_shipping_priority",
+    R.shipping_priority,
+    """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+
+_register(
+    "j27_disjunctive_part_revenue",
+    R.disjunctive_part_revenue,
+    """
+    SELECT COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 5 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+
+_register(
     "smp8_quality_resample",
     SMP.quality_resample,
     f"""
@@ -4185,6 +4219,8 @@ _PRIORITY: list[str] = [
     "v16b_clustered_range_search",
     "v21_dpp_cell_stats",
     "smp8_quality_resample",
+    "j26_shipping_priority",
+    "j27_disjunctive_part_revenue",
     "t9_incremental_rollup",
     "j9_mmr_rerank",
     "j9b_mmr_rerank_batch",

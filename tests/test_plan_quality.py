@@ -387,3 +387,23 @@ def test_dpp_cell_stats_uses_dynamic_pruning(spark):
     plan = plan_of(spark, "v21_dpp_cell_stats")
     assert "dynamicpruning" in plan.lower()
     assert "PartitionFilters" in plan
+
+
+def test_shipping_priority_pushes_dates_and_takeordered(spark):
+    """j26 (Q3 shape): both date bounds and the segment filter reach their
+    scans; dims broadcast; the top-k fuses into TakeOrderedAndProject."""
+    plan = plan_of(spark, "j26_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_disjunctive_revenue_pushes_part_disjunction(spark):
+    """j27 (Q19 shape): the part-only conjuncts of the OR are pushable —
+    the part scan carries an Or(...) filter — and the pruned dim
+    broadcasts; no shuffle join."""
+    plan = plan_of(spark, "j27_disjunctive_part_revenue")
+    assert "Or(" in plan  # disjunction reaches the part scan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -78,6 +78,7 @@ HEADLINE = [
     "t9_incremental_rollup",
     "v16b_clustered_range_search",
     "v21_dpp_cell_stats",
+    "j26_shipping_priority",
 ]
 N_PASSES = 2  # report min-of-N: isolates plan cost from JIT/codegen warm-up
 

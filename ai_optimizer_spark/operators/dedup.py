@@ -602,6 +602,34 @@ def simhash_pairs_blocked(
     )
 
 
+def simhash_pairs_auto(
+    t: dict[str, DataFrame],
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """d4 production entry point: size the pigeonhole blocking to the
+    corpus via `choose_simhash_blocking` before building the plan.
+
+    Below the measured ~320k-doc crossover (SCALE.md finding 5) the cost
+    model lands on the (d+1, 1) single-block default; above it the n²
+    candidate term pushes onto wider combination keys — this wrapper makes
+    that decision automatic instead of a hand-tuned constant. The result
+    set is IDENTICAL for every valid (B, m) (pigeonhole-exact,
+    test-enforced + the d4 oracle hash), so the choice is purely physical.
+
+    `n_docs` is a hint for pipelines that already know the corpus size
+    (e.g. from catalog stats); when absent, one count() scan pays for a
+    plan that can be orders of magnitude cheaper at the 100 TB end — at
+    that scale the count comes from parquet row-group metadata, not a
+    data read."""
+    if n_docs is None:
+        n_docs = t["documents"].count()
+    n_blocks, match_blocks = choose_simhash_blocking(n_docs, max_hamming)
+    return simhash_pairs_blocked(
+        t, max_hamming, n_blocks=n_blocks, match_blocks=match_blocks
+    )
+
+
 def fuzzy_part_pairs(t: dict[str, DataFrame], max_distance: int = 2) -> DataFrame:
     """Edit-distance fuzzy matching — the entity-resolution complement to the
     token-set dedup family: pairs of part names within the same brand whose

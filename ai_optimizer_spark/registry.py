@@ -523,7 +523,11 @@ _register("j9_mmr_rerank", S.mmr_rerank, _MMR_ORACLE)
 _register("d1_exact_dedup", D.exact_dedup_hashkey, OD.EXACT_DEDUP)
 _register("d2_ngram_jaccard_pairs", D.ngram_jaccard_pairs, OD.NGRAM_JACCARD)
 _register("d3_minhash_lsh_pairs", D.minhash_lsh_pairs, OD.MINHASH_LSH)
-_register("d4_simhash_pairs", D.simhash_pairs_blocked, OD.SIMHASH_PAIRS)
+# d4 routes through simhash_pairs_auto: choose_simhash_blocking(n_docs)
+# sizes the (B, m) pigeonhole config to the corpus (single-block below the
+# measured 320k-doc crossover, wider combos above); identical result set
+# for every valid config, so the oracle hash is the invariant.
+_register("d4_simhash_pairs", D.simhash_pairs_auto, OD.SIMHASH_PAIRS)
 
 # ---------------------------------------------------------------------------
 # text analysis family + reference-parity chunker
@@ -1990,6 +1994,8 @@ def _mm2_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stubbed kernels, real plumbing — hash-verified end to end (the stub
     chains are ASCII-hex md5, SQL-re-derivable; invariants additionally
     asserted in tests/test_multimodal_loaders.py)."""
+    from pyspark.sql import functions as F
+
     from .sources.multimodal import (
         documents_as_media,
         extract_features,
@@ -2001,7 +2007,29 @@ def _mm2_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     media = repartition_for_payloads(documents_as_media(docs), target_bytes=1 << 20)
     frames = resize_images(sample_frames(media, every_ms=100, max_frames=3))
-    return extract_features(frames)
+    feats = extract_features(frames)
+    # Driver-canon-safe projection: the engine op returns feature
+    # ARRAY<FLOAT>, but the external checker canonicalizes via pandas
+    # sort_values, which cannot sort list columns (r4 red row). Explode the
+    # vector to (j, feature_value) scalar rows for the checked surface; the
+    # array-shaped operator itself stays the production API
+    # (tests/test_multimodal_loaders.py covers it directly).
+    return feats.select(
+        "media_id",
+        "kind",
+        "byte_len",
+        "content_md5",
+        F.posexplode("feature").alias("j", "fv"),
+        "decode_status",
+    ).select(
+        "media_id",
+        "kind",
+        "byte_len",
+        "content_md5",
+        F.col("j").cast("long").alias("j"),
+        F.col("fv").cast("double").alias("feature_value"),
+        "decode_status",
+    )
 
 
 QUERIES["mm2_frame_features"] = _mm2_frame_features
@@ -2010,11 +2038,6 @@ QUERIES["mm2_frame_features"] = _mm2_frame_features
 # so the WHOLE media pipeline — frame-count arithmetic, 1→N framing,
 # resize composition, feature quantization — is SQL-re-derivable; only a
 # real codec (env-blocked) would replace the hex chain with pixel data.
-_MM_FEAT = (
-    "list_transform(range(0, 8), j -> "
-    "CAST(CAST((('0x' || substr({fd}, j * 2 + 1, 2))::INT) / 255.0 AS FLOAT4) AS DOUBLE))"
-)
-
 ORACLE_SQL["mm2_frame_features"] = f"""
     WITH vids AS (
         SELECT doc_id, md5(text) AS d0, octet_length(encode(text)) AS blen
@@ -2031,9 +2054,11 @@ ORACLE_SQL["mm2_frame_features"] = f"""
     )
     SELECT media_id, 'image' AS kind, CAST(784 AS BIGINT) AS byte_len,
            md5(rp) AS content_md5,
-           {_MM_FEAT.format(fd='md5(rp)')} AS feature,
+           CAST(j.j AS BIGINT) AS j,
+           CAST(CAST((('0x' || substr(md5(rp), j.j * 2 + 1, 2))::INT) / 255.0
+                AS FLOAT4) AS DOUBLE) AS feature_value,
            'stub_decoded' AS decode_status
-    FROM resized
+    FROM resized, (SELECT unnest(range(0, 8)) AS j) j
 """
 
 
@@ -2272,7 +2297,7 @@ _register(
     )
     SELECT doc_id, n_tokens,
            CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS bin_id,
-           start_tok % 2048 AS bin_offset
+           CAST(start_tok % 2048 AS BIGINT) AS bin_offset
     FROM s
     """,
 )
@@ -2349,7 +2374,7 @@ _register(
     "e2e_curation_stats",
     curation_stats,
     f"""
-    SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(quality), 4) AS avg_quality
     FROM ({_CURATION_SQL}) c GROUP BY split
     """,
@@ -2377,7 +2402,7 @@ _register(
     )
     SELECT doc_id, n_tokens,
            CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS bin_id,
-           start_tok % 2048 AS bin_offset
+           CAST(start_tok % 2048 AS BIGINT) AS bin_offset
     FROM s
     """,
 )
@@ -2562,9 +2587,28 @@ def _mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_audio,
     )
 
+    from pyspark.sql import functions as F
+
     docs = load_tables(spark, sf_dir)["documents"]
     media = repartition_for_payloads(documents_as_media(docs), target_bytes=1 << 20)
-    return extract_features(window_audio(media))
+    feats = extract_features(window_audio(media))
+    # Same driver-canon-safe explode as mm2 (pandas can't sort list cols).
+    return feats.select(
+        "media_id",
+        "kind",
+        "byte_len",
+        "content_md5",
+        F.posexplode("feature").alias("j", "fv"),
+        "decode_status",
+    ).select(
+        "media_id",
+        "kind",
+        "byte_len",
+        "content_md5",
+        F.col("j").cast("long").alias("j"),
+        F.col("fv").cast("double").alias("feature_value"),
+        "decode_status",
+    )
 
 
 QUERIES["mm3_audio_features"] = _mm3_audio_features
@@ -2581,9 +2625,11 @@ ORACLE_SQL["mm3_audio_features"] = f"""
     )
     SELECT media_id, 'audio' AS kind, CAST(32 AS BIGINT) AS byte_len,
            md5(wp) AS content_md5,
-           {_MM_FEAT.format(fd='md5(wp)')} AS feature,
+           CAST(j.j AS BIGINT) AS j,
+           CAST(CAST((('0x' || substr(md5(wp), j.j * 2 + 1, 2))::INT) / 255.0
+                AS FLOAT4) AS DOUBLE) AS feature_value,
            'stub_decoded' AS decode_status
-    FROM wins
+    FROM wins, (SELECT unnest(range(0, 8)) AS j) j
 """
 
 _register(
@@ -4136,59 +4182,65 @@ _register(
 # ops — ANN tiers, temporal/bucketed joins, dedup clustering, the curation
 # e2e, streaming parity — so the strongest work is also externally verified.
 _PRIORITY: list[str] = [
-    # ANN / similarity tiers (IVF, matmul, PQ, recall measurement)
+    # r5 rotation (VERDICT r4 task 4): 11 never-driver-checked queries moved
+    # into the 50-slot prefix — reference shapes first (j26/j27 = TPC-H Q3/Q19
+    # analogs of docs/demo/racing-championship/schema.sql) — displacing
+    # long-green veterans that the repo parity gate still covers every
+    # session (v8/v10/v12, d3 uncapped, j15/j20, tx7/tx9, st6, a16, v16;
+    # ≥1 per family retained in the prefix).
+    # ANN / similarity tiers (IVF, k-means, IVFPQ, stored-layout serving)
     "v7_ivf_topk",
-    "v8_ivf_knn_join",
     "v19_ann_operating_curve",
-    "v10_matmul_knn",
     "d3c_minhash_lsh_capped",
-    "v12_ann_recall",
+    "v16b_clustered_range_search",
+    "v21_dpp_cell_stats",
+    "v15_clustered_ivf_knn_join",
     # temporal / skew / bucketed / analytic join shapes
     "j10_salted_skew_join",
     "j11_asof_join",
     "j12_banded_range_join",
     "j13_local_supplier_volume",
     "j14_bucketed_order_revenue",
-    "j15_market_share",
+    "j26_shipping_priority",
     "v9_ivf_kmeans_topk",
     "v17_ivfpq_topk",
-    "j20_volume_shipping",
+    "j27_disjunctive_part_revenue",
     "j25_waiting_supplier",
     "a21_customer_order_distribution",
     # dedup family (scale-safe canonical forms) + clustering + curation e2e
     "d1_exact_dedup",
     "d2_ngram_jaccard_pairs",
-    "d3_minhash_lsh_pairs",
+    "d13_topic_clusters",
     "d4_simhash_pairs",
     "d5_embedding_neardup",
     "d6_dedup_clusters",
     "d8_fuzzy_part_pairs",
     "e2e_curation_pipeline",
     "v14_hybrid_rrf_topk",
-    # text-analysis family
+    # text-analysis family + multimodal
     "tx6_quality_bins",
-    "tx7_bpe_token_stats",
+    "mm3_audio_features",
     "tx8_top_terms",
-    "tx9_tfidf_terms",
+    "s13_store_catalog",
     "mm2_frame_features",
     "tx11_repetition_stats",
     # streaming / event-time
     "st4_sliding_window_counts",
     "st5_attributed_purchases",
-    "st6_streaming_tumbling_counts",
+    "t9_incremental_rollup",
     "st7_streaming_sessionize",
-    # aggregation extensions
+    # aggregation extensions + sampling/packing
     "a12_rollup_totals",
     "a13_quantile_summary",
     "e2e_vector_search",
     "e2e_training_export",
-    "a16_parts_supplier_counts",
+    "smp6_sequence_packing",
     "tx14_bpe_learn",
     "a18_idle_rich_customers",
     # streaming near-dup + SCD2 (round-3 flagships)
     "st12_streaming_neardup_candidates",
     "t8_scd2_history",
-    "v16_range_search_pruned",
+    "smp8_quality_resample",
     "smp5_temperature_mix",
     "v13_clustered_ivf_topk",
     # NL2SQL generation + evaluation e2e + deep parse
@@ -4197,11 +4249,21 @@ _PRIORITY: list[str] = [
     "s5_deep_parse",
     # positions 51+ — driver-verified only if the sample widens; the repo
     # parity gate (tests/test_oracle_parity.py) checks them every session
+    "v8_ivf_knn_join",
+    "v10_matmul_knn",
+    "v12_ann_recall",
+    "d3_minhash_lsh_pairs",
+    "j15_market_share",
+    "j20_volume_shipping",
+    "tx7_bpe_token_stats",
+    "tx9_tfidf_terms",
+    "st6_streaming_tumbling_counts",
+    "a16_parts_supplier_counts",
+    "v16_range_search_pruned",
     "j21_profit_rollup",
     "j22_promo_revenue",
     "j23_top_supplier",
     "j24_small_qty_loss",
-    "d13_topic_clusters",
     "smp7_leakage_safe_split",
     "tx13_bpe_pair_counts",
     "tx15_bpe_tokenize",
@@ -4216,12 +4278,6 @@ _PRIORITY: list[str] = [
     "st13_streaming_ivf_assign",
     "v18_filtered_topk",
     "d14_crossencoder_rerank",
-    "v16b_clustered_range_search",
-    "v21_dpp_cell_stats",
-    "smp8_quality_resample",
-    "j26_shipping_priority",
-    "j27_disjunctive_part_revenue",
-    "t9_incremental_rollup",
     "j9_mmr_rerank",
     "j9b_mmr_rerank_batch",
     "e2e_vecsearch_flow",

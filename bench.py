@@ -87,6 +87,31 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibration_probe(spark) -> float:
+    """Fixed synthetic workload (md5 over range(50M) + one shuffle) timed
+    with the same min-of-N methodology as the queries. Pure box-speed
+    measurement: round 4 burned real analysis time proving a +25% bench
+    'regression' was host drift (round-3's unchanged code reproduced the
+    new numbers). Cross-round comparisons should divide by this number
+    first — it tracks exactly the CPU-saturating hash work the drift hit
+    hardest (d4/tx8/tx12 family)."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(N_PASSES):
+        t0 = time.perf_counter()
+        probe = (
+            spark.range(50_000_000)
+            .select(F.md5(F.col("id").cast("string")).alias("h"))
+            .groupBy(F.substring("h", 1, 2).alias("b"))
+            .count()
+        )
+        materialize(probe)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("ai_optimizer_spark-bench")
@@ -94,6 +119,10 @@ def main() -> None:
 
     # one tiny warm-up action so JVM/codegen startup isn't billed to q1
     spark.range(1).count()
+
+    calibration = calibration_probe(spark)
+    spark.catalog.clearCache()
+    gc.collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -123,6 +152,7 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "calibration": {"md5_shuffle_50m_sec": calibration},
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -51,6 +51,57 @@ def normalized_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+# DuckDB output types that pandas cannot canonicalize faithfully: HUGEINT
+# materializes as float64 (so `32` hashes as `"32.0"` against Spark's
+# BIGINT `"32"`) — the exact r4 driver red-row class for
+# e2e_training_export. DECIMAL(38,*) overflows float64 similarly.
+BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL(38")
+
+
+def oracle_dtype_violations(con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """DESCRIBE the oracle and return columns whose DuckDB type pandas
+    would silently coerce (the r4 'hash_match: false with rows/schema
+    green' signature). Permanent form of the judge's DESCRIBE sweep."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [
+        f"{name}: {ctype}"
+        for name, ctype, *_ in rows
+        if any(ctype.upper().startswith(b) or b in ctype.upper() for b in BANNED_ORACLE_TYPES)
+    ]
+
+
+def strict_compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+    """Driver-strictness replica: both results through pandas, columns
+    sorted by name, rows sorted, every cell stringified with plain str()
+    — NO float rounding, NO list normalization. int64 32 vs float64 32.0
+    mismatch here (they hash apart in the driver too), and a list-typed
+    column raises in sort_values exactly like the driver's canonicalizer.
+    Use for every driver-prefix query; r4 shipped 2 red rows because the
+    softer compare() normalized away precisely what the driver hashes."""
+    s_pdf = spark_df.toPandas()
+    o_pdf = con.execute(sql).df()
+    if sorted(s_pdf.columns) != sorted(o_pdf.columns):
+        return False, (
+            f"column mismatch: spark={sorted(s_pdf.columns)} duckdb={sorted(o_pdf.columns)}"
+        )
+    if len(s_pdf) != len(o_pdf):
+        return False, f"row count mismatch: spark={len(s_pdf)} duckdb={len(o_pdf)}"
+
+    def canon(pdf):
+        pdf = pdf[sorted(pdf.columns)]
+        pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+        return ["|".join(str(v) for v in row) for row in pdf.itertuples(index=False)]
+
+    sn, dn = canon(s_pdf), canon(o_pdf)
+    if sn != dn:
+        diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+        return False, (
+            f"strict value mismatch (spark dtypes={dict(s_pdf.dtypes.astype(str))}, "
+            f"oracle dtypes={dict(o_pdf.dtypes.astype(str))}), first diffs: {diff}"
+        )
+    return True, "ok"
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]

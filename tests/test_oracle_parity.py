@@ -1,6 +1,16 @@
 """End-to-end parity gate: every registered (query, oracle) pair must agree
 with DuckDB at sf0.01 — the same check the driver runs, but stricter (exact
-multiset equality, not just hash)."""
+multiset equality, not just hash).
+
+Round-5 hardening (VERDICT r4 task 2): round 4 shipped two driver red rows
+that this gate normalized away (float rounding hid a HUGEINT→float64
+coercion; list→tuple normalization hid a list column the driver's pandas
+canonicalizer crashes on). Driver-prefix queries now go through
+`strict_compare` (pandas canon, str() cells, no rounding), every prefix
+schema is asserted free of top-level Array/Map columns, and every oracle is
+DESCRIBEd and rejected if it emits a pandas-coercing type (HUGEINT /
+UHUGEINT / DECIMAL(38,*)).
+"""
 
 from __future__ import annotations
 
@@ -8,9 +18,18 @@ import pytest
 
 from ai_optimizer_spark.registry import ORACLE_SQL, QUERIES
 
-from .oracle_compare import compare, duckdb_con
+from .oracle_compare import (
+    compare,
+    duckdb_con,
+    oracle_dtype_violations,
+    strict_compare,
+)
 
 SF_DIR = "/root/testdata/sf0.01"
+
+# The external driver samples the FIRST 50 registered queries and
+# canonicalizes via pandas — these get the stricter checks.
+DRIVER_PREFIX = frozenset(list(QUERIES)[:50])
 
 
 @pytest.fixture(scope="module")
@@ -21,8 +40,37 @@ def con():
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_query_matches_oracle(name, spark, con):
     df = QUERIES[name](spark, SF_DIR)
-    ok, msg = compare(df, con, ORACLE_SQL[name])
+    if name in DRIVER_PREFIX:
+        # Driver canon crash class (r4: mm2_frame_features): pandas
+        # sort_values cannot order list/dict cells, so a prefix query may
+        # never expose a top-level Array/Map column.
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map")
+        ]
+        assert not bad, (
+            f"{name} is in the driver prefix but exposes non-scalar "
+            f"column(s) {bad} — the driver canonicalizer crashes on these; "
+            f"explode or stringify them"
+        )
+        ok, msg = strict_compare(df, con, ORACLE_SQL[name])
+    else:
+        ok, msg = compare(df, con, ORACLE_SQL[name])
     assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_oracle_output_types_pandas_safe(name, con):
+    """Driver hash-flap class (r4: e2e_training_export): DuckDB promotes
+    windowed/aggregate SUM(BIGINT) to HUGEINT, which pandas renders as
+    float64 ('32.0' vs Spark's '32'). DESCRIBE every oracle and reject
+    coercing output types — the judge's one-off sweep, made permanent."""
+    bad = oracle_dtype_violations(con, ORACLE_SQL[name])
+    assert not bad, (
+        f"{name} oracle emits pandas-coercing column type(s) {bad}; "
+        f"CAST them (e.g. AS BIGINT) in the oracle projection"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL)))

@@ -249,3 +249,47 @@ def test_choose_simhash_blocking_scales_with_corpus():
     for n in (1, 10_000, 1_000_000, 10**9):
         b, m = D.choose_simhash_blocking(n)
         assert b - m >= D.SIMHASH_MAX_HAMMING  # zero false negatives
+
+
+def test_simhash_auto_blocking_end_to_end_on_16x_tile(spark, sf_medium):
+    """VERDICT r4 task 6: the d4 production entry point (simhash_pairs_auto
+    → choose_simhash_blocking) exercised end-to-end on a 16× tiled corpus
+    (scale_probe's tiling: shifted doc_ids + per-tile marker tokens so
+    cross-tile similarity collapses), with the exact all-pairs d4x baseline
+    as the invariant. Covers BOTH regimes: the corpus-sized choice (below
+    the 320k crossover → single-block keys) and a forced above-crossover
+    hint (wide combination keys) must produce the identical pair set."""
+    docs = load_tables(spark, sf_medium)["documents"]
+    n = docs.count()
+    tiles = []
+    for i in range(16):
+        marked = F.regexp_replace(F.col("text"), r"((?:\S+\s+){4})", f"$1zz{i}tile ")
+        tiles.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                marked.alias("text"),
+                "source",
+                "lang",
+                "n_chars",
+            )
+        )
+    tiled = tiles[0]
+    for extra in tiles[1:]:
+        tiled = tiled.unionByName(extra)
+    t = {"documents": tiled.localCheckpoint(eager=False)}
+
+    baseline = {(r.doc_a, r.doc_b, r.hamming) for r in D.simhash_pairs(t).collect()}
+    assert baseline  # each tile keeps the fixture's planted near-dups
+
+    # regime 1: config chosen from the real tile size (below crossover)
+    auto = {(r.doc_a, r.doc_b, r.hamming) for r in D.simhash_pairs_auto(t).collect()}
+    assert auto == baseline
+
+    # regime 2: web-scale hint → wide combination keys, same result set
+    b_wide, m_wide = D.choose_simhash_blocking(50_000_000)
+    assert m_wide > 1
+    wide = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_pairs_auto(t, n_docs=50_000_000).collect()
+    }
+    assert wide == baseline

@@ -407,3 +407,47 @@ def test_disjunctive_revenue_pushes_part_disjunction(spark):
     plan = plan_of(spark, "j27_disjunctive_part_revenue")
     assert "Or(" in plan  # disjunction reaches the part scan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_clustered_range_search_prunes_partitions(spark):
+    """v16b: the stored-radii serving tier — the pruning bound resolves to
+    a LITERAL partition filter on the cid-partitioned store (no per-query
+    corpus aggregation), and the only exchanges are the broadcasts of the
+    tiny radii/query sides. The partition filter is the whole point: at
+    100 TB the scan reads only surviving cells' files."""
+    plan = plan_of(spark, "v16b_clustered_range_search")
+    assert "PartitionFilters: [cid" in plan
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
+    assert "SortMergeJoin" not in plan
+
+
+def test_shipping_priority_q3_shape(spark):
+    """j26 (TPC-H Q3 shape): every date/segment predicate reaches its scan,
+    the dim chain broadcasts (no shuffle join at fixture scale), and the
+    top-k fuses into TakeOrderedAndProject instead of a global sort."""
+    plan = plan_of(spark, "j26_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_disjunctive_part_revenue_pushes_or_bundles(spark):
+    """j27 (TPC-H Q19 shape): the OR-of-bundles' single-side conjuncts are
+    pushed to BOTH scans (part's brand/size union AND lineitem's quantity
+    union) — the disjunction does not defeat pushdown — and the pruned
+    part dim broadcasts into a single join."""
+    plan = plan_of(spark, "j27_disjunctive_part_revenue")
+    assert plan.count("Or(Or(And(") >= 2  # OR bundle pushed on both scans
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_resample_is_shuffle_free(spark):
+    """smp8: quality scoring + the importance-keep filter fuse into one
+    narrow map over the documents scan — no exchange, no state."""
+    plan = plan_of(spark, "smp8_quality_resample")
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -302,3 +302,122 @@ def test_stream_stream_join_drops_late_matches(spark, tmp_path):
     batch = attributed_purchases({"events": ev})
     batch_pairs = {(r.view_id, r.purchase_id) for r in batch.collect()}
     assert (10, 22) in batch_pairs
+
+
+def test_streaming_ivf_assign_occupancy_under_late_arrivals(spark, sf_small, tmp_path):
+    """st13 semantics (VERDICT r4 task 7): the streaming ANN ingest has NO
+    event-time watermark by design — cell assignment is stateless (the
+    coarse quantizer ships inside the plan) and the only state is the
+    per-cell occupancy counters, which are commutative. Documented
+    consequences, asserted here: (a) a 'late' vector (arriving many
+    batches after its neighbors) is never dropped — occupancy is
+    arrival-order INVARIANT and converges to the batch ground truth in any
+    order; (b) per-cell counts are monotone non-decreasing across
+    micro-batches (counters only absorb, never evict)."""
+    from ai_optimizer_spark.operators.similarity import _assign_cells
+
+    emb = (
+        spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .filter(F.col("vec_id") < 60)
+        .localCheckpoint(eager=False)
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    truth = {
+        (r.cid, r.n_vecs, r.min_vec_id, r.max_vec_id)
+        for r in _assign_cells(emb, cents)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .collect()
+    }
+
+    # batch 1 = the bulk; batch 2 = stragglers (every 7th vector) that in a
+    # watermarked op would be candidates for dropping — here they must land
+    late_ids = {i for i in range(60) if i % 7 == 0}
+    splits = {
+        "fwd": [
+            emb.filter(~F.col("vec_id").isin(*late_ids)),
+            emb.filter(F.col("vec_id").isin(*late_ids)),
+        ],
+    }
+    splits["rev"] = list(reversed(splits["fwd"]))
+
+    finals = {}
+    for order_name, batches in splits.items():
+        feed = str(tmp_path / f"ivf_{order_name}")
+        os.makedirs(feed)
+        for i, bdf in enumerate(batches):
+            stage = str(tmp_path / f"ivf_{order_name}_s{i}")
+            bdf.coalesce(1).write.parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            dst = os.path.join(feed, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        plan = _assign_cells(stream, cents).groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        snapshots = []
+        q = (
+            plan.writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda bdf, bid: snapshots.append(
+                    {r.cid: r.n_vecs for r in bdf.collect()}
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        # monotone occupancy: no cell's count ever decreases between batches
+        for prev, cur in zip(snapshots, snapshots[1:]):
+            for cid, n in prev.items():
+                assert cur.get(cid, 0) >= n, (order_name, cid, prev, cur)
+        finals[order_name] = snapshots[-1]
+
+    assert finals["fwd"] == finals["rev"]  # arrival order cannot matter
+
+    # and the converged occupancy (+ id bounds) equals the batch ground truth
+    feed = str(tmp_path / "ivf_full")
+    os.makedirs(feed)
+    for i, bdf in enumerate(splits["fwd"]):
+        stage = str(tmp_path / f"ivf_full_s{i}")
+        bdf.coalesce(1).write.parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dst = os.path.join(feed, f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    plan = _assign_cells(stream, cents).groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+    q = (
+        plan.writeStream.format("memory")
+        .queryName("st13_late_full")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.cid, r.n_vecs, r.min_vec_id, r.max_vec_id)
+        for r in spark.table("st13_late_full").collect()
+    }
+    assert got == truth

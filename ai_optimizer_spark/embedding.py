@@ -91,6 +91,20 @@ class EmbedderUnavailable(RuntimeError):
     """No transport for the configured provider (litellm not installed)."""
 
 
+def _default_retryable(exc: Exception) -> bool:
+    """Transient-only retry policy (ADVICE r4): retry what a second attempt
+    can plausibly fix. Provider SDK errors (litellm/openai-style) carry
+    `status_code` — retry 408 (request timeout), 409 (conflict), 429
+    (rate limit), and 5xx; any other coded error (401 bad key, 404 unknown
+    model, 400 validation) is permanent and surfaces immediately. Errors
+    with NO status code are retryable only when they are transport-shaped
+    (timeouts, dropped connections)."""
+    status = getattr(exc, "status_code", None)
+    if status is not None:
+        return status in (408, 409, 429) or int(status) >= 500
+    return isinstance(exc, (TimeoutError, ConnectionError))
+
+
 class ProviderEmbedder:
     """LiteLLM-style provider adapter behind the SAME two-method protocol as
     HashEmbedder — the real-model seam (reference shape:
@@ -105,10 +119,16 @@ class ProviderEmbedder:
 
     Transient transport failures are retried `max_retries` times with
     exponential backoff (the adapter owns retries; the reference delegates
-    them to litellm's client). Protocol violations — wrong embedding count,
-    ragged vector widths, or a width differing from the configured `dim` —
-    raise immediately without retrying: a provider answering with the wrong
-    shape will answer with the wrong shape again."""
+    them to litellm's client). Only RETRYABLE failures burn the retry
+    budget — by default timeouts/connection drops and provider errors
+    carrying a 408/429/5xx `status_code`; permanent failures (bad API key,
+    unknown model, other 4xx) re-raise immediately instead of sleeping
+    through backoff toward the same answer. Pass `retryable` (an
+    ``(exc) -> bool`` predicate) to widen or narrow the policy. Protocol
+    violations — wrong embedding count, ragged vector widths, or a width
+    differing from the configured `dim` — likewise raise immediately: a
+    provider answering with the wrong shape will answer with the wrong
+    shape again."""
 
     def __init__(
         self,
@@ -121,6 +141,7 @@ class ProviderEmbedder:
         dim: int | None = None,
         max_retries: int = 2,
         retry_backoff: float = 0.5,
+        retryable=None,
     ):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
@@ -136,6 +157,7 @@ class ProviderEmbedder:
             self._call_kwargs["api_base"] = api_base
         self._throttle = Throttle(rate_limit)
         self._transport = transport if transport is not None else _litellm_transport()
+        self._retryable = retryable if retryable is not None else _default_retryable
 
     def _call_with_retry(self, chunk: list[str]) -> list[list[float]]:
         import time
@@ -144,8 +166,8 @@ class ProviderEmbedder:
             self._throttle.wait()
             try:
                 return self._transport(chunk, **self._call_kwargs)
-            except Exception:
-                if attempt == self.max_retries:
+            except Exception as exc:
+                if attempt == self.max_retries or not self._retryable(exc):
                     raise
                 time.sleep(self.retry_backoff * (2**attempt))
         raise AssertionError("unreachable")

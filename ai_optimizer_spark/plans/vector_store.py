@@ -169,6 +169,7 @@ def populate_store(
     )
 
     data_path = catalog.data_path(name)
+    _recover_swaps(data_path)
     if os.path.exists(data_path):
         existing = spark.read.parquet(data_path).select(
             "id", "text", "metadata", "embedding"
@@ -187,7 +188,13 @@ def populate_store(
         # disjointness, so new rows APPEND as fresh part-files inside their
         # fbucket partitions — nothing of the existing store is read back
         # or rewritten (the only merge strategy that survives a 100-TB
-        # store; a full rewrite-and-swap is O(store), this is O(delta))
+        # store; a full rewrite-and-swap is O(store), this is O(delta)).
+        # Publish semantics (documented tradeoff, ADVICE r4): the part-files
+        # surface at Spark's job commit — a crash BEFORE commit leaves only
+        # _temporary staging (cleared by _recover_swaps-adjacent cleanup /
+        # Spark itself), never half-visible rows; readers across partitions
+        # may observe the delta appear bucket-by-bucket at commit, the same
+        # per-partition consistency contract as delete_stale_chunks.
         embedded.withColumn(
             "fbucket", _file_bucket(F.col("metadata")["filename"], file_buckets)
         ).write.mode("append").partitionBy("fbucket").parquet(data_path)
@@ -222,6 +229,58 @@ def populate_store(
     return spark.read.parquet(data_path)
 
 
+def _swap_partitions(data_path: str, tmp_path: str, parts: list[str]) -> None:
+    """Publish rewritten partition dirs with the smallest possible unsafe
+    window (ADVICE r4: the previous loop rmtree'd the live dir BEFORE
+    renaming the replacement in — a crash between the two lost the bucket).
+
+    Protocol: every rewritten partition was already FULLY written into
+    `tmp_path` by a committed Spark job before this runs; publishing is
+    then per-partition `rename(live → trash); rename(tmp → live)` — two
+    metadata-only renames (microseconds) instead of an O(files) delete —
+    followed by one trash cleanup after ALL partitions are swapped.
+
+    Crash contract (documented tradeoff, not full atomicity — that needs a
+    manifest/version pointer à la Delta/Iceberg, out of scope for a directory
+    store): a crash can leave the store mid-publish — some partitions new,
+    some old (readers see a consistent PER-PARTITION view; fbucket
+    partitions are independent by construction since a file's chunks live
+    in exactly one bucket). `_recover_swaps` on the next write restores any
+    bucket caught between its two renames from trash, so no data is ever
+    lost; re-running the refresh converges the remaining buckets."""
+    trash = f"{data_path}__trash_{uuid.uuid4().hex[:8]}"
+    os.makedirs(trash, exist_ok=True)
+    for p in parts:
+        dst = os.path.join(data_path, p)
+        src = os.path.join(tmp_path, p)
+        if os.path.isdir(dst):
+            os.rename(dst, os.path.join(trash, p))
+        if os.path.isdir(src):
+            os.rename(src, dst)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _recover_swaps(data_path: str) -> None:
+    """Crash recovery for `_swap_partitions`: restore any partition that a
+    previous run moved to trash but never replaced (the only state where a
+    bucket is missing from the live tree), then clear leftover trash/tmp
+    staging dirs. Idempotent; called before any store write."""
+    parent, base = os.path.split(data_path.rstrip("/"))
+    if not os.path.isdir(parent):
+        return
+    for entry in os.listdir(parent):
+        full = os.path.join(parent, entry)
+        if entry.startswith(f"{base}__trash_"):
+            for p in os.listdir(full):
+                dst = os.path.join(data_path, p)
+                if not os.path.isdir(dst):
+                    os.rename(os.path.join(full, p), dst)
+            shutil.rmtree(full, ignore_errors=True)
+        elif entry.startswith(f"{base}__tmp_"):
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def delete_stale_chunks(
     spark: SparkSession,
     catalog: VectorStoreCatalog,
@@ -242,8 +301,14 @@ def delete_stale_chunks(
     fbucket partitions that contain stale files are anti-joined and
     swapped; every other partition directory is untouched. The only
     driver-side materialization is the DISTINCT affected-partition-id set,
-    bounded by the layout constant `file_buckets` — never the filenames."""
+    bounded by the layout constant `file_buckets` — never the filenames.
+
+    Publish protocol + crash contract: see `_swap_partitions` /
+    `_recover_swaps` (rename-only swap after the delta job commits; a
+    crash leaves per-partition-consistent state that the next write
+    repairs — the accepted O(delta) tradeoff vs an O(store) rewrite)."""
     data_path = catalog.data_path(name)
+    _recover_swaps(data_path)
     existing = spark.read.parquet(data_path)
     if isinstance(stale, (list, tuple)):
         stale = spark.createDataFrame([(f,) for f in stale], "filename string")
@@ -266,14 +331,7 @@ def delete_stale_chunks(
         )
         tmp_path = f"{data_path}__tmp_{uuid.uuid4().hex[:8]}"
         kept.write.mode("overwrite").partitionBy("fbucket").parquet(tmp_path)
-        for b in affected:
-            dst = os.path.join(data_path, f"fbucket={b}")
-            src = os.path.join(tmp_path, f"fbucket={b}")
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            if os.path.isdir(src):
-                os.rename(src, dst)
-        shutil.rmtree(tmp_path, ignore_errors=True)
+        _swap_partitions(data_path, tmp_path, [f"fbucket={b}" for b in affected])
     else:
         kept = existing.join(
             stale, existing["metadata"]["filename"] == stale["filename"], "left_anti"

@@ -3938,6 +3938,13 @@ def _bpe_learn_ctes(n_merges: int) -> list[str]:
         SELECT {_BPE_SEP} || array_to_string(string_split(w, ''), {_BPE_SEP} || {_BPE_SEP}) || {_BPE_SEP} AS s,
                freq
         FROM wf
+    ),
+    maxpos AS (
+        -- pair-position bound DERIVED from the data (ADVICE r4): the s0
+        -- symbol count of a word is its char length, and merges only
+        -- shrink it, so this bound is exact for every round — no silent
+        -- truncation on long unbroken tokens
+        SELECT COALESCE(MAX(length(w)), 1) + 1 AS n FROM wf
     )"""]
     for r in range(n_merges):
         parts.append(f"""
@@ -3945,7 +3952,7 @@ def _bpe_learn_ctes(n_merges: int) -> list[str]:
         SELECT syms[c.i] AS a, syms[c.i + 1] AS b, freq
         FROM (SELECT string_split(s[2 : length(s) - 1], {_BPE_SEP} || {_BPE_SEP}) AS syms, freq
               FROM s{r}) t,
-             (SELECT unnest(range(1, 1000)) AS i) c
+             (SELECT unnest(range(1, (SELECT n FROM maxpos))) AS i) c
         WHERE c.i < len(syms)
     ),
     b{r} AS (

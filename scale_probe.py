@@ -143,11 +143,32 @@ def build_tile(spark, factor: int) -> str:
     return out
 
 
+# serving tiers (VERDICT r4 task 5): the stored layout is built ONCE per
+# factor (timed separately as store_build_sec), then query time is measured
+# on its own — the claim under test is that the stored-radii range search
+# (v16b) and DPP stats (v21) stay near-flat as the corpus grows, while the
+# query-time-bound form (v16) re-aggregates the corpus per query and grows
+# with it. This is the write-path/read-path split BENCH_r04 validated at
+# sf0.1 (0.82 s vs 3.92 s), proven here across 1x/4x/16x.
+SERVING_OPS = [
+    "v16_range_search_pruned",
+    "v16b_clustered_range_search",
+    "v21_dpp_cell_stats",
+]
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()
+    from ai_optimizer_spark.plans.bucketing import (
+        ensure_cell_radii,
+        ensure_clustered_store,
+    )
+
     results: dict[str, dict[int, float]] = {op: {} for op in OPS}
+    serving: dict[str, dict[int, float]] = {op: {} for op in SERVING_OPS}
+    store_build: dict[int, float] = {}
     for factor in FACTORS:
         sf_dir = build_tile(spark, factor)
         for op in OPS:
@@ -161,8 +182,25 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             results[op][factor] = round(best, 2)
             spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        ensure_clustered_store(spark, sf_dir)
+        ensure_cell_radii(spark, sf_dir)
+        store_build[factor] = round(time.perf_counter() - t0, 2)
+        for op in SERVING_OPS:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[op](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            serving[op][factor] = round(best, 2)
+            spark.catalog.clearCache()
         print(f"x{factor} done", flush=True)
-    print(json.dumps(results))
+    print(json.dumps(
+        {"ops": results, "serving": serving, "store_build_sec": store_build}
+    ))
     shutil.rmtree(WORK, ignore_errors=True)
 
 

@@ -190,15 +190,27 @@ def test_make_chat_selection():
 # ---------------------------------------------------------------------------
 
 
-def _flaky_transport(fail_times, record):
-    """Raises RuntimeError for the first `fail_times` calls, then succeeds."""
+class _ProviderError(RuntimeError):
+    """Provider-SDK-shaped error: carries status_code like litellm/openai
+    exception classes do."""
+
+    def __init__(self, msg, status_code):
+        super().__init__(msg)
+        self.status_code = status_code
+
+
+def _flaky_transport(fail_times, record, exc_factory=None):
+    """Raises a transient 503-coded error for the first `fail_times` calls,
+    then succeeds."""
     state = {"calls": 0}
+    if exc_factory is None:
+        exc_factory = lambda: _ProviderError("transient provider 5xx", 503)
 
     def call(texts, **kw):
         state["calls"] += 1
         record.append(time.monotonic())
         if state["calls"] <= fail_times:
-            raise RuntimeError("transient provider 5xx")
+            raise exc_factory()
         return [[1.0, 2.0] for _ in texts]
 
     return call
@@ -272,3 +284,60 @@ def test_retry_config_flows_through_make_embedder():
     )
     assert client.embed_documents(["x"]) == [[1.0, 2.0]]
     assert len(calls) == 4
+
+
+def test_permanent_errors_surface_without_retry():
+    """ADVICE r4: a non-retryable failure (bad API key → 401, unknown model
+    → 404, validation → 400) must NOT burn the retry budget sleeping
+    through backoff — it surfaces on the first call."""
+    for status in (400, 401, 404):
+        calls = []
+        client = ProviderEmbedder(
+            model="m",
+            transport=_flaky_transport(
+                99, calls, lambda s=status: _ProviderError("permanent", s)
+            ),
+            max_retries=5,
+            retry_backoff=0.5,
+        )
+        with pytest.raises(_ProviderError, match="permanent"):
+            client.embed_documents(["a"])
+        assert len(calls) == 1, f"status {status} was retried"
+
+
+def test_uncoded_transport_timeouts_are_retryable():
+    """Errors with no status code retry only when transport-shaped:
+    TimeoutError/ConnectionError retry; a bare RuntimeError does not."""
+    calls = []
+    client = ProviderEmbedder(
+        model="m",
+        transport=_flaky_transport(1, calls, lambda: TimeoutError("slow")),
+        max_retries=2,
+        retry_backoff=0.001,
+    )
+    assert client.embed_documents(["a"]) == [[1.0, 2.0]]
+    assert len(calls) == 2
+
+    calls2 = []
+    client2 = ProviderEmbedder(
+        model="m",
+        transport=_flaky_transport(1, calls2, lambda: RuntimeError("???")),
+        max_retries=2,
+        retry_backoff=0.001,
+    )
+    with pytest.raises(RuntimeError):
+        client2.embed_documents(["a"])
+    assert len(calls2) == 1  # unknown failure class: fail fast, don't guess
+
+
+def test_custom_retryable_predicate_overrides_default():
+    calls = []
+    client = ProviderEmbedder(
+        model="m",
+        transport=_flaky_transport(1, calls, lambda: RuntimeError("flaky")),
+        max_retries=2,
+        retry_backoff=0.001,
+        retryable=lambda exc: "flaky" in str(exc),
+    )
+    assert client.embed_documents(["a"]) == [[1.0, 2.0]]
+    assert len(calls) == 2

@@ -327,3 +327,51 @@ def test_file_bucketed_refresh_appends_only_changed(spark, sf_small, catalog):
     # search still works over the partitioned layout
     hits = search_store(spark, catalog, "store_fb2", "fresh text", top_k=3).collect()
     assert len(hits) == 3
+
+
+def test_partition_swap_recovers_from_mid_publish_crash(spark, sf_small, catalog):
+    """ADVICE r4: the partition publish is rename-only (live → trash,
+    tmp → live) with `_recover_swaps` repairing a crash caught between the
+    two renames. Simulate the worst-case crash state — a bucket moved to
+    trash but its replacement never renamed in — and assert the next write
+    restores it with zero data loss."""
+    import os
+    import shutil
+
+    from ai_optimizer_spark.plans.vector_store import _recover_swaps
+
+    docs = _docs(spark, sf_small).select("doc_id", "text", "source")
+    chunks = chunks_from_documents(docs)
+    store = populate_store(spark, catalog, "store_crash", chunks, file_buckets=8)
+    total = store.count()
+    data_path = catalog.data_path("store_crash")
+    parts = sorted(d for d in os.listdir(data_path) if d.startswith("fbucket="))
+    victim = parts[0]
+
+    # crash state: victim bucket sits in trash, live dir missing, a stale
+    # tmp staging dir lingers
+    trash = f"{data_path}__trash_deadbeef"
+    os.makedirs(trash)
+    os.rename(os.path.join(data_path, victim), os.path.join(trash, victim))
+    os.makedirs(f"{data_path}__tmp_deadbeef/{victim}")
+
+    _recover_swaps(data_path)
+    assert os.path.isdir(os.path.join(data_path, victim))  # restored
+    assert not os.path.isdir(trash)
+    assert not os.path.isdir(f"{data_path}__tmp_deadbeef")
+    assert spark.read.parquet(data_path).count() == total  # nothing lost
+
+    # crash state 2: swap completed but trash not yet cleared — recovery
+    # must NOT clobber the (newer) live dir with the trash copy
+    trash2 = f"{data_path}__trash_cafebabe"
+    os.makedirs(os.path.join(trash2, victim))
+    with open(os.path.join(trash2, victim, "old-part.parquet"), "w") as fh:
+        fh.write("stale")
+    _recover_swaps(data_path)
+    assert not os.path.isdir(trash2)
+    assert spark.read.parquet(data_path).count() == total
+
+    # and a real end-to-end delete still works after recovery
+    n_doc0 = store.filter(F.col("metadata")["filename"] == "doc_0").count()
+    kept = delete_stale_chunks(spark, catalog, "store_crash", ["doc_0"])
+    assert kept.count() == total - n_doc0

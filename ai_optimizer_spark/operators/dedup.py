@@ -630,6 +630,66 @@ def simhash_pairs_auto(
     )
 
 
+REPEAT_WINDOW = 8
+
+
+def repeated_substring_stats(
+    t: dict[str, DataFrame], window: int = REPEAT_WINDOW
+) -> DataFrame:
+    """d15: exact repeated-substring coverage — the sequence-level dedup
+    signal (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): every `window`-token span of every document
+    is fingerprinted, a span whose fingerprint occurs more than once in the
+    corpus (in ANY document, including its own — self-repeats are training
+    duplicates too) counts as duplicated text, and each document reports
+    the fraction of its spans that are duplicated. Curation pipelines
+    threshold on `dup_frac` to cut boilerplate/templated documents that
+    document-level near-dup (d3/d4) misses because the SURROUNDING text
+    differs.
+
+    Scale shape: spans explode to ~one row per token position (linear in
+    corpus tokens), but both shuffles carry (doc_id, hash60) pairs — 16
+    bytes a row, never span text. Exactly two wide stages: occurrence
+    counting keyed on the fingerprint (window function), then the per-doc
+    rollup. At 100 TB the fingerprint shuffle dominates and is
+    digest-sized by construction; the suffix-array formulation of the
+    paper finds *maximal* repeats but needs a global sort over the corpus
+    — the fixed-window fingerprint form is the shuffle-bounded
+    approximation that distributes.
+
+    Documents shorter than `window` tokens have no spans and are absent
+    from the output (nothing to score)."""
+    docs = t["documents"]
+    w = T.words(F.col("text"))
+    spans = F.when(
+        F.size(w) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(window - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, window)),
+        ),
+    ).otherwise(F.array())
+    exploded = docs.select("doc_id", F.explode(spans).alias("win")).select(
+        "doc_id", T.hash60(F.col("win")).alias("wh")
+    )
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("wh"))
+    return (
+        exploded.withColumn("n_occ", n_occ)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("n_dup_windows").cast("double") / F.col("n_windows"), 4
+            ),
+        )
+    )
+
+
 def fuzzy_part_pairs(t: dict[str, DataFrame], max_distance: int = 2) -> DataFrame:
     """Edit-distance fuzzy matching — the entity-resolution complement to the
     token-set dedup family: pairs of part names within the same brand whose

@@ -3889,6 +3889,31 @@ _register(
 )
 
 _register(
+    "d15_repeated_substrings",
+    D.repeated_substring_stats,
+    rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents
+    ),
+    maxn AS (SELECT COALESCE(MAX(len(words)), 1) AS n FROM w),
+    wins AS (
+        SELECT doc_id,
+               {_h60("array_to_string(words[i.i : i.i + 7], ' ')")} AS wh
+        FROM w, (SELECT unnest(range(1, (SELECT n FROM maxn) + 1)) AS i) i
+        WHERE i.i + 7 <= len(words)
+    ),
+    c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY wh) AS n_occ FROM wins)
+    SELECT doc_id, COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows,
+           ROUND(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+
+_register(
     "tx13_bpe_pair_counts",
     TX.bpe_pair_counts,
     """
@@ -4260,6 +4285,7 @@ _PRIORITY: list[str] = [
     "v10_matmul_knn",
     "v12_ann_recall",
     "d3_minhash_lsh_pairs",
+    "d15_repeated_substrings",
     "j15_market_share",
     "j20_volume_shipping",
     "tx7_bpe_token_stats",

@@ -54,6 +54,7 @@ HEADLINE = [
     "d3_minhash_lsh_pairs",
     "d4_simhash_pairs",
     "d6_dedup_clusters",
+    "d15_repeated_substrings",
     "tx1_token_stats",
     "tx5_chunk_documents",
     "tx8_top_terms",

@@ -451,3 +451,18 @@ def test_quality_resample_is_shuffle_free(spark):
     plan = plan_of(spark, "smp8_quality_resample")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_repeated_substrings_shuffles_digests_only(spark):
+    """d15: exactly two wide stages (fingerprint occurrence counting +
+    per-doc rollup), no join, and the exploded span TEXT never reaches an
+    exchange — only the hash60 digest is shuffled."""
+    plan = plan_of(spark, "d15_repeated_substrings")
+    assert "Join" not in plan
+    # formatted output lists every node twice (tree + details): 2 physical
+    # exchanges → 4 mentions
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 4 + plan.count("ReusedExchange")
+    # the shuffle carries (doc_id, wh); the span string column is projected
+    # away before the first exchange
+    assert "hashpartitioning(wh" in plan

@@ -293,3 +293,30 @@ def test_simhash_auto_blocking_end_to_end_on_16x_tile(spark, sf_medium):
         for r in D.simhash_pairs_auto(t, n_docs=50_000_000).collect()
     }
     assert wide == baseline
+
+
+def test_repeated_substring_coverage_planted(spark):
+    """d15: windows shared across docs AND self-repeats both count as
+    duplicated text; short docs have no windows and are absent."""
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, span + " unique tail one two three four five six"),  # 16 tok, 9 win
+        (2, "prefix words here now " + span),                    # 12 tok, 5 win
+        (3, "totally different text with exactly eight distinct tokens"),  # 1 window
+        (4, "short text"),                                       # < 8 tokens
+        (5, " ".join(["r1 r2 r3 r4 r5 r6 r7 r8"] * 2)),          # self-repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "source", F.lit("s")
+    )
+    got = {
+        r.doc_id: r
+        for r in D.repeated_substring_stats({"documents": docs}).collect()
+    }
+    assert set(got) == {1, 2, 3, 5}  # doc 4 has no windows
+    assert got[1].n_windows == 9 and got[1].n_dup_windows == 1
+    assert got[1].dup_frac == round(1 / 9, 4)
+    assert got[2].n_windows == 5 and got[2].n_dup_windows == 1
+    assert got[3].n_windows == 1 and got[3].n_dup_windows == 0
+    # doc 5: windows 1 and 9 are the same 8-token span — self-repeat counts
+    assert got[5].n_windows == 9 and got[5].n_dup_windows == 2

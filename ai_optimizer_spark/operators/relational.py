@@ -1111,3 +1111,123 @@ def disjunctive_part_revenue(t: dict[str, DataFrame]) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+def min_cost_supplier(
+    t: dict[str, DataFrame],
+    region: str = "EUROPE",
+    size: int = 15,
+    ptype: str = "PROMO",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q2 shape — min-cost supplier per part, the classic correlated
+    scalar subquery decorrelated into a min-join: for each part of a
+    size/type class, the region's supplier(s) offering the lowest unit
+    price. This schema has no partsupp table, so lineitem is the
+    part×supplier offer relation (offer cost = MIN(l_extendedprice /
+    l_quantity) per pair) — the correlated `cost = (SELECT MIN ...)`
+    becomes a per-part MIN aggregate joined back on equality, the
+    decorrelation every planner applies to Q2.
+
+    Plan shape at 100 TB: the part-class filter prunes the fact scan
+    BEFORE the offer aggregate (broadcast semi-shape, predicate reaches
+    the scan), the region-filtered supplier dim broadcasts, the per-part
+    min table is class-sized and broadcasts back, and the top-k fuses
+    into TakeOrderedAndProject. Cost values stay raw doubles end to end —
+    identical IEEE arithmetic on both engines, no rounding tie risk."""
+    parts = (
+        t["part"]
+        .filter((F.col("p_size") == size) & (F.col("p_type") == ptype))
+        .select("p_partkey", "p_name")
+    )
+    sup = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    offers = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    eligible = offers.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    best = eligible.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    return (
+        eligible.join(
+            F.broadcast(best.withColumnRenamed("l_partkey", "b_partkey")),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "nation",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "cost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("nation"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(k)
+    )
+
+
+def important_part_values(
+    t: dict[str, DataFrame], nation: str = "NATION_7", threshold_inv: int = 5000
+) -> DataFrame:
+    """TPC-H Q11 shape — value concentration with a GLOBAL-threshold
+    HAVING: parts whose total line value (through one nation's suppliers)
+    exceeds 1/`threshold_inv` of that nation's total (TPC-H scales this
+    fraction with SF; 1/5000 keeps the row set non-trivial at every
+    fixture scale). The global scalar
+    subquery becomes a 1-row broadcast; the threshold test runs as
+    `part_sum * threshold_inv > total` over DECIMAL(18,6) partials —
+    exact integer/decimal arithmetic, so the keep/cut decision is
+    bit-identical across engines (a double comparison at the threshold
+    would flap the row set). The grand total folds over the per-part sums
+    (exact for decimals), and the per-part table is checkpointed before
+    branching — Catalyst plans DataFrame branches independently, so
+    without the barrier BOTH branches re-scan the fact (plan-tested);
+    with it the fact is read once and the total is a fold over #parts
+    pinned rows (part-dimension-sized, the same bounded-model contract as
+    the centroid collects)."""
+    scoped = (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["supplier"]
+                .join(
+                    F.broadcast(t["nation"].filter(F.col("n_name") == nation)),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+                .select("s_suppkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "l_partkey", F.col("l_extendedprice").cast("decimal(18,6)").alias("v")
+        )
+    )
+    per_part = (
+        scoped.groupBy("l_partkey")
+        .agg(F.sum("v").alias("pv"))
+        .localCheckpoint(eager=False)
+    )
+    total = per_part.agg(F.sum("pv").alias("tv"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("pv") * threshold_inv > F.col("tv"))
+        .select(
+            "l_partkey",
+            F.round(F.col("pv"), 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )

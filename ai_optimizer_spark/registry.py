@@ -3792,6 +3792,61 @@ _register(
 )
 
 _register(
+    "j28_min_cost_supplier",
+    R.min_cost_supplier,
+    """
+    WITH offers AS (
+        SELECT l.l_partkey, l.l_suppkey, p.p_name,
+               MIN(l.l_extendedprice / l.l_quantity) AS cost
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size = 15 AND p.p_type = 'PROMO'
+        GROUP BY 1, 2, 3
+    ),
+    eligible AS (
+        SELECT o.l_partkey, o.p_name, o.cost,
+               s.s_acctbal, s.s_name, n.n_name AS nation
+        FROM offers o
+        JOIN supplier s ON o.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    best AS (
+        SELECT l_partkey, MIN(cost) AS min_cost FROM eligible GROUP BY 1
+    )
+    SELECT e.s_acctbal, e.s_name, e.nation,
+           e.l_partkey AS p_partkey, e.p_name, e.cost
+    FROM eligible e
+    JOIN best b ON e.l_partkey = b.l_partkey AND e.cost = b.min_cost
+    ORDER BY e.s_acctbal DESC, e.nation ASC, e.s_name ASC, p_partkey ASC
+    LIMIT 20
+    """,
+)
+
+_register(
+    "a24_important_part_values",
+    R.important_part_values,
+    """
+    WITH scoped AS (
+        SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(18,6)) AS v
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_7'
+    ),
+    per_part AS (
+        SELECT l_partkey, SUM(v) AS pv FROM scoped GROUP BY 1
+    ),
+    total AS (SELECT SUM(pv) AS tv FROM per_part)
+    SELECT l_partkey, CAST(ROUND(pv, 2) AS DOUBLE) AS part_value
+    FROM per_part, total
+    WHERE pv * 5000 > tv
+    ORDER BY part_value DESC, l_partkey ASC
+    """,
+)
+
+_register(
     "smp8_quality_resample",
     SMP.quality_resample,
     f"""
@@ -4286,6 +4341,8 @@ _PRIORITY: list[str] = [
     "v12_ann_recall",
     "d3_minhash_lsh_pairs",
     "d15_repeated_substrings",
+    "j28_min_cost_supplier",
+    "a24_important_part_values",
     "j15_market_share",
     "j20_volume_shipping",
     "tx7_bpe_token_stats",

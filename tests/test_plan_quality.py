@@ -466,3 +466,29 @@ def test_repeated_substrings_shuffles_digests_only(spark):
     # the shuffle carries (doc_id, wh); the span string column is projected
     # away before the first exchange
     assert "hashpartitioning(wh" in plan
+
+
+def test_min_cost_supplier_q2_decorrelated(spark):
+    """j28 (TPC-H Q2 shape): the part-class predicate reaches the part
+    scan, every dim/min table broadcasts (no shuffle join), and the
+    correlated-min is a broadcast equality join, not a per-row subquery;
+    top-k fuses into TakeOrderedAndProject."""
+    plan = plan_of(spark, "j28_min_cost_supplier")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(p_size,15)" in plan and "EqualTo(p_type,PROMO)" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_important_part_values_q11_global_threshold(spark):
+    """a24 (TPC-H Q11 shape): the global total is a 1-row broadcast folded
+    over the CHECKPOINTED per-part sums — without the barrier Catalyst
+    plans the total branch as a full second fact scan (measured: 6 scans
+    in the tree, lineitem twice); with it, both branches read the pinned
+    part-dimension-sized table and NO parquet scan appears downstream."""
+    plan = plan_of(spark, "a24_important_part_values")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0  # fact read once, at the barrier
+    assert tree.count("Scan ExistingRDD") == 2  # both branches share it
+    assert "BroadcastNestedLoopJoin" in tree  # the 1-row scalar broadcast
+    assert "SortMergeJoin" not in plan

@@ -38,6 +38,7 @@ OPS = [
     "d3_minhash_lsh_pairs",
     "d4_simhash_pairs",
     "d6_dedup_clusters",
+    "d15_repeated_substrings",
     "e2e_curation_pipeline",
     "v10_matmul_knn",
     "v17_ivfpq_topk",

@@ -633,6 +633,43 @@ def simhash_pairs_auto(
 REPEAT_WINDOW = 8
 
 
+def span_fingerprints(docs: DataFrame, window: int = REPEAT_WINDOW) -> DataFrame:
+    """(doc_id, wh) — one row per `window`-token span position, wh =
+    portable hash60 of the span text. STATELESS per input row (explode +
+    hash is a fold over the row alone), which is what makes the same
+    expression serve batch (d15), the streaming ingest probe (st14), and
+    the stored span index. The span string exists only inside the
+    projection; nothing downstream ever shuffles it."""
+    w = T.words(F.col("text"))
+    spans = F.when(
+        F.size(w) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(window - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, window)),
+        ),
+    ).otherwise(F.array())
+    return docs.select("doc_id", F.explode(spans).alias("win")).select(
+        "doc_id", T.hash60(F.col("win")).alias("wh")
+    )
+
+
+def span_index(docs: DataFrame, window: int = REPEAT_WINDOW) -> DataFrame:
+    """The stored side of st14: one row per DISTINCT span fingerprint —
+    (wh, n_docs, min_doc) — bounded by distinct corpus spans, not
+    occurrences. `n_docs >= 2`, or `min_doc` differing from the probe
+    document, answers "does any OTHER document contain this span" without
+    a per-pair scan; at 100 TB this table is the write-path artifact a
+    store maintains incrementally alongside ingest."""
+    return (
+        span_fingerprints(docs, window)
+        .groupBy("wh")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
 def repeated_substring_stats(
     t: dict[str, DataFrame], window: int = REPEAT_WINDOW
 ) -> DataFrame:
@@ -659,18 +696,7 @@ def repeated_substring_stats(
 
     Documents shorter than `window` tokens have no spans and are absent
     from the output (nothing to score)."""
-    docs = t["documents"]
-    w = T.words(F.col("text"))
-    spans = F.when(
-        F.size(w) >= window,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - F.lit(window - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, window)),
-        ),
-    ).otherwise(F.array())
-    exploded = docs.select("doc_id", F.explode(spans).alias("win")).select(
-        "doc_id", T.hash60(F.col("win")).alias("wh")
-    )
+    exploded = span_fingerprints(t["documents"], window)
     n_occ = F.count(F.lit(1)).over(Window.partitionBy("wh"))
     return (
         exploded.withColumn("n_occ", n_occ)

@@ -3642,6 +3642,41 @@ def _st12_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["st12_streaming_neardup_candidates"] = _st12_streaming_neardup
 ORACLE_SQL["st12_streaming_neardup_candidates"] = OD.STREAMING_NEARDUP_CANDIDATES
 
+def _st14_streaming_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.event_stream import streaming_span_novelty
+
+    return streaming_span_novelty(spark, sf_dir)
+
+
+QUERIES["st14_streaming_span_novelty"] = _st14_streaming_span_novelty
+# The stream drains the same documents dir the index was built from, so
+# "known" reduces to n_docs >= 2 over the static corpus — exactly d15's
+# cross-document duplication, re-derived here independently.
+ORACLE_SQL["st14_streaming_span_novelty"] = rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents
+    ),
+    maxn AS (SELECT COALESCE(MAX(len(words)), 1) AS n FROM w),
+    wins AS (
+        SELECT doc_id,
+               {_h60("array_to_string(words[i.i : i.i + 7], ' ')")} AS wh
+        FROM w, (SELECT unnest(range(1, (SELECT n FROM maxn) + 1)) AS i) i
+        WHERE i.i + 7 <= len(words)
+    ),
+    idx AS (
+        SELECT wh, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS min_doc
+        FROM wins GROUP BY wh
+    )
+    SELECT wins.doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN i.n_docs >= 2
+                              OR i.min_doc <> wins.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_known_spans
+    FROM wins JOIN idx i USING (wh)
+    GROUP BY wins.doc_id
+"""
+
+
 def _st13_streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.event_stream import streaming_ivf_assign
 
@@ -4341,6 +4376,7 @@ _PRIORITY: list[str] = [
     "v12_ann_recall",
     "d3_minhash_lsh_pairs",
     "d15_repeated_substrings",
+    "st14_streaming_span_novelty",
     "j28_min_cost_supplier",
     "a24_important_part_values",
     "j15_market_share",

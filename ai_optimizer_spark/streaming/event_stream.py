@@ -344,6 +344,39 @@ def streaming_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, plan, f"st12_{uuid.uuid4().hex[:8]}")
 
 
+def streaming_span_novelty(spark: SparkSession, sf_dir: str, window: int = 8) -> DataFrame:
+    """ST14: ingest-time content-novelty scoring — the streaming read path
+    of d15's repeated-substring signal. Arriving documents' w-token spans
+    are fingerprinted STATELESSLY (explode + hash60 is a fold over the row
+    alone — no keyed state, same reason st12's band keys stream) and
+    probed against the STORED span index; a span is "known" iff some OTHER
+    document contains it. Per arriving doc: (n_spans, n_known_spans) — the
+    feed an always-on ingest thresholds BEFORE admitting a document, the
+    streaming complement of d15's offline coverage scan.
+
+    Index side: one row per DISTINCT span fingerprint (wh, n_docs,
+    min_doc) — bounded by distinct corpus spans, not occurrences; the
+    "other doc" test is a column predicate, never a per-pair scan. At
+    100 TB the index is a write-path artifact maintained incrementally
+    with ingest (operators/dedup.span_index); nothing about the corpus is
+    rescanned per batch."""
+    from ..operators.dedup import span_fingerprints, span_index
+
+    docs = documents_stream(spark, sf_dir)
+    idx = span_index(spark.read.parquet(f"{sf_dir}/documents.parquet"), window)
+    probed = span_fingerprints(docs, window).join(idx, "wh", "left")
+    known = (F.col("n_docs") >= 2) | (
+        (F.col("n_docs") == 1) & (F.col("min_doc") != F.col("doc_id"))
+    )
+    plan = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(known, 1).otherwise(0)).cast("long").alias("n_known_spans"),
+    )
+    import uuid
+
+    return run_to_memory(spark, plan, f"st14_{uuid.uuid4().hex[:8]}")
+
+
 def streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST13: streaming ANN index ingestion — arriving embeddings assigned
     to the EXISTING IVF coarse quantizer and rolled up per cell. The

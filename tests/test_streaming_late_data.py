@@ -421,3 +421,57 @@ def test_streaming_ivf_assign_occupancy_under_late_arrivals(spark, sf_small, tmp
         for r in spark.table("st13_late_full").collect()
     }
     assert got == truth
+
+
+def test_span_novelty_is_arrival_order_invariant(spark, sf_small, tmp_path):
+    """st14 semantics: span fingerprints are computed statelessly per row
+    and the index side is static, so arrival order — including stragglers
+    arriving many batches late — cannot change a document's novelty score.
+    Feed the same docs forward and reversed; identical results; and a
+    straggler batch's scores equal what the same docs score when arriving
+    first."""
+    from ai_optimizer_spark.operators.dedup import span_fingerprints, span_index
+    from ai_optimizer_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_small)["documents"].limit(60)
+    idx = span_index(docs).localCheckpoint(eager=False)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    schema = docs.schema
+
+    results = {}
+    for order_name, batches in (("fwd", [half_a, half_b]), ("rev", [half_b, half_a])):
+        feed = str(tmp_path / f"nov_{order_name}")
+        os.makedirs(feed)
+        for i, bdf in enumerate(batches):
+            stage = str(tmp_path / f"nov_{order_name}_s{i}")
+            bdf.coalesce(1).write.parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            dst = os.path.join(feed, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        probed = span_fingerprints(stream).join(idx, "wh", "left")
+        known = (F.col("n_docs") >= 2) | (
+            (F.col("n_docs") == 1) & (F.col("min_doc") != F.col("doc_id"))
+        )
+        plan = probed.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(known, 1).otherwise(0)).cast("long").alias("n_known"),
+        )
+        q = (
+            plan.writeStream.format("memory")
+            .queryName(f"st14_order_{order_name}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        results[order_name] = {
+            tuple(r) for r in spark.table(f"st14_order_{order_name}").collect()
+        }
+    assert results["fwd"] == results["rev"] and results["fwd"]

@@ -40,6 +40,9 @@ def degenerate_t(spark):
         D.ngram_jaccard_pairs,
         D.minhash_lsh_pairs,
         D.simhash_pairs_blocked,
+        D.simhash_pairs_auto,
+        D.repeated_substring_stats,
+        lambda t: D.span_index(t["documents"]),
     ],
 )
 def test_text_family_survives_degenerate_docs(degenerate_t, fn):

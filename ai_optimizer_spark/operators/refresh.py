@@ -133,3 +133,50 @@ def incremental_rollup(t: dict[str, DataFrame], cutoff: int = 50_000) -> DataFra
             F.round(F.sum("value_sum"), 4).cast("double").alias("value_sum"),
         )
     )
+
+
+def span_index_refresh(t: dict[str, DataFrame], cutoff: int = 250) -> DataFrame:
+    """T10: incremental maintenance of the span-novelty index that st14
+    serves from — the dedup-family analog of t9's rollup maintenance.
+
+    The index stat (wh → n_docs, min_doc) is NOT mergeable from stats
+    alone (COUNT DISTINCT doesn't merge), so the stored base artifact is
+    the distinct (wh, doc_id) PAIR table; stats derive from it. A delta
+    batch then costs:
+
+      1. fingerprint the delta docs (delta-sized scan),
+      2. affected = delta's distinct fingerprints,
+      3. re-derive stats ONLY for affected fingerprints — a left-semi
+         restriction of the stored pairs unioned with the delta pairs,
+      4. untouched stats pass through via left-anti.
+
+    Nothing outside the affected fingerprints is re-aggregated; history is
+    never re-fingerprinted. Here the "stored" side is recomputed from the
+    < cutoff half to make the query self-contained; in production both the
+    pair table and the stats are stored, and the maintenance cost is
+    O(delta + affected), not O(corpus) — the reason an always-on ingest
+    can keep novelty scoring current. The result is bit-identical to the
+    full recompute, which is exactly what the oracle asserts."""
+    from .dedup import span_fingerprints
+
+    docs = t["documents"]
+    stored_pairs = span_fingerprints(
+        docs.filter(F.col("doc_id") < cutoff)
+    ).distinct()
+    delta_pairs = span_fingerprints(
+        docs.filter(F.col("doc_id") >= cutoff)
+    ).distinct()
+
+    def stats(pairs: DataFrame) -> DataFrame:
+        return pairs.groupBy("wh").agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+
+    stored_stats = stats(stored_pairs)
+    affected = delta_pairs.select("wh").distinct()
+    untouched = stored_stats.join(affected, "wh", "left_anti")
+    recomputed = stats(
+        stored_pairs.join(affected, "wh", "left_semi").unionByName(delta_pairs)
+    )
+    return untouched.unionByName(recomputed)

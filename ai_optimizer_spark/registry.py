@@ -3716,6 +3716,27 @@ _register(
 )
 
 _register(
+    "t10_span_index_refresh",
+    RF.span_index_refresh,
+    rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents
+    ),
+    maxn AS (SELECT COALESCE(MAX(len(words)), 1) AS n FROM w),
+    wins AS (
+        SELECT DISTINCT doc_id,
+               {_h60("array_to_string(words[i.i : i.i + 7], ' ')")} AS wh
+        FROM w, (SELECT unnest(range(1, (SELECT n FROM maxn) + 1)) AS i) i
+        WHERE i.i + 7 <= len(words)
+    )
+    SELECT wh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc
+    FROM wins GROUP BY wh
+    """,
+)
+
+_register(
     "t8_scd2_history",
     E.scd2_state_history,
     """
@@ -4377,6 +4398,7 @@ _PRIORITY: list[str] = [
     "d3_minhash_lsh_pairs",
     "d15_repeated_substrings",
     "st14_streaming_span_novelty",
+    "t10_span_index_refresh",
     "j28_min_cost_supplier",
     "a24_important_part_values",
     "j15_market_share",

@@ -116,3 +116,26 @@ def test_refresh_store_empty_corpus_noop(spark, sf_small, tmp_path):
     empty = docs.filter(F.col("doc_id") < 0)
     store2 = refresh_store(spark, catalog, "store_e", empty)
     assert {r.id for r in store2.select("id").collect()} == ids1
+
+
+def test_span_index_refresh_empty_delta_and_empty_history(spark, sf_small):
+    """t10: a cutoff above every doc_id (empty delta) and below every
+    doc_id (empty history) must both equal the full recompute — merging
+    with an empty side is the identity, and the affected-fingerprint
+    restriction never drops untouched rows."""
+    from ai_optimizer_spark.operators.dedup import span_index
+    from ai_optimizer_spark.operators.refresh import span_index_refresh
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    full = {
+        (r.wh, r.n_docs, r.min_doc)
+        for r in span_index(t["documents"]).collect()
+    }
+    assert full
+    for cutoff in (0, 10**12, 25):
+        got = {
+            (r.wh, r.n_docs, r.min_doc)
+            for r in span_index_refresh(t, cutoff=cutoff).collect()
+        }
+        assert got == full, f"cutoff={cutoff}"

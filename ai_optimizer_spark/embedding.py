@@ -101,7 +101,14 @@ def _default_retryable(exc: Exception) -> bool:
     (timeouts, dropped connections)."""
     status = getattr(exc, "status_code", None)
     if status is not None:
-        return status in (408, 409, 429) or int(status) >= 500
+        try:
+            code = int(status)
+        except (TypeError, ValueError):
+            # non-numeric status (some SDKs expose header strings): fall
+            # back to the transport-shape test rather than crashing the
+            # retry handler and masking the provider error
+            return isinstance(exc, (TimeoutError, ConnectionError))
+        return code in (408, 409, 429) or code >= 500
     return isinstance(exc, (TimeoutError, ConnectionError))
 
 

@@ -1157,7 +1157,15 @@ def min_cost_supplier(
         .groupBy("l_partkey", "l_suppkey", "p_name")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
     )
-    eligible = offers.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    # Barrier before branching (same reason as important_part_values):
+    # `eligible` feeds BOTH the per-part min and the probe join, and
+    # Catalyst plans DataFrame branches independently — without the pin
+    # the class-pruned fact scan and offer aggregate execute twice. The
+    # pinned rows are (part, supplier) pairs of one size/type class in one
+    # region — class-sized, the bounded-model contract.
+    eligible = offers.join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    ).localCheckpoint(eager=False)
     best = eligible.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
     return (
         eligible.join(

@@ -211,9 +211,7 @@ def populate_store(
             )
             writer = merged.write.mode("overwrite").partitionBy("fbucket")
         writer.parquet(tmp_path)
-        if os.path.exists(data_path):
-            shutil.rmtree(data_path)
-        os.rename(tmp_path, data_path)
+        _publish_dir(data_path, tmp_path)
 
     catalog.register(
         name,
@@ -247,29 +245,79 @@ def _swap_partitions(data_path: str, tmp_path: str, parts: list[str]) -> None:
     partitions are independent by construction since a file's chunks live
     in exactly one bucket). `_recover_swaps` on the next write restores any
     bucket caught between its two renames from trash, so no data is ever
-    lost; re-running the refresh converges the remaining buckets."""
-    trash = f"{data_path}__trash_{uuid.uuid4().hex[:8]}"
+    lost; re-running the refresh converges the remaining buckets.
+
+    Intent separation (review finding): a partition the committed job
+    produced NO replacement for was deleted ON PURPOSE (all its chunks
+    were stale) — it goes to a `__dropped_` dir that recovery only ever
+    clears, never restores; only partitions awaiting a replacement go to
+    `__trash_`, the restorable class. Without the split, a crash during
+    trash cleanup would resurrect intentionally-deleted chunks."""
+    tag = uuid.uuid4().hex[:8]
+    trash = f"{data_path}__trash_{tag}"
+    dropped = f"{data_path}__dropped_{tag}"
     os.makedirs(trash, exist_ok=True)
+    os.makedirs(dropped, exist_ok=True)
     for p in parts:
         dst = os.path.join(data_path, p)
         src = os.path.join(tmp_path, p)
-        if os.path.isdir(dst):
-            os.rename(dst, os.path.join(trash, p))
         if os.path.isdir(src):
+            if os.path.isdir(dst):
+                os.rename(dst, os.path.join(trash, p))
             os.rename(src, dst)
+        elif os.path.isdir(dst):
+            # no replacement written: the partition emptied out entirely
+            os.rename(dst, os.path.join(dropped, p))
+    shutil.rmtree(dropped, ignore_errors=True)
     shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(tmp_path, ignore_errors=True)
 
 
+def _publish_dir(data_path: str, tmp_path: str) -> None:
+    """Whole-store publish (non-bucketed layouts): rename-only, never a
+    delete before the replacement is live (review finding: the previous
+    rmtree-then-rename left a window where the fully-written tmp dir was
+    the ONLY copy — and recovery would have deleted it). Crash between the
+    two renames leaves data_path missing with a COMPLETE tmp alongside;
+    `_recover_swaps` promotes that tmp, finishing the publish."""
+    old = f"{data_path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(data_path):
+        os.rename(data_path, old)
+        os.rename(tmp_path, data_path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp_path, data_path)
+
+
 def _recover_swaps(data_path: str) -> None:
-    """Crash recovery for `_swap_partitions`: restore any partition that a
-    previous run moved to trash but never replaced (the only state where a
-    bucket is missing from the live tree), then clear leftover trash/tmp
-    staging dirs. Idempotent; called before any store write."""
+    """Crash recovery for `_swap_partitions` / `_publish_dir`. Idempotent;
+    called before any store write. Rules, in dependency order:
+
+      1. data_path missing but a `__tmp_`/`__old_` survivor exists — a
+         whole-store publish crashed between its renames. Promote the tmp
+         if present (it was completely written before any rename began,
+         so promoting FINISHES the intended publish); else restore the old
+         dir. Never delete a tmp while data_path is missing.
+      2. `__trash_` entries absent from the live tree — a partition swap
+         crashed between its two renames: restore them. Entries present
+         live are superseded: clear them.
+      3. `__dropped_` dirs hold intentionally-deleted partitions (the
+         committed job wrote no replacement): always clear, never restore.
+      4. Remaining `__tmp_`/`__old_` dirs with a live data_path are
+         superseded staging: clear them."""
     parent, base = os.path.split(data_path.rstrip("/"))
     if not os.path.isdir(parent):
         return
-    for entry in os.listdir(parent):
+    entries = os.listdir(parent)
+    if not os.path.exists(data_path):
+        tmps = sorted(e for e in entries if e.startswith(f"{base}__tmp_"))
+        olds = sorted(e for e in entries if e.startswith(f"{base}__old_"))
+        if tmps:
+            os.rename(os.path.join(parent, tmps[0]), data_path)
+        elif olds:
+            os.rename(os.path.join(parent, olds[0]), data_path)
+        entries = os.listdir(parent)
+    for entry in entries:
         full = os.path.join(parent, entry)
         if entry.startswith(f"{base}__trash_"):
             for p in os.listdir(full):
@@ -277,8 +325,9 @@ def _recover_swaps(data_path: str) -> None:
                 if not os.path.isdir(dst):
                     os.rename(os.path.join(full, p), dst)
             shutil.rmtree(full, ignore_errors=True)
-        elif entry.startswith(f"{base}__tmp_"):
-            shutil.rmtree(full, ignore_errors=True)
+        elif entry.startswith((f"{base}__dropped_", f"{base}__tmp_", f"{base}__old_")):
+            if os.path.exists(data_path) and os.path.exists(full):
+                shutil.rmtree(full, ignore_errors=True)
 
 
 def delete_stale_chunks(
@@ -338,8 +387,7 @@ def delete_stale_chunks(
         )
         tmp_path = f"{data_path}__tmp_{uuid.uuid4().hex[:8]}"
         kept.write.mode("overwrite").parquet(tmp_path)
-        shutil.rmtree(data_path)
-        os.rename(tmp_path, data_path)
+        _publish_dir(data_path, tmp_path)
     return spark.read.parquet(data_path)
 
 

@@ -1988,32 +1988,16 @@ ORACLE_SQL["e2e_evaluation_report"] = """
 """
 
 
-def _mm2_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mm2: the full media pipeline — payload-sized repartition → video
-    frame sampling (1→N mapInPandas) → resize → feature extraction.
-    Stubbed kernels, real plumbing — hash-verified end to end (the stub
-    chains are ASCII-hex md5, SQL-re-derivable; invariants additionally
-    asserted in tests/test_multimodal_loaders.py)."""
+def _feature_rows(feats: DataFrame) -> DataFrame:
+    """Driver-canon-safe projection shared by mm2/mm3: the engine ops
+    return feature ARRAY<FLOAT>, but the external checker canonicalizes
+    via pandas sort_values, which cannot sort list columns (r4 red row).
+    Explode the vector to (j, feature_value) scalar rows for the checked
+    surface — ONE definition, so the next canon-strictness rule lands on
+    both media pipelines at once. The array-shaped operators stay the
+    production API (tests/test_multimodal_loaders.py)."""
     from pyspark.sql import functions as F
 
-    from .sources.multimodal import (
-        documents_as_media,
-        extract_features,
-        repartition_for_payloads,
-        resize_images,
-        sample_frames,
-    )
-
-    docs = load_tables(spark, sf_dir)["documents"]
-    media = repartition_for_payloads(documents_as_media(docs), target_bytes=1 << 20)
-    frames = resize_images(sample_frames(media, every_ms=100, max_frames=3))
-    feats = extract_features(frames)
-    # Driver-canon-safe projection: the engine op returns feature
-    # ARRAY<FLOAT>, but the external checker canonicalizes via pandas
-    # sort_values, which cannot sort list columns (r4 red row). Explode the
-    # vector to (j, feature_value) scalar rows for the checked surface; the
-    # array-shaped operator itself stays the production API
-    # (tests/test_multimodal_loaders.py covers it directly).
     return feats.select(
         "media_id",
         "kind",
@@ -2030,6 +2014,26 @@ def _mm2_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fv").cast("double").alias("feature_value"),
         "decode_status",
     )
+
+
+def _mm2_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm2: the full media pipeline — payload-sized repartition → video
+    frame sampling (1→N mapInPandas) → resize → feature extraction.
+    Stubbed kernels, real plumbing — hash-verified end to end (the stub
+    chains are ASCII-hex md5, SQL-re-derivable; invariants additionally
+    asserted in tests/test_multimodal_loaders.py)."""
+    from .sources.multimodal import (
+        documents_as_media,
+        extract_features,
+        repartition_for_payloads,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = repartition_for_payloads(documents_as_media(docs), target_bytes=1 << 20)
+    frames = resize_images(sample_frames(media, every_ms=100, max_frames=3))
+    return _feature_rows(extract_features(frames))
 
 
 QUERIES["mm2_frame_features"] = _mm2_frame_features
@@ -2587,28 +2591,9 @@ def _mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_audio,
     )
 
-    from pyspark.sql import functions as F
-
     docs = load_tables(spark, sf_dir)["documents"]
     media = repartition_for_payloads(documents_as_media(docs), target_bytes=1 << 20)
-    feats = extract_features(window_audio(media))
-    # Same driver-canon-safe explode as mm2 (pandas can't sort list cols).
-    return feats.select(
-        "media_id",
-        "kind",
-        "byte_len",
-        "content_md5",
-        F.posexplode("feature").alias("j", "fv"),
-        "decode_status",
-    ).select(
-        "media_id",
-        "kind",
-        "byte_len",
-        "content_md5",
-        F.col("j").cast("long").alias("j"),
-        F.col("fv").cast("double").alias("feature_value"),
-        "decode_status",
-    )
+    return _feature_rows(extract_features(window_audio(media)))
 
 
 QUERIES["mm3_audio_features"] = _mm3_audio_features

@@ -454,17 +454,16 @@ def test_quality_resample_is_shuffle_free(spark):
 
 
 def test_repeated_substrings_shuffles_digests_only(spark):
-    """d15: exactly two wide stages (fingerprint occurrence counting +
-    per-doc rollup), no join, and the exploded span TEXT never reaches an
-    exchange — only the hash60 digest is shuffled."""
+    """d15 (skew-safe form): partial aggregation before every exchange (hot
+    fingerprints collapse map-side), NO window/single-task stage, the only
+    per-key fan-in is an equi-join AQE skew-split can divide, and the span
+    TEXT never reaches an exchange — only the hash60 digest shuffles."""
     plan = plan_of(spark, "d15_repeated_substrings")
-    assert "Join" not in plan
-    # formatted output lists every node twice (tree + details): 2 physical
-    # exchanges → 4 mentions
-    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
-    assert shuffles <= 4 + plan.count("ReusedExchange")
-    # the shuffle carries (doc_id, wh); the span string column is projected
-    # away before the first exchange
+    assert "Window" not in plan  # un-splittable per-key sort: the skew trap
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    # the shuffles carry (doc_id, wh); span strings are projected away
+    # before the first exchange
     assert "hashpartitioning(wh" in plan
 
 
@@ -474,10 +473,14 @@ def test_min_cost_supplier_q2_decorrelated(spark):
     correlated-min is a broadcast equality join, not a per-row subquery;
     top-k fuses into TakeOrderedAndProject."""
     plan = plan_of(spark, "j28_min_cost_supplier")
+    tree = plan.split("\n\n")[0]
     assert "TakeOrderedAndProject" in plan
-    assert "EqualTo(p_size,15)" in plan and "EqualTo(p_type,PROMO)" in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3
+    # eligible is checkpointed before branching (review finding): the
+    # class-pruned fact scan + offer aggregate run ONCE; both the min
+    # branch and the probe read the pinned class-sized table
+    assert tree.count("Scan parquet") <= 1  # only the part-name re-join side
+    assert tree.count("Scan ExistingRDD") == 2
 
 
 def test_important_part_values_q11_global_threshold(spark):

@@ -341,3 +341,30 @@ def test_custom_retryable_predicate_overrides_default():
     )
     assert client.embed_documents(["a"]) == [[1.0, 2.0]]
     assert len(calls) == 2
+
+
+def test_string_and_garbage_status_codes_handled():
+    """Review finding: int(status) must not crash the retry handler, and a
+    numeric STRING status ('429') must classify like its integer."""
+    calls = []
+    client = ProviderEmbedder(
+        model="m",
+        transport=_flaky_transport(1, calls, lambda: _ProviderError("rl", "429")),
+        max_retries=2,
+        retry_backoff=0.001,
+    )
+    assert client.embed_documents(["a"]) == [[1.0, 2.0]]
+    assert len(calls) == 2  # string '429' retried like int 429
+
+    calls2 = []
+    client2 = ProviderEmbedder(
+        model="m",
+        transport=_flaky_transport(
+            9, calls2, lambda: _ProviderError("weird", "Service Unavailable")
+        ),
+        max_retries=3,
+        retry_backoff=0.001,
+    )
+    with pytest.raises(_ProviderError, match="weird"):  # original error, not ValueError
+        client2.embed_documents(["a"])
+    assert len(calls2) == 1  # unparseable status: fail fast

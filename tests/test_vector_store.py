@@ -375,3 +375,61 @@ def test_partition_swap_recovers_from_mid_publish_crash(spark, sf_small, catalog
     n_doc0 = store.filter(F.col("metadata")["filename"] == "doc_0").count()
     kept = delete_stale_chunks(spark, catalog, "store_crash", ["doc_0"])
     assert kept.count() == total - n_doc0
+
+
+def test_recovery_never_resurrects_dropped_buckets(spark, sf_small, catalog):
+    """Review finding: a bucket the committed job produced NO replacement
+    for (every chunk stale) is an intentional delete — a crash during
+    cleanup must NOT bring it back; and a bucket mid-replacement MUST come
+    back. The __dropped_/__trash_ split encodes that intent."""
+    import os
+
+    from ai_optimizer_spark.plans.vector_store import _recover_swaps
+
+    docs = _docs(spark, sf_small).select("doc_id", "text", "source")
+    chunks = chunks_from_documents(docs)
+    store = populate_store(spark, catalog, "store_drop", chunks, file_buckets=8)
+    total = store.count()
+    data_path = catalog.data_path("store_drop")
+    parts = sorted(d for d in os.listdir(data_path) if d.startswith("fbucket="))
+    victim = parts[0]
+    victim_rows = spark.read.parquet(os.path.join(data_path, victim)).count()
+
+    # crash state: victim sits in a __dropped_ dir (cleanup died), live gone
+    dropped = f"{data_path}__dropped_deadbeef"
+    os.makedirs(dropped)
+    os.rename(os.path.join(data_path, victim), os.path.join(dropped, victim))
+    _recover_swaps(data_path)
+    assert not os.path.isdir(os.path.join(data_path, victim))  # stays deleted
+    assert not os.path.isdir(dropped)
+    assert spark.read.parquet(data_path).count() == total - victim_rows
+
+
+def test_whole_store_publish_survives_mid_rename_crash(spark, sf_small, catalog):
+    """Review finding: the non-bucketed rewrite used rmtree-then-rename —
+    a crash in between left the tmp dir as the ONLY copy, and the old
+    recovery DELETED it. Now: crash state (data_path missing, complete tmp
+    alongside) is finished forward by promoting the tmp."""
+    import os
+    import shutil
+
+    from ai_optimizer_spark.plans.vector_store import _recover_swaps
+
+    docs = _docs(spark, sf_small).select("doc_id", "text", "source")
+    chunks = chunks_from_documents(docs)
+    store = populate_store(spark, catalog, "store_whole", chunks)
+    total = store.count()
+    data_path = catalog.data_path("store_whole")
+
+    # crash state: publish renamed live away but died before tmp → live
+    os.rename(data_path, f"{data_path}__old_deadbeef")
+    shutil.copytree(f"{data_path}__old_deadbeef", f"{data_path}__tmp_deadbeef")
+    _recover_swaps(data_path)
+    assert os.path.isdir(data_path)
+    assert spark.read.parquet(data_path).count() == total
+    assert not os.path.exists(f"{data_path}__tmp_deadbeef")
+    assert not os.path.exists(f"{data_path}__old_deadbeef")
+
+    # and an end-to-end delete on the recovered store still works
+    kept = delete_stale_chunks(spark, catalog, "store_whole", ["doc_0"])
+    assert kept.count() < total

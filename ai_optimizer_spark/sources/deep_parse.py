@@ -49,7 +49,6 @@ def _docling_markdown(name: str, payload: bytes, deep: bool) -> str:
         from docling.document_converter import DocumentConverter  # type: ignore
     except ImportError as exc:
         raise LoaderUnavailable("docling not installed") from exc
-    import io
     import tempfile
 
     # Docling converts from a source path; spool the payload.

@@ -20,7 +20,7 @@ GroupStateTimeout so reap policy is replayable and oracle-checkable.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator
+from typing import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame

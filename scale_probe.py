@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from ai_optimizer_spark.registry import QUERIES
 from ai_optimizer_spark.session import get_spark
-from ai_optimizer_spark.tables import load_tables
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/scale_probe"

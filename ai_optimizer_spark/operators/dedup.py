@@ -383,6 +383,78 @@ def dedup_clusters(t: dict[str, DataFrame], max_iters: int = 15) -> DataFrame:
     )
 
 
+def cluster_survivors(t: dict[str, DataFrame], max_iters: int = 15) -> DataFrame:
+    """Cluster-level *survivorship*: near-dup components (dedup_clusters)
+    reduced to ONE surviving document per cluster — the best-quality member
+    under the tx2 heuristic (quality DESC, doc_id ASC tiebreak), so the same
+    score that gates curation filtering also picks which duplicate to keep.
+    Emits (cluster_id, survivor_id, n_members, survivor_quality); singleton
+    docs survive as their own one-member cluster.
+
+    Scale shape: the winner comes from a partial-aggregable
+    MAX(struct(quality, -doc_id)) hash aggregate — map-side combine, one
+    narrow shuffle of (cluster_id, struct) — NOT a row_number window, which
+    would sort every cluster's rows inside a full-width shuffle. Component
+    labels touch only the LSH near-dup subgraph (dedup_clusters); quality is
+    a scan-fused array fold. Reference semantics: the keep-best policy of
+    embed/vector_store.py:112-118 lifted from exact-equality groups to
+    near-dup components.
+    """
+    from .textops import quality_parts
+
+    docs = t["documents"]
+    *_rest, quality = quality_parts(T.words("text"))
+    scored = docs.select("doc_id", quality.alias("quality"))
+    labels = dedup_clusters(t, max_iters=max_iters).select("doc_id", "cluster_id")
+    best = (
+        labels.join(scored, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("w"),
+        )
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("w.neg_id")).alias("survivor_id"),
+        "n_members",
+        F.col("w.q").alias("survivor_quality"),
+    )
+
+
+def corpus_dup_profile(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus duplicate-rate profile WITHOUT materializing a single candidate
+    pair: per LSH band, fold the bucket-size distribution to (n_buckets,
+    n_colliding_buckets, candidate_pairs, colliding_docs). candidate_pairs =
+    Σ n·(n−1)/2 over buckets is exactly the verification workload a full
+    MinHash dedup run would face, and colliding_docs/N upper-bounds the
+    duplicate fraction — this is the pre-flight estimator you run on 100 TB
+    BEFORE committing to pairwise verification (and the skew probe that
+    sizes minhash_lsh_pairs' max_bucket_size cap).
+
+    Scale shape: strictly cheaper than any dedup op — one narrow shuffle of
+    (band, key) digests for the bucket count, then a 4-group partial agg.
+    No doc bodies move; nothing quadratic exists anywhere in the plan.
+    """
+    bands = minhash_band_keys(t["documents"])
+    buckets = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    colliding = F.col("n") >= 2
+    # n·(n−1) is even, so integer DIV is exact (double division would lose
+    # exactness for giant boilerplate buckets at corpus scale)
+    npairs = F.expr("n * (n - 1) DIV 2")
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(colliding, 1).otherwise(0)).cast("long").alias("n_colliding_buckets"),
+        F.sum(npairs).cast("long").alias("candidate_pairs"),
+        F.sum(F.when(colliding, F.col("n")).otherwise(0)).cast("long").alias("colliding_docs"),
+    )
+
+
 def dedup_losers(
     t: dict[str, DataFrame],
     max_iters: int = 15,

@@ -164,6 +164,27 @@ EMBEDDING_NEARDUP = f"""
 # every node's label set = initial labels of all reachable nodes (edges are
 # symmetric), so MIN(label) per node is the component's min doc_id —
 # identical to the Spark min-label-propagation fixpoint.
+def _quality_ctes() -> str:
+    """The tx2 quality formula as CTEs (wq/m/q) — identical text to the
+    tx2_quality_score oracle so survivorship ranks by bit-identical scores."""
+    from .operators.textops import STOPWORDS
+
+    return f"""
+    wq AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(words) * 1.0 AS n,
+               len(list_filter(words, x -> x IN {STOPWORDS!r})) * 1.0 AS n_stop,
+               len(list_distinct(words)) * 1.0 AS n_uniq
+        FROM wq
+    ),
+    q AS (
+        SELECT doc_id,
+               ROUND(0.4 * LEAST(1.0, n / 50.0) + 0.3 * (n_uniq / n) + 0.3 * (1.0 - n_stop / n), 3) AS quality
+        FROM m
+    )"""
+
+
 DEDUP_CLUSTERS = f"""
     WITH RECURSIVE pairs AS (
         SELECT doc_a, doc_b FROM ({MINHASH_LSH}) q
@@ -181,6 +202,56 @@ DEDUP_CLUSTERS = f"""
     SELECT node AS doc_id, MIN(label) AS cluster_id,
            (node = MIN(label)) AS is_canonical
     FROM cc GROUP BY node
+"""
+
+
+# d16: cluster survivorship — components from the DEDUP_CLUSTERS fixpoint
+# (embedded as a derived table), winner per cluster by (quality DESC,
+# doc_id ASC) via ROW_NUMBER — deterministic because quality is ROUNDed to
+# 3 digits identically on both engines (tx2's strict-verified formula).
+CLUSTER_SURVIVORS = f"""
+    WITH labels AS (
+        SELECT doc_id, cluster_id FROM ({DEDUP_CLUSTERS}) c
+    ),
+    {_quality_ctes()},
+    ranked AS (
+        SELECT l.cluster_id, l.doc_id, q.quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.cluster_id ORDER BY q.quality DESC, l.doc_id ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members
+        FROM labels l JOIN q ON q.doc_id = l.doc_id
+    )
+    SELECT cluster_id, doc_id AS survivor_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           quality AS survivor_quality
+    FROM ranked WHERE rn = 1
+"""
+
+# d17: per-band bucket-size folds — SUMs CAST to BIGINT (DuckDB SUM(BIGINT)
+# promotes to HUGEINT, which the driver's pandas canon renders as float64).
+CORPUS_DUP_PROFILE = f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS base
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_minhash_cols()}
+        FROM hashed
+        GROUP BY doc_id
+    ),
+    bands AS (
+        {_bands_union()}
+    ),
+    buckets AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key)
+    SELECT band,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding_buckets,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS colliding_docs
+    FROM buckets GROUP BY band
 """
 
 

@@ -4009,6 +4009,10 @@ _register(
     """,
 )
 
+_register("d16_cluster_survivors", D.cluster_survivors, OD.CLUSTER_SURVIVORS)
+
+_register("d17_corpus_dup_profile", D.corpus_dup_profile, OD.CORPUS_DUP_PROFILE)
+
 _register(
     "tx13_bpe_pair_counts",
     TX.bpe_pair_counts,
@@ -4310,12 +4314,15 @@ _register(
 # ops — ANN tiers, temporal/bucketed joins, dedup clustering, the curation
 # e2e, streaming parity — so the strongest work is also externally verified.
 _PRIORITY: list[str] = [
-    # r5 rotation (VERDICT r4 task 4): 11 never-driver-checked queries moved
+    # r5 rotation (VERDICT r4 task 4): 16 never-driver-checked queries moved
     # into the 50-slot prefix — reference shapes first (j26/j27 = TPC-H Q3/Q19
-    # analogs of docs/demo/racing-championship/schema.sql) — displacing
-    # long-green veterans that the repo parity gate still covers every
-    # session (v8/v10/v12, d3 uncapped, j15/j20, tx7/tx9, st6, a16, v16;
-    # ≥1 per family retained in the prefix).
+    # analogs of docs/demo/racing-championship/schema.sql; j28/a24 = the
+    # adapted Q2/Q11 shapes) plus the r5 span-index family (d15/st14/t10) —
+    # displacing long-green veterans that the repo parity gate still covers
+    # every session (v8/v10/v12, d3 uncapped, j15/j20, tx7/tx8/tx9, st4/st5/
+    # st6, a12/a13/a16, v16; ≥1 per family retained in the prefix). Every
+    # prefix query passed the driver-strict canon replica at sf0.01 AND sf0.1
+    # before promotion.
     # ANN / similarity tiers (IVF, k-means, IVFPQ, stored-layout serving)
     "v7_ivf_topk",
     "v19_ann_operating_curve",
@@ -4345,21 +4352,21 @@ _PRIORITY: list[str] = [
     "d8_fuzzy_part_pairs",
     "e2e_curation_pipeline",
     "v14_hybrid_rrf_topk",
-    # text-analysis family + multimodal
+    # text-analysis family + multimodal (+ d15 substring dedup, new r5)
     "tx6_quality_bins",
     "mm3_audio_features",
-    "tx8_top_terms",
+    "d15_repeated_substrings",
     "s13_store_catalog",
     "mm2_frame_features",
     "tx11_repetition_stats",
-    # streaming / event-time
-    "st4_sliding_window_counts",
-    "st5_attributed_purchases",
+    # streaming / event-time (+ st14/t10 span-index pair, new r5)
+    "st14_streaming_span_novelty",
+    "t10_span_index_refresh",
     "t9_incremental_rollup",
     "st7_streaming_sessionize",
-    # aggregation extensions + sampling/packing
-    "a12_rollup_totals",
-    "a13_quantile_summary",
+    # aggregation extensions + sampling/packing (+ j28/a24 Q2/Q11, new r5)
+    "j28_min_cost_supplier",
+    "a24_important_part_values",
     "e2e_vector_search",
     "e2e_training_export",
     "smp6_sequence_packing",
@@ -4381,11 +4388,13 @@ _PRIORITY: list[str] = [
     "v10_matmul_knn",
     "v12_ann_recall",
     "d3_minhash_lsh_pairs",
-    "d15_repeated_substrings",
-    "st14_streaming_span_novelty",
-    "t10_span_index_refresh",
-    "j28_min_cost_supplier",
-    "a24_important_part_values",
+    "d16_cluster_survivors",
+    "d17_corpus_dup_profile",
+    "tx8_top_terms",
+    "st4_sliding_window_counts",
+    "st5_attributed_purchases",
+    "a12_rollup_totals",
+    "a13_quantile_summary",
     "j15_market_share",
     "j20_volume_shipping",
     "tx7_bpe_token_stats",

@@ -42,6 +42,8 @@ def degenerate_t(spark):
         D.simhash_pairs_blocked,
         D.simhash_pairs_auto,
         D.repeated_substring_stats,
+        D.cluster_survivors,
+        D.corpus_dup_profile,
         lambda t: D.span_index(t["documents"]),
     ],
 )

@@ -495,3 +495,24 @@ def test_important_part_values_q11_global_threshold(spark):
     assert tree.count("Scan ExistingRDD") == 2  # both branches share it
     assert "BroadcastNestedLoopJoin" in tree  # the 1-row scalar broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_corpus_dup_profile_digest_only_shuffles(spark):
+    """d17 must never join or sort: scan → band explode → two narrow
+    digest shuffles ((band,key) then band), both with map-side combine.
+    This op's whole value is being strictly cheaper than any dedup run."""
+    plan = plan_of(spark, "d17_corpus_dup_profile")
+    assert "Join" not in plan
+    assert "Sort" not in plan
+    assert "partial_count" in plan  # map-side combine before each exchange
+    assert plan.count("hashpartitioning") == 2
+    assert "SinglePartition" not in plan  # per-band folds, no driver funnel
+
+
+def test_cluster_survivors_partial_aggregates(spark):
+    """d16's winner must come from a partial+final MAX(struct) aggregate —
+    duplicate-cluster rows collapse map-side before the (cluster_id)
+    shuffle — not from a row_number window (full-width sort, no combine)."""
+    plan = plan_of(spark, "d16_cluster_survivors")
+    assert "partial_max(struct" in plan
+    assert "Window" not in plan

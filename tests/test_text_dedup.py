@@ -320,3 +320,57 @@ def test_repeated_substring_coverage_planted(spark):
     assert got[3].n_windows == 1 and got[3].n_dup_windows == 0
     # doc 5: windows 1 and 9 are the same 8-token span — self-repeat counts
     assert got[5].n_windows == 9 and got[5].n_dup_windows == 2
+
+
+def test_cluster_survivors_invariants(spark, sf_medium):
+    """Every doc lands in exactly one cluster (Σ n_members = corpus size);
+    the survivor is a member of its own cluster with the cluster-max
+    quality (doc_id-min tiebreak) — cross-checked against a driver-side
+    recompute from dedup_clusters + quality_score."""
+    from ai_optimizer_spark.operators.textops import quality_score
+
+    t = load_tables(spark, sf_medium)
+    surv = D.cluster_survivors(t).collect()
+    assert sum(r.n_members for r in surv) == t["documents"].count()
+    members: dict[int, list[int]] = {}
+    for r in D.dedup_clusters(t).collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    q = {r.doc_id: r.quality for r in quality_score(t).collect()}
+    assert len(surv) == len(members)
+    n_multi = 0
+    for r in surv:
+        club = members[r.cluster_id]
+        best = max(club, key=lambda d: (q[d], -d))
+        assert r.survivor_id == best
+        assert r.survivor_quality == q[best]
+        n_multi += r.n_members > 1
+    assert n_multi > 0  # the fixture plants near-dup clusters
+
+
+def test_corpus_dup_profile_matches_bucket_recount(spark, sf_medium):
+    """Per-band folds equal a driver-side recount over minhash_band_keys,
+    and candidate_pairs upper-bounds the DISTINCT candidate pair count
+    (cross-band multiplicity only inflates the per-bucket slot sum)."""
+    t = load_tables(spark, sf_medium)
+    prof = {r.band: r for r in D.corpus_dup_profile(t).collect()}
+    byband: dict[int, dict[str, list[int]]] = {}
+    for r in D.minhash_band_keys(t["documents"]).collect():
+        byband.setdefault(r.band, {}).setdefault(r.key, []).append(r.doc_id)
+    assert set(prof) == set(byband)
+    distinct_pairs: set[tuple[int, int]] = set()
+    slot_total = 0
+    for band, buckets in byband.items():
+        p = prof[band]
+        sizes = [len(v) for v in buckets.values()]
+        assert p.n_buckets == len(sizes)
+        assert p.n_colliding_buckets == sum(1 for n in sizes if n >= 2)
+        assert p.candidate_pairs == sum(n * (n - 1) // 2 for n in sizes)
+        assert p.colliding_docs == sum(n for n in sizes if n >= 2)
+        slot_total += p.candidate_pairs
+        for docs in buckets.values():
+            s = sorted(docs)
+            distinct_pairs.update(
+                (a, b) for i, a in enumerate(s) for b in s[i + 1 :]
+            )
+    assert len(distinct_pairs) <= slot_total
+    assert distinct_pairs  # planted near-dups collide somewhere

@@ -55,6 +55,8 @@ HEADLINE = [
     "d4_simhash_pairs",
     "d6_dedup_clusters",
     "d15_repeated_substrings",
+    "d16_cluster_survivors",
+    "d17_corpus_dup_profile",
     "tx1_token_stats",
     "tx5_chunk_documents",
     "tx8_top_terms",

@@ -38,6 +38,8 @@ OPS = [
     "d4_simhash_pairs",
     "d6_dedup_clusters",
     "d15_repeated_substrings",
+    "d16_cluster_survivors",
+    "d17_corpus_dup_profile",
     "e2e_curation_pipeline",
     "v10_matmul_knn",
     "v17_ivfpq_topk",
@@ -166,12 +168,19 @@ def main() -> None:
         ensure_clustered_store,
     )
 
-    results: dict[str, dict[int, float]] = {op: {} for op in OPS}
-    serving: dict[str, dict[int, float]] = {op: {} for op in SERVING_OPS}
+    # ONLY=op1,op2 narrows a probe run to the named ops (new-op calibration
+    # without re-timing the whole corpus); serving tiers run only when one
+    # of them is named (or no filter is set).
+    only = [s for s in os.environ.get("ONLY", "").split(",") if s]
+    ops = [op for op in OPS if not only or op in only]
+    serving_ops = [op for op in SERVING_OPS if not only or op in only]
+
+    results: dict[str, dict[int, float]] = {op: {} for op in ops}
+    serving: dict[str, dict[int, float]] = {op: {} for op in serving_ops}
     store_build: dict[int, float] = {}
     for factor in FACTORS:
         sf_dir = build_tile(spark, factor)
-        for op in OPS:
+        for op in ops:
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -182,11 +191,12 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             results[op][factor] = round(best, 2)
             spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        ensure_clustered_store(spark, sf_dir)
-        ensure_cell_radii(spark, sf_dir)
-        store_build[factor] = round(time.perf_counter() - t0, 2)
-        for op in SERVING_OPS:
+        if serving_ops:
+            t0 = time.perf_counter()
+            ensure_clustered_store(spark, sf_dir)
+            ensure_cell_radii(spark, sf_dir)
+            store_build[factor] = round(time.perf_counter() - t0, 2)
+        for op in serving_ops:
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -201,7 +211,8 @@ def main() -> None:
     print(json.dumps(
         {"ops": results, "serving": serving, "store_build_sec": store_build}
     ))
-    shutil.rmtree(WORK, ignore_errors=True)
+    if not only:  # a targeted ONLY run keeps the tiles for follow-up probes
+        shutil.rmtree(WORK, ignore_errors=True)
 
 
 if __name__ == "__main__":

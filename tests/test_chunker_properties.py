@@ -72,6 +72,17 @@ def test_chunks_cover_text_exactly(text, size, spark):
 # ---------------------------------------------------------------------------
 
 
+def round_half_up(x: float, digits: int = 3) -> float:
+    """Spark/DuckDB ROUND semantics: HALF_UP over the double's shortest
+    decimal form. Python's round() is half-even and disagrees at exact .5
+    boundaries (e.g. 13/16 = 0.8125 → Spark 0.813, round() 0.812 — found
+    by hypothesis)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def reference_repetition(text: str) -> tuple[int, int, float]:
     """Plain-Python mirror of repetition_stats' per-doc math."""
     from collections import Counter
@@ -81,7 +92,7 @@ def reference_repetition(text: str) -> tuple[int, int, float]:
     n = len(words)
     top = max(Counter(words).values())
     bigrams = ["_".join(p) for p in zip(words, words[1:])]
-    dup = round(1.0 - len(set(bigrams)) / len(bigrams), 3) if bigrams else 0.0
+    dup = round_half_up(1.0 - len(set(bigrams)) / len(bigrams)) if bigrams else 0.0
     return n, top, dup
 
 
@@ -107,4 +118,4 @@ def test_repetition_stats_match_reference(tokens, spark):
     assert row.n_tokens == n
     assert row.top_word_n == top
     assert abs(row.dup_bigram_frac - dup) < 1e-9
-    assert abs(row.top_word_frac - round(top / n, 3)) < 1e-9
+    assert abs(row.top_word_frac - round_half_up(top / n)) < 1e-9

@@ -452,7 +452,28 @@ def corpus_dup_profile(t: dict[str, DataFrame]) -> DataFrame:
         F.sum(F.when(colliding, 1).otherwise(0)).cast("long").alias("n_colliding_buckets"),
         F.sum(npairs).cast("long").alias("candidate_pairs"),
         F.sum(F.when(colliding, F.col("n")).otherwise(0)).cast("long").alias("colliding_docs"),
+        F.max("n").cast("long").alias("max_bucket_n"),
     )
+
+
+def choose_lsh_bucket_cap(profile: DataFrame, headroom: float = 4.0) -> int:
+    """Turn a corpus_dup_profile into a `max_bucket_size` for
+    minhash_lsh_pairs. Genuine near-dup groups sit near the MEAN colliding-
+    bucket size (colliding_docs / n_colliding_buckets); boilerplate buckets
+    (cookie banners, license headers) sit orders of magnitude above it and
+    are what the cap exists to drop. Cap = headroom × the worst band's mean,
+    clamped to [2, observed max] (below 2 drops ALL collisions; beyond the
+    max the cap is a no-op). The profile is n_bands rows, so the collect is
+    O(1) — this is how a 100 TB run sizes its skew guard from the cheap
+    pre-flight probe instead of a guess."""
+    import math
+
+    rows = [r for r in profile.collect() if r.n_colliding_buckets]
+    if not rows:
+        return 2
+    mean = max(r.colliding_docs / r.n_colliding_buckets for r in rows)
+    max_seen = max(r.max_bucket_n for r in rows)
+    return max(2, min(math.ceil(headroom * mean), max_seen))
 
 
 def dedup_losers(

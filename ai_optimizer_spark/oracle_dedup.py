@@ -250,7 +250,8 @@ CORPUS_DUP_PROFILE = f"""
            COUNT(*) AS n_buckets,
            CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding_buckets,
            CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
-           CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS colliding_docs
+           CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS colliding_docs,
+           CAST(MAX(n) AS BIGINT) AS max_bucket_n
     FROM buckets GROUP BY band
 """
 

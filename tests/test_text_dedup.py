@@ -366,6 +366,7 @@ def test_corpus_dup_profile_matches_bucket_recount(spark, sf_medium):
         assert p.n_colliding_buckets == sum(1 for n in sizes if n >= 2)
         assert p.candidate_pairs == sum(n * (n - 1) // 2 for n in sizes)
         assert p.colliding_docs == sum(n for n in sizes if n >= 2)
+        assert p.max_bucket_n == max(sizes)
         slot_total += p.candidate_pairs
         for docs in buckets.values():
             s = sorted(docs)
@@ -374,3 +375,23 @@ def test_corpus_dup_profile_matches_bucket_recount(spark, sf_medium):
             )
     assert len(distinct_pairs) <= slot_total
     assert distinct_pairs  # planted near-dups collide somewhere
+
+
+def test_choose_lsh_bucket_cap_from_profile(spark, sf_medium):
+    """The profile-driven cap admits the corpus's typical collisions (the
+    capped pair set keeps the planted near-dups) while clamping to the
+    observed max; degenerate profiles (no collisions) floor at 2."""
+    t = load_tables(spark, sf_medium)
+    profile = D.corpus_dup_profile(t)
+    cap = D.choose_lsh_bucket_cap(profile)
+    rows = profile.collect()
+    assert 2 <= cap <= max(r.max_bucket_n for r in rows)
+    capped = {
+        (r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(t, max_bucket_size=cap).collect()
+    }
+    assert capped  # typical (planted) near-dup groups survive the cap
+    # no collisions anywhere -> floor of 2
+    empty = D.corpus_dup_profile(
+        {"documents": t["documents"].limit(0)}
+    )
+    assert D.choose_lsh_bucket_cap(empty) == 2

@@ -936,41 +936,106 @@ def topic_clusters(t: dict[str, DataFrame], k: int = 12) -> DataFrame:
 
 
 def minhash_band_keys(docs: DataFrame) -> DataFrame:
-    """Map-only (doc_id, band, key) LSH band index rows: the per-doc minhash
-    signature computed as array-min folds over the shingle set (no
-    explode+groupBy — bit-identical values to minhash_lsh_pairs' aggregate
-    form, same universal-hash family), then one row per band. STATELESS,
-    which is what lets the same expression run on a STREAM side (st12) —
-    a per-doc aggregation would need shuffle state; a fold does not."""
-    base = F.transform(T.word_shingles("text", SHINGLE_N), lambda s: T.hash60(s))
-    rem = F.transform(base, lambda h: h % F.lit(T.MINHASH_P))
-    def _mh(s: int):
-        # factory closure: a `lambda r, s=s:` default would make Spark pass
-        # the array INDEX as the second lambda argument
-        return F.array_min(
-            F.transform(
-                rem,
-                lambda r: (F.lit(T.MINHASH_A[s]) * r + F.lit(T.MINHASH_B[s]))
-                % F.lit(T.MINHASH_P),
-            )
-        )
+    """Batch (doc_id, band, key) LSH band index rows: per-doc minhash
+    signatures via the explode + groupBy min-aggregate (exactly
+    minhash_lsh_pairs' signature step — md5 once per shingle, whole-stage
+    codegen end to end), then one row per band. The (doc_id) exchange is
+    narrow: a doc's exploded shingles never span input partitions, so the
+    map-side partial aggregate collapses to ONE 8-min row per doc before
+    anything shuffles.
 
-    mhs = [_mh(s) for s in range(MINHASH_HASHES)]
+    Bit-identical keys to the stateless fold twin (minhash_band_keys_fold,
+    parity-tested) — the fold serves STREAM sides where a keyed aggregation
+    would need shuffle state; it evaluates interpreted (HOFs sit outside
+    codegen), measured ~3× slower per row than this form, so every batch
+    path uses this one (the d17 scale probe caught the difference: 9.9 s →
+    2.5 s at sf0.1)."""
+    sh = _shingle_sets(docs)
+    hashed = sh.withColumn("base", T.hash60(F.col("shingle")))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(term).alias(f"mh{s}")
+            for s, term in enumerate(T.minhash_terms(F.col("base"), MINHASH_HASHES))
+        ]
+    )
     n_bands = MINHASH_HASHES // LSH_BAND_ROWS
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws(
-                    ":", *[mhs[b * LSH_BAND_ROWS + r].cast("string") for r in range(LSH_BAND_ROWS)]
+                    ":",
+                    *[
+                        F.col(f"mh{b * LSH_BAND_ROWS + r}").cast("string")
+                        for r in range(LSH_BAND_ROWS)
+                    ],
                 ).alias("key"),
             )
             for b in range(n_bands)
         ]
     )
     return (
-        docs.filter(F.size(T.words("text")) >= SHINGLE_N)
-        .select("doc_id", F.explode(bands).alias("bk"))
+        sig.select("doc_id", F.explode(bands).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
+def minhash_band_keys_fold(docs: DataFrame) -> DataFrame:
+    """STATELESS (doc_id, band, key) band index: the per-doc minhash
+    signature computed as ONE aggregate fold over the shingle array — an
+    8-element running-min accumulator updated per shingle — then one row per
+    band. Bit-identical values to minhash_band_keys (same universal-hash
+    family); being a pure per-row projection is what lets the same
+    expression run on a STREAM side (st12) — a per-doc aggregation would
+    need keyed shuffle state, a fold needs none.
+
+    The single-accumulator shape is a measured 2× win over the previous
+    8-separate-`array_min(transform(...))` form: higher-order-function
+    subtrees are NOT subexpression-eliminated (HOFs evaluate interpreted,
+    outside codegen CSE), so each of the 8 folds re-ran the whole
+    md5→hash60→mod chain over every shingle. Here md5 runs exactly once per
+    shingle and the signature array is materialized in its own projection —
+    CollapseProject keeps it separate because the (expensive) array is
+    referenced by all 8 band-key reads."""
+    arr_a = F.array(*[F.lit(a).cast("long") for a in T.MINHASH_A[:MINHASH_HASHES]])
+    arr_b = F.array(*[F.lit(b).cast("long") for b in T.MINHASH_B[:MINHASH_HASHES]])
+    p = F.lit(T.MINHASH_P).cast("long")
+    base = F.transform(T.word_shingles("text", SHINGLE_N), lambda s: T.hash60(s))
+    rem = F.transform(base, lambda h: h % p)
+    # init with P: every (a·r+b) mod P lies in [0, P), so P never survives a min
+    sig = F.aggregate(
+        rem,
+        F.array_repeat(p, MINHASH_HASHES),
+        lambda acc, r: F.transform(
+            acc,
+            lambda m, i: F.least(
+                m,
+                (F.element_at(arr_a, i + F.lit(1)) * r
+                 + F.element_at(arr_b, i + F.lit(1))) % p,
+            ),
+        ),
+    )
+    n_bands = MINHASH_HASHES // LSH_BAND_ROWS
+    sigd = docs.filter(F.size(T.words("text")) >= SHINGLE_N).select(
+        "doc_id", sig.alias("mh")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.element_at("mh", b * LSH_BAND_ROWS + r + 1).cast("string")
+                        for r in range(LSH_BAND_ROWS)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        sigd.select("doc_id", F.explode(bands).alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
 

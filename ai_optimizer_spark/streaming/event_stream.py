@@ -326,11 +326,11 @@ def streaming_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     in complete mode; exact-Jaccard verification consumes this tiny feed
     downstream. Same plan as the batch twin
     (operators/dedup.streaming_neardup_candidates_batch) → same oracle."""
-    from ..operators.dedup import minhash_band_keys
+    from ..operators.dedup import minhash_band_keys, minhash_band_keys_fold
 
     docs = documents_stream(spark, sf_dir)
-    stream_bands = minhash_band_keys(docs)
-    static_index = minhash_band_keys(
+    stream_bands = minhash_band_keys_fold(docs)  # stateless: stream-legal
+    static_index = minhash_band_keys(  # batch side: codegen agg form
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     ).select(F.col("doc_id").alias("index_doc"), "band", "key")
     plan = (

@@ -505,7 +505,9 @@ def test_corpus_dup_profile_digest_only_shuffles(spark):
     assert "Join" not in plan
     assert "Sort" not in plan
     assert "partial_count" in plan  # map-side combine before each exchange
-    assert plan.count("hashpartitioning") == 2
+    assert "partial_min" in plan  # signature mins collapse to 1 row/doc pre-shuffle
+    # three narrow exchanges: (doc_id) signature agg, (band,key) buckets, (band)
+    assert plan.count("hashpartitioning") == 3
     assert "SinglePartition" not in plan  # per-band folds, no driver funnel
 
 

@@ -395,3 +395,13 @@ def test_choose_lsh_bucket_cap_from_profile(spark, sf_medium):
         {"documents": t["documents"].limit(0)}
     )
     assert D.choose_lsh_bucket_cap(empty) == 2
+
+
+def test_band_key_fold_matches_agg_form(spark, sf_medium):
+    """The stateless fold (stream side) and the codegen explode+groupBy
+    aggregate (batch side) are two evaluations of one signature definition:
+    identical (doc_id, band, key) sets."""
+    docs = load_tables(spark, sf_medium)["documents"]
+    agg = {(r.doc_id, r.band, r.key) for r in D.minhash_band_keys(docs).collect()}
+    fold = {(r.doc_id, r.band, r.key) for r in D.minhash_band_keys_fold(docs).collect()}
+    assert agg == fold and agg

@@ -332,3 +332,87 @@ def quality_resample(
         .filter(F.col("u_ppm") < F.col("p_keep_ppm"))
         .select("doc_id", "source", "quality", "p_keep_ppm")
     )
+
+
+BUDGET_FRAC = 0.5  # default: keep the best half of the corpus by tokens
+SELECT_SUB_SHIFT = 10  # within-quality sub-buckets: contiguous 1024-doc_id ranges
+
+
+def token_budget_select(
+    t: dict[str, DataFrame], budget_frac: float = BUDGET_FRAC
+) -> DataFrame:
+    """smp9: token-budget-constrained corpus selection — keep the highest-
+    quality documents until `budget_frac` of the corpus's tokens are spent.
+    Selection order is (quality DESC, doc_id ASC); a document is kept iff
+    its INCLUSIVE cumulative token count fits the budget — the "select the
+    best N tokens out of M" step every fixed-compute training run performs
+    (choose 1T tokens from a 10T crawl), made deterministic.
+
+    Scale shape: NO global sort. Quality is 3-decimal (≤1001 distinct
+    values), so the selection-order prefix sum decomposes hierarchically,
+    exactly like smp6's two-pass pack but with a semantic key:
+
+      1. per-(quality, sub) exclusive cumsum over doc_id, where
+         sub = doc_id >> 10 — contiguous doc_id ranges, so within-quality
+         order is preserved; windows run parallel and skew is bounded by
+         the sub-bucket width regardless of how many docs share a score;
+      2. (quality, sub) totals cumsummed per quality — rows are BUCKET
+         counts, not docs (broadcast back; at extreme corpus sizes this
+         join degrades gracefully to a shuffle join on (quality, sub));
+      3. quality totals cumsummed DESC on a ≤1001-row table; the budget
+         (floor(frac × total tokens)) is one scalar off the same table.
+
+    All integer arithmetic on BIGINTs → the DuckDB oracle (one flat window,
+    affordable at oracle scale) matches bit-for-bit."""
+    from ..functions.text import token_count, words
+    from ..operators.textops import quality_parts
+
+    *_rest, quality = quality_parts(words("text"))
+    base = t["documents"].select(
+        "doc_id",
+        quality.alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.shiftright(F.col("doc_id"), SELECT_SUB_SHIFT).alias("sub"),
+    )
+    win_in = (
+        Window.partitionBy("quality", "sub")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum("n_tokens").over(win_in), F.lit(0).cast("long"))
+    base = base.withColumn("within", within)
+
+    sub_tot = base.groupBy("quality", "sub").agg(F.sum("n_tokens").alias("st"))
+    win_sub = (
+        Window.partitionBy("quality")
+        .orderBy(F.col("sub").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sub_off = sub_tot.select(
+        "quality",
+        "sub",
+        F.coalesce(F.sum("st").over(win_sub), F.lit(0).cast("long")).alias("sub_off"),
+    )
+    q_tot = sub_tot.groupBy("quality").agg(F.sum("st").alias("qt"))
+    win_q = (
+        Window.orderBy(F.col("quality").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    q_off = q_tot.select(
+        "quality",
+        F.coalesce(F.sum("qt").over(win_q), F.lit(0).cast("long")).alias("q_off"),
+    )
+    budget = q_tot.agg(
+        F.floor(F.lit(budget_frac) * F.sum("qt")).cast("long").alias("budget")
+    )
+    return (
+        base.join(F.broadcast(q_off), "quality")
+        .join(F.broadcast(sub_off), ["quality", "sub"])
+        .crossJoin(F.broadcast(budget))
+        .withColumn(
+            "cum_tok",
+            F.col("q_off") + F.col("sub_off") + F.col("within") + F.col("n_tokens"),
+        )
+        .filter(F.col("cum_tok") <= F.col("budget"))
+        .select("doc_id", "quality", "n_tokens", "cum_tok")
+    )

@@ -3888,6 +3888,38 @@ _register(
 )
 
 _register(
+    "smp9_token_budget_select",
+    SMP.token_budget_select,
+    f"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(words) * 1.0 AS n,
+               len(list_filter(words, x -> x IN {TX.STOPWORDS!r})) * 1.0 AS n_stop,
+               len(list_distinct(words)) * 1.0 AS n_uniq
+        FROM w
+    ),
+    q AS (
+        SELECT doc_id,
+               ROUND(0.4 * LEAST(1.0, n / 50.0) + 0.3 * (n_uniq / n)
+                     + 0.3 * (1.0 - n_stop / n), 3) AS quality
+        FROM m
+    ),
+    tk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM w),
+    sel AS (
+        SELECT q.doc_id, q.quality, tk.n_tokens,
+               SUM(tk.n_tokens) OVER (
+                   ORDER BY q.quality DESC, q.doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM q JOIN tk ON tk.doc_id = q.doc_id
+    ),
+    b AS (SELECT CAST(FLOOR({SMP.BUDGET_FRAC} * SUM(n_tokens)) AS BIGINT) AS budget FROM tk)
+    SELECT doc_id, quality, n_tokens, CAST(cum AS BIGINT) AS cum_tok
+    FROM sel, b WHERE cum <= budget
+    """,
+)
+
+_register(
     "smp8_quality_resample",
     SMP.quality_resample,
     f"""
@@ -4390,6 +4422,7 @@ _PRIORITY: list[str] = [
     "d3_minhash_lsh_pairs",
     "d16_cluster_survivors",
     "d17_corpus_dup_profile",
+    "smp9_token_budget_select",
     "tx8_top_terms",
     "st4_sliding_window_counts",
     "st5_attributed_purchases",

@@ -69,6 +69,7 @@ HEADLINE = [
     "v16_range_search_pruned",
     "smp5_temperature_mix",
     "smp6_sequence_packing",
+    "smp9_token_budget_select",
     "t6_token_stream_assembly",
     "st2_sessionize",
     "st11_funnel_steps",

@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 from ai_optimizer_spark.operators import dedup as D
+from ai_optimizer_spark.operators import sampling as SMP
 from ai_optimizer_spark.operators import textops as TX
 
 
@@ -44,6 +45,7 @@ def degenerate_t(spark):
         D.repeated_substring_stats,
         D.cluster_survivors,
         D.corpus_dup_profile,
+        SMP.token_budget_select,
         lambda t: D.span_index(t["documents"]),
     ],
 )

@@ -129,3 +129,29 @@ def test_quality_resample_tracks_scores(spark, sf_small):
     hi_rate = sum(1 for d in hi if d in kept_ids) / len(hi)
     lo_rate = sum(1 for d in lo if d in kept_ids) / len(lo)
     assert hi_rate > lo_rate
+
+
+def test_token_budget_select_is_greedy_prefix(spark, sf_medium):
+    """smp9: the kept set is EXACTLY the greedy (quality DESC, doc_id ASC)
+    prefix whose inclusive token cumsum fits floor(frac × total) — verified
+    against a driver-side recompute; cum_tok matches the flat prefix sum."""
+    from ai_optimizer_spark.operators.sampling import BUDGET_FRAC, token_budget_select
+    from ai_optimizer_spark.operators.textops import quality_score, token_stats
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_medium)
+    got = {r.doc_id: r for r in token_budget_select(t).collect()}
+    q = {r.doc_id: r.quality for r in quality_score(t).collect()}
+    tok = {r.doc_id: r.n_tokens for r in token_stats(t).collect()}
+    budget = int(BUDGET_FRAC * sum(tok.values()))
+    order = sorted(q, key=lambda d: (-q[d], d))
+    cum, want = 0, {}
+    for d in order:
+        cum += tok[d]
+        if cum <= budget:
+            want[d] = cum
+    assert set(got) == set(want)
+    assert 0 < len(got) < len(q)  # a strict subset was selected
+    for d, r in got.items():
+        assert r.cum_tok == want[d]
+        assert r.quality == q[d] and r.n_tokens == tok[d]

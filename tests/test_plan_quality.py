@@ -518,3 +518,13 @@ def test_cluster_survivors_partial_aggregates(spark):
     plan = plan_of(spark, "d16_cluster_survivors")
     assert "partial_max(struct" in plan
     assert "Window" not in plan
+
+
+def test_token_budget_select_avoids_global_sort(spark):
+    """smp9's selection-order prefix sum must decompose into partitioned
+    windows (quality/sub buckets) + broadcast offsets — never a corpus-wide
+    rangepartitioning sort; only the ≤1001-row quality table may funnel."""
+    plan = plan_of(spark, "smp9_token_budget_select")
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(quality" in plan  # per-bucket windows
+    assert "BroadcastHashJoin" in plan  # offsets and budget broadcast back

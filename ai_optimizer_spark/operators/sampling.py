@@ -368,21 +368,30 @@ def token_budget_select(
     from ..operators.textops import quality_parts
 
     *_rest, quality = quality_parts(words("text"))
-    base = t["documents"].select(
+    # eager barrier: the scored base feeds FOUR consumer subtrees (the
+    # kept-row chain plus the sub/quality/budget aggregates) and Catalyst
+    # plans each one its own scan — 8 parquet scans of the corpus and 4
+    # replays of the stopword-fold without it. The barrier materializes 4
+    # narrow columns once; every aggregate then reads digests, not text.
+    scored = t["documents"].select(
         "doc_id",
         quality.alias("quality"),
         token_count(F.col("text")).alias("n_tokens"),
         F.shiftright(F.col("doc_id"), SELECT_SUB_SHIFT).alias("sub"),
-    )
+    ).localCheckpoint(eager=True)
     win_in = (
         Window.partitionBy("quality", "sub")
         .orderBy(F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     within = F.coalesce(F.sum("n_tokens").over(win_in), F.lit(0).cast("long"))
-    base = base.withColumn("within", within)
+    base = scored.withColumn("within", within)
 
-    sub_tot = base.groupBy("quality", "sub").agg(F.sum("n_tokens").alias("st"))
+    sub_tot = (
+        scored.groupBy("quality", "sub")
+        .agg(F.sum("n_tokens").alias("st"))
+        .localCheckpoint(eager=True)  # bucket-count-sized; 3 consumers
+    )
     win_sub = (
         Window.partitionBy("quality")
         .orderBy(F.col("sub").asc())

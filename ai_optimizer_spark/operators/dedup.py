@@ -796,7 +796,16 @@ def repeated_substring_stats(
     Documents shorter than `window` tokens have no spans and are absent
     from the output (nothing to score)."""
     pairs = span_fingerprints(t["documents"], window)
-    per = pairs.groupBy("wh", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    # eager barrier: `per` feeds both the global totals and the join probe —
+    # without it each consumer replays the text explode + md5 + (wh,doc_id)
+    # aggregation (measured: 2 full scans; 4.2 → 3.8 s at sf0.1, and the
+    # replayed subtree is corpus-sized while the materialized rows are three
+    # 8-byte columns — the asymptote is what matters at 100 TB).
+    per = (
+        pairs.groupBy("wh", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     tot = per.groupBy("wh").agg(F.sum("c").alias("n_occ"))
     return (
         per.join(tot, "wh")

@@ -98,7 +98,9 @@ def ngram_jaccard_pairs(
     |union| = |A|+|B|-|∩|. The shingle join key distributes uniformly
     (hash of text n-grams), so no skew; at 100 TB this exact form runs on
     LSH candidates only (see minhash_lsh_pairs)."""
-    sh = _shingle_sets(t["documents"])
+    # persisted: the shingle index feeds three consumers (sizes + both join
+    # sides) — without it each one replays the explode over the corpus text
+    sh = _shingle_sets(t["documents"]).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1058,8 +1060,11 @@ def streaming_neardup_candidates_batch(t: dict[str, DataFrame]) -> DataFrame:
 
     Scale shape: the index side is the STORED band table (written clustered
     by (band, key)); the probe is an equi-join on it — per arriving doc,
-    ~n_bands lookups. Nothing about the corpus is rescanned per batch."""
-    bands = minhash_band_keys(t["documents"])
+    ~n_bands lookups. Nothing about the corpus is rescanned per batch.
+    The eager checkpoint below plays the stored table's role in this
+    self-contained twin: both join sides read the materialized band rows
+    instead of each re-deriving signatures from the corpus."""
+    bands = minhash_band_keys(t["documents"]).localCheckpoint(eager=True)
     idx = bands.select(
         F.col("doc_id").alias("index_doc"), "band", "key"
     )

@@ -193,3 +193,78 @@ def span_index_refresh(t: dict[str, DataFrame], cutoff: int = 250) -> DataFrame:
         stored_pairs.join(affected, "wh", "left_semi").unionByName(delta_pairs)
     )
     return untouched.unionByName(recomputed)
+
+
+def cell_stats_refresh(
+    t: dict[str, DataFrame], cutoff: int = 400, n_centroids: int = 16
+) -> DataFrame:
+    """T11: incremental maintenance of the clustered store's per-cell
+    statistics — the write path behind the v16b/v21 serving tiers
+    (plans/bucketing.ensure_cell_radii builds them once; this op keeps
+    them current as vectors arrive, completing the maintenance family:
+    t9 = algebraic rollup, t10 = non-algebraic affected-set, t11 = the
+    ANN layout's table statistics).
+
+    Per cell the serving tiers need occupancy (n_vecs — v21's DPP stats)
+    and the pruning radius (r_cell = max centroid distance — v16b's
+    triangle-inequality bound). Both are ALGEBRAIC aggregates, so the
+    update never rescans history:
+
+      1. assign ONLY the delta vectors to the fixed coarse quantizer
+         (map-only argmin over the broadcast centroid model, the same
+         `_assign_cells` codepath the read tiers use),
+      2. aggregate the delta per cell,
+      3. merge with the stored stats: counts add, radii take greatest —
+         a full-outer join on cid, n_centroids-sized on both sides.
+
+    The merged result is BIT-identical to the full recompute (max and
+    count are associative), which is exactly what the oracle asserts.
+    Here the "stored" side is recomputed from the < cutoff half to make
+    the query self-contained; in production it is the stored radii table
+    and the maintenance cost is O(delta + n_centroids). Distances are
+    rounded to 3 decimals BEFORE the max on both engines so the max
+    ranges over identical value sets (the v16 dist contract).
+
+    Reference: the engine extension the reference's once-built vector
+    store lacks — its refresh re-embeds and rewrites whole files
+    (embed/refresh.py:28-143) but never maintains layout statistics."""
+    from ..functions import vector as V
+    from .similarity import _assign_cells
+
+    emb = t["embeddings"]
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cent_rows = cents.collect()  # bounded: the n_centroids-row model
+
+    def stats(part: DataFrame) -> DataFrame:
+        assigned = _assign_cells(part, cents, rows=cent_rows)
+        dist = F.round(
+            V.euclidean_distance("embedding", "ce"), 3
+        ) + F.lit(0.0)
+        return (
+            assigned.join(F.broadcast(cents), "cid")
+            .select("cid", dist.alias("dc"))
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.max("dc").alias("r_cell"),
+            )
+        )
+
+    stored = stats(emb.filter(F.col("vec_id") < cutoff))
+    delta = stats(emb.filter(F.col("vec_id") >= cutoff))
+    merged = stored.alias("h").join(
+        delta.alias("d"), "cid", "full_outer"
+    )
+    return merged.select(
+        F.col("cid").cast("long").alias("cid"),
+        (
+            F.coalesce(F.col("h.n_vecs"), F.lit(0))
+            + F.coalesce(F.col("d.n_vecs"), F.lit(0))
+        ).alias("n_vecs"),
+        F.greatest(
+            F.coalesce(F.col("h.r_cell"), F.lit(float("-inf"))),
+            F.coalesce(F.col("d.r_cell"), F.lit(float("-inf"))),
+        ).alias("r_cell"),
+    )

@@ -3721,6 +3721,36 @@ _register(
     """,
 )
 
+# t11: the merged (stored ⊎ delta) cell stats are bit-identical to the
+# full recompute — count and max are associative — so the oracle IS the
+# one-shot aggregate over all vectors, with distances rounded to 3
+# decimals BEFORE the max on both engines (the v16 dist contract) and
+# assignment tie-broken on the UNROUNDED distance like v7/v13.
+_register(
+    "t11_cell_stats_refresh",
+    RF.cell_stats_refresh,
+    """
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT vec_id, cid, dist FROM (
+            SELECT e.vec_id, c.cid,
+                   ROUND(list_distance(e.embedding::DOUBLE[], c.ce), 3) + 0.0 AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    )
+    SELECT CAST(cid AS BIGINT) AS cid, COUNT(*) AS n_vecs,
+           MAX(dist) AS r_cell
+    FROM assigned GROUP BY cid
+    """,
+)
+
 _register(
     "t8_scd2_history",
     E.scd2_state_history,

@@ -81,6 +81,7 @@ HEADLINE = [
     "e2e_vector_search",
     "t9_incremental_rollup",
     "t10_span_index_refresh",
+    "t11_cell_stats_refresh",
     "v16b_clustered_range_search",
     "v21_dpp_cell_stats",
     "j26_shipping_priority",

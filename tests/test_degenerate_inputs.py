@@ -143,3 +143,26 @@ def test_span_index_refresh_empty_delta_and_empty_history(spark, sf_small):
             for r in span_index_refresh(t, cutoff=cutoff).collect()
         }
         assert got == full, f"cutoff={cutoff}"
+
+
+def test_cell_stats_refresh_empty_delta_and_empty_history(spark, sf_small):
+    """t11: cutoff 0 (everything is delta), a cutoff above every vec_id
+    (everything is stored), and a mid cutoff must all produce the same
+    stats — count adds and max takes greatest, so the merge with an empty
+    side is the identity and the split point can never change the result."""
+    from ai_optimizer_spark.operators.refresh import cell_stats_refresh
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    results = []
+    for cutoff in (0, 10**12, 100):
+        results.append(
+            {
+                (r.cid, r.n_vecs, round(r.r_cell, 6))
+                for r in cell_stats_refresh(t, cutoff=cutoff).collect()
+            }
+        )
+    assert results[0]
+    assert results[0] == results[1] == results[2]
+    # every centroid owns at least its own seed vector
+    assert len(results[0]) == 16

@@ -528,3 +528,17 @@ def test_token_budget_select_avoids_global_sort(spark):
     assert "rangepartitioning" not in plan
     assert "hashpartitioning(quality" in plan  # per-bucket windows
     assert "BroadcastHashJoin" in plan  # offsets and budget broadcast back
+
+
+def test_cell_stats_refresh_map_only_assignment(spark):
+    """t11: cell assignment must fuse into the scan (the centroid model
+    broadcasts; no shuffle carries embeddings) — exactly one partial-agg
+    Exchange per branch, and the full-outer merge reuses the branches'
+    cid partitioning instead of adding a third."""
+    plan = plan_of(spark, "t11_cell_stats_refresh")
+    assert plan.count(" Exchange (") == 2  # shuffles: the two groupBy(cid)
+    assert plan.count("BroadcastExchange (") == 2  # the 16-row centroid dim
+    assert "SortMergeJoin FullOuter" in plan
+    # the history/delta split reaches the parquet scans
+    assert "LessThan(vec_id,400)" in plan
+    assert "GreaterThanOrEqual(vec_id,400)" in plan

@@ -4396,8 +4396,8 @@ _PRIORITY: list[str] = [
     "j10_salted_skew_join",
     "j11_asof_join",
     "j12_banded_range_join",
-    "j13_local_supplier_volume",
-    "j14_bucketed_order_revenue",
+    "d16_cluster_survivors",
+    "d17_corpus_dup_profile",
     "j26_shipping_priority",
     "v9_ivf_kmeans_topk",
     "v17_ivfpq_topk",
@@ -4411,7 +4411,7 @@ _PRIORITY: list[str] = [
     "d4_simhash_pairs",
     "d5_embedding_neardup",
     "d6_dedup_clusters",
-    "d8_fuzzy_part_pairs",
+    "smp9_token_budget_select",
     "e2e_curation_pipeline",
     "v14_hybrid_rrf_topk",
     # text-analysis family + multimodal (+ d15 substring dedup, new r5)
@@ -4450,9 +4450,9 @@ _PRIORITY: list[str] = [
     "v10_matmul_knn",
     "v12_ann_recall",
     "d3_minhash_lsh_pairs",
-    "d16_cluster_survivors",
-    "d17_corpus_dup_profile",
-    "smp9_token_budget_select",
+    "j13_local_supplier_volume",
+    "j14_bucketed_order_revenue",
+    "d8_fuzzy_part_pairs",
     "tx8_top_terms",
     "st4_sliding_window_counts",
     "st5_attributed_purchases",

@@ -425,3 +425,107 @@ def token_budget_select(
         .filter(F.col("cum_tok") <= F.col("budget"))
         .select("doc_id", "quality", "n_tokens", "cum_tok")
     )
+
+
+DSIR_BUCKETS = 64
+DSIR_KEEP_NTILE = 4  # keep the top quartile by importance weight
+
+
+def dsir_importance(t: dict[str, DataFrame]) -> DataFrame:
+    """smp10: DSIR — data selection via hashed-n-gram importance resampling
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"). Tokens hash into DSIR_BUCKETS feature buckets; the target
+    distribution is estimated from the curated source ('src0' — DSIR's
+    Wikipedia/books stand-in) and the raw distribution from the whole
+    corpus, both add-one smoothed. A document's importance weight is
+    sum over its tokens of log(p_target(bucket)/p_raw(bucket)); the top
+    quartile by weight is selected — the distribution-matching complement
+    to smp8's quality-weighted resample (smp8 asks "is it good?", DSIR asks
+    "does it look like the target domain?").
+
+    Scale shape: the per-doc FEATURE-COUNT table (doc_id × bucket, ≤B rows
+    per doc — DSIR's actual sufficient statistic) is materialized once
+    behind an eager barrier; it feeds three consumers (raw distribution,
+    target distribution, scoring) that would otherwise each replay the
+    corpus explode. Both distributions are B-row tables (broadcast,
+    trivially); scoring joins the broadcast log-ratio table onto the count
+    table and aggregates per doc with map-side combine. Selection avoids a
+    global sort the smp9 way: weights round to 4 decimals, so the
+    VALUE-SPACE-bounded weight-level total table (not the corpus) carries
+    the exclusive descending cumsum, and the per-weight tie-break window
+    partitions by weight — keep iff higher_count + within_rank ≤
+    ceil(N/4), exactly NTILE(4)=1. Determinism replaces DSIR's
+    Gumbel-noise sampling so the selected set is stable across re-ingest,
+    like every sampler in this module.
+    """
+    from ..functions.text import words
+
+    docs = t["documents"]
+    # eager barrier: three consumer subtrees below — without it Catalyst
+    # re-scans the corpus and replays the explode for each
+    doc_b = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(words("text")).alias("term"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (_bucket(F.col("term"), "dsir", DSIR_BUCKETS)).alias("b"),
+        )
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    raw = doc_b.groupBy("b").agg(F.sum("cnt").alias("cr"))
+    tgt = (
+        doc_b.where(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("ct"))
+    )
+    totals = raw.crossJoin(F.broadcast(tgt.select(F.sum("ct").alias("nt")))).join(
+        F.broadcast(raw.select(F.sum("cr").alias("nr"))), how="cross"
+    )
+    # raw covers every bucket that occurs in any document, so a left join
+    # from raw (not from an exhaustive 0..B-1 range) is complete
+    ratio = (
+        totals.join(F.broadcast(tgt), "b", "left")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) / (F.col("nt") + F.lit(DSIR_BUCKETS)))
+                - F.log((F.col("cr") + F.lit(1.0)) / (F.col("nr") + F.lit(DSIR_BUCKETS)))
+            ).alias("log_ratio"),
+        )
+    )
+    weights = (
+        doc_b.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 4).alias("weight"))
+        .localCheckpoint(eager=True)  # feeds the total-count scalar + cumsum + keep chain
+    )
+    n_docs = weights.select(
+        F.ceil(F.count(F.lit(1)) / F.lit(DSIR_KEEP_NTILE)).alias("k")
+    )
+    # weight-level table: bounded by the 4-decimal value space, not corpus size
+    wtot = weights.groupBy("weight").agg(F.count(F.lit(1)).alias("wn"))
+    higher = F.coalesce(
+        F.sum("wn").over(
+            Window.orderBy(F.col("weight").desc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+        F.lit(0).cast("long"),
+    )
+    woff = wtot.select("weight", higher.alias("higher"))
+    within = F.row_number().over(
+        Window.partitionBy("weight").orderBy(F.col("doc_id").asc())
+    )
+    return (
+        weights.withColumn("within", within)
+        .join(F.broadcast(woff), "weight")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("higher") + F.col("within") <= F.col("k"))
+        .select("doc_id", "source", "weight")
+    )

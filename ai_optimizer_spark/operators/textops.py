@@ -598,3 +598,79 @@ def source_median_quality(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def ngram_perplexity(t: dict[str, DataFrame]) -> DataFrame:
+    """tx16: CCNet-style bigram-LM perplexity filter (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"). Trains an add-one-smoothed bigram LM on a deterministic
+    reference slice (doc_id % 2 = 0 — the stand-in for the curated
+    reference corpus CCNet trains KenLM on), scores EVERY document by
+    bigram cross-entropy under that LM, and splits each language's corpus
+    into head/middle/tail perplexity tertiles — CCNet's exact keep/discard
+    signal (head = closest to the reference distribution).
+
+    Scale shape: bigrams are formed ARRAY-SIDE (slice+arrays_zip — a narrow
+    map fused into the scan, no per-token shuffle to build pairs). The LM
+    is token-TYPE-sized: ONE partial-agg shuffle over the reference slice
+    builds the bigram-count table c2, materialized behind an eager barrier;
+    the context counts (c1 = Σ_cur c2) and vocab scalar derive from c2, so
+    the model costs one reference pass, not three. Scoring is the only
+    other corpus pass: the broadcast model joins onto the bigram stream —
+    no corpus-sized shuffle ever carries text; the per-doc aggregation
+    shuffles map-combined partial sums keyed by doc_id. The tertile split
+    is one window per language over doc-level rows. Rounding before the
+    NTILE order key keeps the tertile boundaries engine-portable.
+    """
+    from ..tables import widen_scan
+
+    docs = widen_scan(t["documents"])
+    w = T.words("text")
+    base = docs.select("doc_id", "lang", w.alias("w")).where(F.size("w") >= 2)
+    bigrams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 1).alias("prev"),
+                F.slice("w", 2, F.size("w") - 1).alias("cur"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    ref = bigrams.where(F.col("doc_id") % 2 == 0)
+    # bigram-TYPE-sized model table; barrier because c1/vocab/scoring would
+    # otherwise each replay the reference scan+explode
+    c2 = (
+        ref.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vocab = c2.select(F.countDistinct("cur").alias("v"))
+    lp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+    )
+    per_doc = (
+        bigrams.join(F.broadcast(c2), ["prev", "cur"], "left")
+        .join(F.broadcast(c1), ["prev"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(lp), 4).alias("cross_entropy"),
+        )
+    )
+    tert = Window.partitionBy("lang").orderBy(
+        F.col("cross_entropy").asc(), F.col("doc_id").asc()
+    )
+    bucket = F.ntile(3).over(tert)
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "cross_entropy",
+        F.when(bucket == 1, "head").when(bucket == 2, "middle").otherwise("tail").alias(
+            "ppl_bucket"
+        ),
+    )

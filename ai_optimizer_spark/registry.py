@@ -4365,6 +4365,80 @@ _register(
     """,
 )
 
+_register(
+    "tx16_ngram_perplexity",
+    TX.ngram_perplexity,
+    f"""
+    WITH arr AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    mx AS (SELECT COALESCE(MAX(len(w)), 1) AS m FROM arr),
+    bi AS (
+        SELECT doc_id, lang, w[i.i] AS prev, w[i.i + 1] AS cur
+        FROM arr, (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) i
+        WHERE len(w) >= 2 AND i.i < len(w)
+    ),
+    ref AS (SELECT prev, cur FROM bi WHERE doc_id % 2 = 0),
+    c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM ref GROUP BY 1, 2),
+    c1 AS (SELECT prev, COUNT(*) AS c1 FROM ref GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT cur) AS v FROM ref),
+    per_doc AS (
+        SELECT bi.doc_id, bi.lang, COUNT(*) AS n_bigrams,
+               ROUND(-AVG(ln((COALESCE(c2.c2, 0) + 1.0)
+                             / (COALESCE(c1.c1, 0) + v.v))), 4) AS cross_entropy
+        FROM bi LEFT JOIN c2 USING (prev, cur)
+                LEFT JOIN c1 USING (prev)
+                CROSS JOIN v
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_bigrams, cross_entropy,
+           CASE NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY cross_entropy ASC, doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM per_doc
+    """,
+)
+
+_register(
+    "smp10_dsir_importance",
+    SMP.dsir_importance,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    doc_b AS (
+        SELECT doc_id, source,
+               {_h60("'dsir|' || term")} % 64 AS b,
+               COUNT(*) AS cnt
+        FROM toks GROUP BY 1, 2, 3
+    ),
+    raw AS (SELECT b, SUM(cnt) AS cr FROM doc_b GROUP BY 1),
+    tgt AS (SELECT b, SUM(cnt) AS ct FROM doc_b WHERE source = 'src0' GROUP BY 1),
+    nt AS (SELECT SUM(ct) AS nt FROM tgt),
+    nr AS (SELECT SUM(cr) AS nr FROM raw),
+    ratio AS (
+        SELECT raw.b,
+               ln((COALESCE(tgt.ct, 0) + 1.0) / (nt.nt + 64))
+             - ln((raw.cr + 1.0) / (nr.nr + 64)) AS log_ratio
+        FROM raw LEFT JOIN tgt USING (b) CROSS JOIN nt CROSS JOIN nr
+    ),
+    weights AS (
+        SELECT doc_id, source, ROUND(SUM(cnt * log_ratio), 4) AS weight
+        FROM doc_b JOIN ratio USING (b) GROUP BY 1, 2
+    ),
+    k AS (SELECT CEIL(COUNT(*) / 4.0) AS k FROM weights)
+    SELECT doc_id, source, weight FROM (
+        SELECT doc_id, source, weight,
+               ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id ASC) AS rn
+        FROM weights
+    ) ranked, k WHERE ranked.rn <= k.k
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # Registration-order priority

@@ -64,12 +64,14 @@ HEADLINE = [
     "tx11_repetition_stats",
     "tx12_pii_redaction",
     "tx13_bpe_pair_counts",
+    "tx16_ngram_perplexity",
     "d12_decontamination",
     "v12_ann_recall",
     "v16_range_search_pruned",
     "smp5_temperature_mix",
     "smp6_sequence_packing",
     "smp9_token_budget_select",
+    "smp10_dsir_importance",
     "t6_token_stream_assembly",
     "st2_sessionize",
     "st11_funnel_steps",

@@ -46,6 +46,8 @@ def degenerate_t(spark):
         D.cluster_survivors,
         D.corpus_dup_profile,
         SMP.token_budget_select,
+        SMP.dsir_importance,
+        TX.ngram_perplexity,
         lambda t: D.span_index(t["documents"]),
     ],
 )

@@ -542,3 +542,27 @@ def test_cell_stats_refresh_map_only_assignment(spark):
     # the history/delta split reaches the parquet scans
     assert "LessThan(vec_id,400)" in plan
     assert "GreaterThanOrEqual(vec_id,400)" in plan
+
+
+def test_ngram_perplexity_model_broadcasts(spark):
+    """tx16: the bigram LM must be token-TYPE-sized and broadcast — exactly
+    two corpus passes (model build + scoring; c1/vocab derive from the
+    checkpointed c2, never re-scanning), no sort-merge join, no global
+    sort; the tertile window partitions by language."""
+    plan = plan_of(spark, "tx16_ngram_perplexity")
+    assert plan.count("Scan parquet") == 2  # model pass + scoring pass only
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan  # the LM joins broadcast
+    assert "hashpartitioning(lang" in plan  # per-language tertile window
+
+
+def test_dsir_importance_avoids_global_sort(spark):
+    """smp10: selection must use the value-space-bounded weight-level
+    cumsum + per-weight tie-break windows — never a corpus-wide
+    rangepartitioning sort; the ratio table and offsets broadcast back."""
+    plan = plan_of(spark, "smp10_dsir_importance")
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(weight" in plan  # per-weight tie-break window
+    assert "BroadcastHashJoin" in plan

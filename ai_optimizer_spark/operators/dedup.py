@@ -1109,3 +1109,80 @@ def choose_simhash_blocking(
             best = (cost, (b, m))
     assert best is not None
     return best[1]
+
+
+SEMDEDUP_TAU = 0.3  # near-dup cosine threshold; real text embeddings sit
+# much tighter (paper uses ~0.95+) — the synthetic fixture's within-cell
+# 99th percentile is ~0.34, so 0.3 exercises the same selectivity regime
+
+
+def semdedup(
+    t: dict[str, DataFrame],
+    tau: float = SEMDEDUP_TAU,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """d18: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication") — embedding-space near-dup
+    removal scoped to k-means cells. Every vector is assigned to its nearest
+    centroid; within a cell, pairs with cosine ≥ tau are semantic duplicates
+    and the RANK-GREEDY rule of the released implementation decides
+    survival: x is removed iff some same-cell y with cos(x, y) ≥ tau
+    precedes x in (cos_to_centroid ASC, vec_id ASC) order — "keep the
+    member farthest from the centroid", the paper's diversity-preserving
+    choice, one-shot (removal does not cascade, exactly like the paper's
+    code). Emits every vector with its cell, centroid similarity, and
+    keep/drop verdict.
+
+    Scale shape: assignment is the map-only inlined-centroid projection
+    (`_assign_cells` — zero shuffles, the FAISS coarse-quantizer shape);
+    the scored base (cid, cos_c) is computed ONCE and checkpointed before
+    the self-join (the HOF-fold lesson: without the barrier codegen
+    re-evaluates the centroid fold per candidate pair); pair volume is
+    bounded by cell occupancy, never n² — at 100 TB the store is written
+    clustered by cid so the self-join is partition-local, and the removal
+    set joins back as an id-only broadcast-or-shuffle anti pattern.
+    """
+    from .similarity import _ivf_assign
+
+    cents, assigned = _ivf_assign(t["embeddings"], n_centroids)
+    scored = (
+        assigned.join(F.broadcast(cents), assigned["cid"] == cents["cid"])
+        .select(
+            "vec_id",
+            assigned["cid"].alias("cid"),
+            "embedding",
+            (F.round(V.cosine_similarity("embedding", "ce"), 3) + F.lit(0.0)).alias(
+                "cos_c"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = scored.select(
+        F.col("vec_id").alias("va"),
+        F.col("cid").alias("ca"),
+        F.col("embedding").alias("ea"),
+        F.col("cos_c").alias("cca"),
+    )
+    b = scored.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cid").alias("cb"),
+        F.col("embedding").alias("eb"),
+        F.col("cos_c").alias("ccb"),
+    )
+    precedes = (F.col("ccb") < F.col("cca")) | (
+        (F.col("ccb") == F.col("cca")) & (F.col("vb") < F.col("va"))
+    )
+    removed = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") != F.col("vb")))
+        .filter(
+            (F.round(V.cosine_similarity("ea", "eb"), 3) + F.lit(0.0) >= tau)
+            & precedes
+        )
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("rm", F.lit(True))
+    )
+    return (
+        scored.join(removed, "vec_id", "left")
+        .select("vec_id", "cid", "cos_c", F.col("rm").isNull().alias("is_kept"))
+    )

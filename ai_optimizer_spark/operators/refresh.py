@@ -268,3 +268,83 @@ def cell_stats_refresh(
             F.coalesce(F.col("d.r_cell"), F.lit(float("-inf"))),
         ).alias("r_cell"),
     )
+
+
+DRIFT_PSI_THRESHOLD = 0.01  # per-cell PSI contribution; the classic PSI
+# rule of thumb flags a variable at 0.1-0.25 TOTAL — a single cell
+# contributing 0.01 is the same order of alarm at 16 cells
+
+
+def drift_monitor(
+    t: dict[str, DataFrame], cutoff: int = 400, n_centroids: int = 16
+) -> DataFrame:
+    """T12: embedding-distribution drift monitoring for the clustered ANN
+    store — the read-side twin of t11's stats maintenance. The stored
+    population (vec_id < cutoff) and the incoming batch (≥ cutoff) are
+    both assigned to the SAME fixed coarse quantizer; per cell the op
+    reports occupancy shares, the population-stability-index contribution
+    psi_c = (p_new − p_hist)·ln(p_new/p_hist) (add-half smoothed so empty
+    cells are defined), the mean-centroid-distance delta, and a drift
+    verdict. A drifted cell is the signal to re-run Lloyd rounds (v9) /
+    rebuild the cell's PQ codebook (v17) before recall quietly degrades —
+    the monitoring loop every production vector store runs.
+
+    Scale shape: identical to t11 — map-only inlined-centroid assignment
+    on both populations, per-cell algebraic aggregates (count, avg), an
+    n_centroids-sized full-outer merge, scalar totals broadcast back.
+    O(corpus) scan cost, O(n_centroids) state; at steady state the stored
+    side comes from the persisted stats table and the cost is
+    O(delta + n_centroids).
+
+    Reference: the reference rebuilds its store blind (embed/refresh.py:
+    28-143, drop-and-reload); layout-quality monitoring is the engine
+    extension that makes incremental maintenance safe to trust."""
+    from ..functions import vector as V
+    from .similarity import _assign_cells
+
+    emb = t["embeddings"]
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cent_rows = cents.collect()  # bounded: the n_centroids-row model
+
+    def stats(part: DataFrame) -> DataFrame:
+        assigned = _assign_cells(part, cents, rows=cent_rows)
+        dist = F.round(V.euclidean_distance("embedding", "ce"), 3) + F.lit(0.0)
+        return (
+            assigned.join(F.broadcast(cents), "cid")
+            .select("cid", dist.alias("dc"))
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("dc").alias("md"))
+        )
+
+    hist = stats(emb.filter(F.col("vec_id") < cutoff))
+    new = stats(emb.filter(F.col("vec_id") >= cutoff))
+    th = hist.select(F.sum("n").alias("th"))
+    td = new.select(F.sum("n").alias("td"))
+    merged = (
+        hist.alias("h")
+        .join(new.alias("d"), "cid", "full_outer")
+        .crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(td))
+    )
+    hn = F.coalesce(F.col("h.n"), F.lit(0).cast("long"))
+    dn = F.coalesce(F.col("d.n"), F.lit(0).cast("long"))
+    smooth_k = float(n_centroids) / 2.0
+    ph = (hn + F.lit(0.5)) / (F.col("th") + F.lit(smooth_k))
+    pd_ = (dn + F.lit(0.5)) / (F.col("td") + F.lit(smooth_k))
+    psi = (pd_ - ph) * F.log(pd_ / ph)
+    return merged.select(
+        F.col("cid").cast("long").alias("cid"),
+        hn.alias("hist_n"),
+        dn.alias("new_n"),
+        F.round(ph, 4).alias("hist_share"),
+        F.round(pd_, 4).alias("new_share"),
+        F.round(psi, 6).alias("psi"),
+        F.round(
+            F.coalesce(F.col("d.md"), F.lit(0.0))
+            - F.coalesce(F.col("h.md"), F.lit(0.0)),
+            4,
+        ).alias("dist_delta"),
+        (F.round(psi, 6) > F.lit(DRIFT_PSI_THRESHOLD)).alias("drifted"),
+    )

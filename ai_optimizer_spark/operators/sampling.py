@@ -458,23 +458,35 @@ def dsir_importance(t: dict[str, DataFrame]) -> DataFrame:
     Gumbel-noise sampling so the selected set is stable across re-ingest,
     like every sampler in this module.
     """
+    return dsir_select(t["documents"]).select("doc_id", "source", "weight")
+
+
+def dsir_select(
+    docs: DataFrame,
+    keep_ntile: int = DSIR_KEEP_NTILE,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """DSIR core, reusable over any document pool (smp10 runs it on the
+    whole corpus; e2e_corpus_assembly on the perplexity-kept subset).
+    Returns the selected rows as (doc_id, source, *extra_keys, weight,
+    n_tokens) — n_tokens rides along from the feature counts for free, so
+    downstream token accounting never re-reads text. Scale shape is
+    documented on dsir_importance."""
     from ..functions.text import words
 
-    docs = t["documents"]
+    keys = ["doc_id", "source", *extra_keys]
     # eager barrier: three consumer subtrees below — without it Catalyst
     # re-scans the corpus and replays the explode for each
     doc_b = (
         docs.select(
-            "doc_id",
-            "source",
+            *keys,
             F.explode(words("text")).alias("term"),
         )
         .select(
-            "doc_id",
-            "source",
+            *keys,
             (_bucket(F.col("term"), "dsir", DSIR_BUCKETS)).alias("b"),
         )
-        .groupBy("doc_id", "source", "b")
+        .groupBy(*keys, "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
@@ -501,12 +513,15 @@ def dsir_importance(t: dict[str, DataFrame]) -> DataFrame:
     )
     weights = (
         doc_b.join(F.broadcast(ratio), "b")
-        .groupBy("doc_id", "source")
-        .agg(F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 4).alias("weight"))
+        .groupBy(*keys)
+        .agg(
+            F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 4).alias("weight"),
+            F.sum("cnt").alias("n_tokens"),
+        )
         .localCheckpoint(eager=True)  # feeds the total-count scalar + cumsum + keep chain
     )
     n_docs = weights.select(
-        F.ceil(F.count(F.lit(1)) / F.lit(DSIR_KEEP_NTILE)).alias("k")
+        F.ceil(F.count(F.lit(1)) / F.lit(keep_ntile)).alias("k")
     )
     # weight-level table: bounded by the 4-decimal value space, not corpus size
     wtot = weights.groupBy("weight").agg(F.count(F.lit(1)).alias("wn"))
@@ -527,5 +542,5 @@ def dsir_importance(t: dict[str, DataFrame]) -> DataFrame:
         .join(F.broadcast(woff), "weight")
         .crossJoin(F.broadcast(n_docs))
         .where(F.col("higher") + F.col("within") <= F.col("k"))
-        .select("doc_id", "source", "weight")
+        .select(*keys, "weight", "n_tokens")
     )

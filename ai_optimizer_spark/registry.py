@@ -4439,6 +4439,165 @@ _register(
     """,
 )
 
+_register(
+    "t12_drift_monitor",
+    RF.drift_monitor,
+    """
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT vec_id, cid, dc FROM (
+            SELECT e.vec_id, c.cid,
+                   ROUND(list_distance(e.ee, c.ce), 3) + 0.0 AS dc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    h AS (SELECT cid, COUNT(*) AS n, AVG(dc) AS md FROM assigned
+          WHERE vec_id < 400 GROUP BY 1),
+    d AS (SELECT cid, COUNT(*) AS n, AVG(dc) AS md FROM assigned
+          WHERE vec_id >= 400 GROUP BY 1),
+    th AS (SELECT SUM(n) AS th FROM h),
+    td AS (SELECT SUM(n) AS td FROM d)
+    SELECT COALESCE(h.cid, d.cid) AS cid,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS hist_n,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS new_n,
+           ROUND((COALESCE(h.n, 0) + 0.5) / (th.th + 8.0), 4) AS hist_share,
+           ROUND((COALESCE(d.n, 0) + 0.5) / (td.td + 8.0), 4) AS new_share,
+           ROUND(((COALESCE(d.n, 0) + 0.5) / (td.td + 8.0)
+                  - (COALESCE(h.n, 0) + 0.5) / (th.th + 8.0))
+                 * ln(((COALESCE(d.n, 0) + 0.5) / (td.td + 8.0))
+                      / ((COALESCE(h.n, 0) + 0.5) / (th.th + 8.0))), 6) AS psi,
+           ROUND(COALESCE(d.md, 0.0) - COALESCE(h.md, 0.0), 4) AS dist_delta,
+           ROUND(((COALESCE(d.n, 0) + 0.5) / (td.td + 8.0)
+                  - (COALESCE(h.n, 0) + 0.5) / (th.th + 8.0))
+                 * ln(((COALESCE(d.n, 0) + 0.5) / (td.td + 8.0))
+                      / ((COALESCE(h.n, 0) + 0.5) / (th.th + 8.0))), 6)
+               > 0.01 AS drifted
+    FROM h FULL OUTER JOIN d ON h.cid = d.cid, th, td
+    """,
+)
+
+_register(
+    "d18_semdedup",
+    D.semdedup,
+    """
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    scored AS (
+        SELECT vec_id, cid, ee,
+               ROUND(list_cosine_similarity(ee, ce), 3) + 0.0 AS cos_c
+        FROM (
+            SELECT e.vec_id, e.ee, c.cid, c.ce,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    removed AS (
+        SELECT DISTINCT a.vec_id
+        FROM scored a JOIN scored b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.ee, b.ee), 3) + 0.0 >= 0.3
+          AND (b.cos_c < a.cos_c
+               OR (b.cos_c = a.cos_c AND b.vec_id < a.vec_id))
+    )
+    SELECT s.vec_id, s.cid, s.cos_c, r.vec_id IS NULL AS is_kept
+    FROM scored s LEFT JOIN removed r ON s.vec_id = r.vec_id
+    """,
+)
+
+from .plans.corpus_mix import corpus_assembly  # noqa: E402
+
+_register(
+    "e2e_corpus_assembly",
+    corpus_assembly,
+    f"""
+    WITH arr AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    mx AS (SELECT COALESCE(MAX(len(w)), 1) AS m FROM arr),
+    bi AS (
+        SELECT doc_id, lang, w[i.i] AS prev, w[i.i + 1] AS cur
+        FROM arr, (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) i
+        WHERE len(w) >= 2 AND i.i < len(w)
+    ),
+    ref AS (SELECT prev, cur FROM bi WHERE doc_id % 2 = 0),
+    c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM ref GROUP BY 1, 2),
+    c1 AS (SELECT prev, COUNT(*) AS c1 FROM ref GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT cur) AS v FROM ref),
+    per_doc AS (
+        SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+               ROUND(-AVG(ln((COALESCE(c2.c2, 0) + 1.0)
+                             / (COALESCE(c1.c1, 0) + v.v))), 4) AS cross_entropy,
+               bi.lang
+        FROM bi LEFT JOIN c2 USING (prev, cur)
+                LEFT JOIN c1 USING (prev)
+                CROSS JOIN v
+        GROUP BY bi.doc_id, bi.lang
+    ),
+    keep AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   NTILE(3) OVER (PARTITION BY lang
+                                  ORDER BY cross_entropy ASC, doc_id ASC) AS tert
+            FROM per_doc
+        ) WHERE tert <= 2
+    ),
+    toks AS (
+        SELECT d.doc_id, d.source, d.lang,
+               unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS term
+        FROM documents d JOIN keep USING (doc_id)
+    ),
+    doc_b AS (
+        SELECT doc_id, source, lang,
+               {_h60("'dsir|' || term")} % 64 AS b,
+               COUNT(*) AS cnt
+        FROM toks GROUP BY 1, 2, 3, 4
+    ),
+    raw AS (SELECT b, SUM(cnt) AS cr FROM doc_b GROUP BY 1),
+    tgt AS (SELECT b, SUM(cnt) AS ct FROM doc_b WHERE source = 'src0' GROUP BY 1),
+    nt AS (SELECT SUM(ct) AS nt FROM tgt),
+    nr AS (SELECT SUM(cr) AS nr FROM raw),
+    ratio AS (
+        SELECT raw.b,
+               ln((COALESCE(tgt.ct, 0) + 1.0) / (nt.nt + 64))
+             - ln((raw.cr + 1.0) / (nr.nr + 64)) AS log_ratio
+        FROM raw LEFT JOIN tgt USING (b) CROSS JOIN nt CROSS JOIN nr
+    ),
+    weights AS (
+        SELECT doc_id, source, lang,
+               ROUND(SUM(cnt * log_ratio), 4) AS weight,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens
+        FROM doc_b JOIN ratio USING (b) GROUP BY 1, 2, 3
+    ),
+    k AS (SELECT CEIL(COUNT(*) / 4.0) AS k FROM weights),
+    sel AS (
+        SELECT lang, source, weight, n_tokens FROM (
+            SELECT lang, source, weight, n_tokens,
+                   ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id ASC) AS rn
+            FROM weights
+        ) ranked, k WHERE ranked.rn <= k.k
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(ROUND(SUM(CAST(weight AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_weight
+    FROM sel GROUP BY 1, 2
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # Registration-order priority
@@ -4480,7 +4639,7 @@ _PRIORITY: list[str] = [
     "a21_customer_order_distribution",
     # dedup family (scale-safe canonical forms) + clustering + curation e2e
     "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
+    "d18_semdedup",
     "d13_topic_clusters",
     "d4_simhash_pairs",
     "d5_embedding_neardup",
@@ -4499,25 +4658,32 @@ _PRIORITY: list[str] = [
     "st14_streaming_span_novelty",
     "t10_span_index_refresh",
     "t9_incremental_rollup",
-    "st7_streaming_sessionize",
+    "tx16_ngram_perplexity",
     # aggregation extensions + sampling/packing (+ j28/a24 Q2/Q11, new r5)
     "j28_min_cost_supplier",
     "a24_important_part_values",
-    "e2e_vector_search",
+    "e2e_corpus_assembly",
     "e2e_training_export",
     "smp6_sequence_packing",
     "tx14_bpe_learn",
-    "a18_idle_rich_customers",
+    "smp10_dsir_importance",
     # streaming near-dup + SCD2 (round-3 flagships)
     "st12_streaming_neardup_candidates",
     "t8_scd2_history",
     "smp8_quality_resample",
     "smp5_temperature_mix",
-    "v13_clustered_ivf_topk",
+    "t12_drift_monitor",
     # NL2SQL generation + evaluation e2e + deep parse
     "o15b_nl2sql_generated",
     "e2e_evaluation_report",
     "s5_deep_parse",
+    # displaced from the prefix by the r5 additions (repo gate still
+    # covers them every session; each family keeps >=2 prefix slots)
+    "d2_ngram_jaccard_pairs",
+    "st7_streaming_sessionize",
+    "e2e_vector_search",
+    "a18_idle_rich_customers",
+    "v13_clustered_ivf_topk",
     # positions 51+ — driver-verified only if the sample widens; the repo
     # parity gate (tests/test_oracle_parity.py) checks them every session
     "v8_ivf_knn_join",

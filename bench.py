@@ -57,6 +57,7 @@ HEADLINE = [
     "d15_repeated_substrings",
     "d16_cluster_survivors",
     "d17_corpus_dup_profile",
+    "d18_semdedup",
     "tx1_token_stats",
     "tx5_chunk_documents",
     "tx8_top_terms",
@@ -72,6 +73,7 @@ HEADLINE = [
     "smp6_sequence_packing",
     "smp9_token_budget_select",
     "smp10_dsir_importance",
+    "e2e_corpus_assembly",
     "t6_token_stream_assembly",
     "st2_sessionize",
     "st11_funnel_steps",
@@ -84,6 +86,7 @@ HEADLINE = [
     "t9_incremental_rollup",
     "t10_span_index_refresh",
     "t11_cell_stats_refresh",
+    "t12_drift_monitor",
     "v16b_clustered_range_search",
     "v21_dpp_cell_stats",
     "j26_shipping_priority",

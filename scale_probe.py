@@ -40,12 +40,22 @@ OPS = [
     "d15_repeated_substrings",
     "d16_cluster_survivors",
     "d17_corpus_dup_profile",
+    "d18_semdedup",
     "e2e_curation_pipeline",
+    "e2e_corpus_assembly",
     "v10_matmul_knn",
     "v17_ivfpq_topk",
     "v20_ivfpq_topk_np",
     "smp6_sequence_packing",
+    "smp9_token_budget_select",
+    "smp10_dsir_importance",
     "tx13_bpe_pair_counts",
+    "tx16_ngram_perplexity",
+    # incremental-maintenance family: the write paths behind the serving
+    # tiers — cost must track the delta/affected set, not the corpus
+    "t10_span_index_refresh",
+    "t11_cell_stats_refresh",
+    "t12_drift_monitor",
     # events family (VERDICT r3 task #7): per-user chained aggregates —
     # tiles shift user_id so the user population grows with the corpus
     # while per-user behavior (funnel depth, cohort shape, session

@@ -10,6 +10,7 @@ import pytest
 from ai_optimizer_spark.operators import dedup as D
 from ai_optimizer_spark.operators import sampling as SMP
 from ai_optimizer_spark.operators import textops as TX
+from ai_optimizer_spark.plans.corpus_mix import corpus_assembly
 
 
 @pytest.fixture(scope="module")
@@ -48,6 +49,7 @@ def degenerate_t(spark):
         SMP.token_budget_select,
         SMP.dsir_importance,
         TX.ngram_perplexity,
+        corpus_assembly,
         lambda t: D.span_index(t["documents"]),
     ],
 )

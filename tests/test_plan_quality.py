@@ -566,3 +566,41 @@ def test_dsir_importance_avoids_global_sort(spark):
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(weight" in plan  # per-weight tie-break window
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_assembly_id_level_gate(spark):
+    """e2e_corpus_assembly: the perplexity-kept set must gate the corpus
+    through an id-level LeftSemi join on doc_id (the stage boundary is
+    ids, never text). The final registered plan starts at the DSIR
+    checkpoint (the gate runs inside its eager materialization), so the
+    gate's shape is asserted on the stage DataFrame itself; the composed
+    plan must still be sort- and cartesian-free."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ai_optimizer_spark.operators.textops import ngram_perplexity
+    from ai_optimizer_spark.tables import load_tables
+    from pyspark.sql import functions as SF_
+
+    t = load_tables(spark, SF)
+    ppl = ngram_perplexity(t)
+    kept = ppl.where(SF_.col("ppl_bucket") != "tail").select("doc_id")
+    gated = t["documents"].join(kept, "doc_id", "left_semi")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        gated.explain("formatted")
+    gate_plan = buf.getvalue()
+    assert "LeftSemi" in gate_plan
+    plan = plan_of(spark, "e2e_corpus_assembly")
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_checkpointed_base_and_bounded_pairs(spark):
+    """d18: the scored base must be checkpointed before the self-join (no
+    parquet re-scan, no per-pair centroid fold) and the pair join must be
+    a cell-keyed equi-join, never a cartesian product."""
+    plan = plan_of(spark, "d18_semdedup")
+    assert "Scan parquet" not in plan  # everything reads the checkpoint
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan

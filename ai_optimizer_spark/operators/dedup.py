@@ -1115,11 +1115,24 @@ SEMDEDUP_TAU = 0.3  # near-dup cosine threshold; real text embeddings sit
 # much tighter (paper uses ~0.95+) — the synthetic fixture's within-cell
 # 99th percentile is ~0.34, so 0.3 exercises the same selectivity regime
 
+SEMDEDUP_CELL_TARGET = 500  # auto-k aims at ~this many vectors per cell
+
+
+def choose_semdedup_k(n_vecs: int) -> int:
+    """k must SCALE WITH THE CORPUS (the paper clusters 100k-way for
+    LAION-scale data): with fixed k, cell occupancy grows linearly and the
+    within-cell pair volume quadratically — the first probe run measured
+    exactly that (6.2 s → 268 s at 16×, a clean O(n²) signature). Holding
+    occupancy near SEMDEDUP_CELL_TARGET makes pair volume ~n·target/2,
+    linear in the corpus. Floor 16 keeps every driver fixture (≤5k
+    vectors) on the oracle-pinned 16-centroid layout."""
+    return max(16, n_vecs // SEMDEDUP_CELL_TARGET)
+
 
 def semdedup(
     t: dict[str, DataFrame],
     tau: float = SEMDEDUP_TAU,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """d18: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication") — embedding-space near-dup
@@ -1138,35 +1151,59 @@ def semdedup(
     the scored base (cid, cos_c) is computed ONCE and checkpointed before
     the self-join (the HOF-fold lesson: without the barrier codegen
     re-evaluates the centroid fold per candidate pair); pair volume is
-    bounded by cell occupancy, never n² — at 100 TB the store is written
-    clustered by cid so the self-join is partition-local, and the removal
-    set joins back as an id-only broadcast-or-shuffle anti pattern.
+    bounded by cell occupancy, and k SCALES WITH THE CORPUS
+    (`choose_semdedup_k`, occupancy ≈ SEMDEDUP_CELL_TARGET) so that bound
+    is linear in n, never n² — the fixed-k probe run measured the
+    quadratic blow-up this prevents (SCALE.md finding). At 100 TB the
+    store is written clustered by cid so the self-join is partition-local,
+    and the removal set joins back as an id-only anti pattern.
     """
+    from ..tables import widen_scan
     from .similarity import _ivf_assign
 
-    cents, assigned = _ivf_assign(t["embeddings"], n_centroids)
+    emb = t["embeddings"]
+    if n_centroids is None:
+        n_centroids = choose_semdedup_k(emb.count())
+    cents, assigned = _ivf_assign(emb, n_centroids)
+    # `ne` = the unit-normalized vector, computed ONCE per vector: the
+    # per-pair cosine then collapses to a single dot fold instead of
+    # dot + two norms — HOF folds run interpreted, so at ~500 pairs per
+    # vector the 3→1 fold cut is the difference between the pair phase
+    # dominating and disappearing (measured 3× on the 16× tile)
     scored = (
         assigned.join(F.broadcast(cents), assigned["cid"] == cents["cid"])
         .select(
             "vec_id",
             assigned["cid"].alias("cid"),
             "embedding",
+            V.norm("embedding").alias("nrm"),
             (F.round(V.cosine_similarity("embedding", "ce"), 3) + F.lit(0.0)).alias(
                 "cos_c"
             ),
         )
+        .select(
+            "vec_id",
+            "cid",
+            F.transform("embedding", lambda x: x / F.col("nrm")).alias("ne"),
+            "cos_c",
+        )
         .localCheckpoint(eager=True)
     )
-    a = scored.select(
-        F.col("vec_id").alias("va"),
-        F.col("cid").alias("ca"),
-        F.col("embedding").alias("ea"),
-        F.col("cos_c").alias("cca"),
+    # widen the probe side: the checkpoint inherits the narrow scan's
+    # partition count, which would run the pair phase on a handful of cores
+    a = widen_scan(
+        scored.select(
+            F.col("vec_id").alias("va"),
+            F.col("cid").alias("ca"),
+            F.col("ne").alias("na"),
+            F.col("cos_c").alias("cca"),
+        ),
+        min_parts=32,
     )
     b = scored.select(
         F.col("vec_id").alias("vb"),
         F.col("cid").alias("cb"),
-        F.col("embedding").alias("eb"),
+        F.col("ne").alias("nb"),
         F.col("cos_c").alias("ccb"),
     )
     precedes = (F.col("ccb") < F.col("cca")) | (
@@ -1175,8 +1212,7 @@ def semdedup(
     removed = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") != F.col("vb")))
         .filter(
-            (F.round(V.cosine_similarity("ea", "eb"), 3) + F.lit(0.0) >= tau)
-            & precedes
+            (F.round(V.dot("na", "nb"), 3) + F.lit(0.0) >= tau) & precedes
         )
         .select(F.col("va").alias("vec_id"))
         .distinct()

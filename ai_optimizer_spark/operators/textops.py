@@ -674,3 +674,65 @@ def ngram_perplexity(t: dict[str, DataFrame]) -> DataFrame:
             "ppl_bucket"
         ),
     )
+
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(t: dict[str, DataFrame]) -> DataFrame:
+    """tx17: the Gopher quality rules (Rae et al. 2021, "Scaling Language
+    Models", App. A1.1 — the filter set MassiveText introduced and
+    RedPajama/RefinedWeb reuse), as per-rule verdict columns plus the
+    composite keep flag: word-count bounds, mean-word-length bounds,
+    fraction of words containing an alphabetic character, and the ≥2
+    distinct-stop-word hit rule. tx2's quality_score RANKS documents;
+    this op GATES them with the published thresholds — both exist because
+    real pipelines run the rules first and the scorer on what survives.
+
+    Scale shape: one narrow projection fused into the scan — every rule
+    is an array fold over the same words() split (computed once via a
+    single select), no shuffle, no join, no state; the cheapest possible
+    gate for a first 100 TB pass, exactly why MassiveText ran rules
+    before model-based scoring."""
+    docs = t["documents"]
+    w = T.words("text")
+    base = docs.select("doc_id", w.alias("w"))
+    n = F.size("w").cast("long")
+    total_len = F.aggregate(
+        F.col("w"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = F.round(total_len / n, 3)
+    n_alpha = F.size(F.filter(F.col("w"), lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = F.round(n_alpha / n, 3)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(F.col("w")), stop_arr)
+    ).cast("long")
+    scored = base.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    ok_count = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    ok_len = (F.col("mean_word_len") >= GOPHER_MIN_MEAN_LEN) & (
+        F.col("mean_word_len") <= GOPHER_MAX_MEAN_LEN
+    )
+    ok_alpha = F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC
+    ok_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    return scored.select(
+        "*",
+        ok_count.alias("ok_word_count"),
+        ok_len.alias("ok_mean_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_count & ok_len & ok_alpha & ok_stop).alias("keep"),
+    )

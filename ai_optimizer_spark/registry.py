@@ -4440,6 +4440,37 @@ _register(
 )
 
 _register(
+    "tx17_gopher_rules",
+    TX.gopher_rules,
+    f"""
+    WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               ROUND(list_sum(list_transform(w, x -> length(x)))
+                     / CAST(len(w) AS DOUBLE), 3) AS mean_word_len,
+               ROUND(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                     / CAST(len(w) AS DOUBLE), 3) AS alpha_frac,
+               CAST(len(list_intersect(list_distinct(w),
+                    ['the', 'a', 'and', 'of', 'to', 'in'])) AS BIGINT) AS stop_hits
+        FROM arr
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+           n_words >= 30 AND n_words <= 100000 AS ok_word_count,
+           mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_len,
+           alpha_frac >= 0.8 AS ok_alpha,
+           stop_hits >= 2 AS ok_stopwords,
+           (n_words >= 30 AND n_words <= 100000)
+               AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+               AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+    FROM scored
+    """,
+)
+
+_register(
     "t12_drift_monitor",
     RF.drift_monitor,
     """
@@ -4671,7 +4702,7 @@ _PRIORITY: list[str] = [
     "st12_streaming_neardup_candidates",
     "t8_scd2_history",
     "smp8_quality_resample",
-    "smp5_temperature_mix",
+    "tx17_gopher_rules",
     "t12_drift_monitor",
     # NL2SQL generation + evaluation e2e + deep parse
     "o15b_nl2sql_generated",
@@ -4684,6 +4715,7 @@ _PRIORITY: list[str] = [
     "e2e_vector_search",
     "a18_idle_rich_customers",
     "v13_clustered_ivf_topk",
+    "smp5_temperature_mix",
     # positions 51+ — driver-verified only if the sample widens; the repo
     # parity gate (tests/test_oracle_parity.py) checks them every session
     "v8_ivf_knn_join",

@@ -66,6 +66,7 @@ HEADLINE = [
     "tx12_pii_redaction",
     "tx13_bpe_pair_counts",
     "tx16_ngram_perplexity",
+    "tx17_gopher_rules",
     "d12_decontamination",
     "v12_ann_recall",
     "v16_range_search_pruned",

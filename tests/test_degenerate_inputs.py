@@ -49,6 +49,7 @@ def degenerate_t(spark):
         SMP.token_budget_select,
         SMP.dsir_importance,
         TX.ngram_perplexity,
+        TX.gopher_rules,
         corpus_assembly,
         lambda t: D.span_index(t["documents"]),
     ],

@@ -604,3 +604,12 @@ def test_semdedup_checkpointed_base_and_bounded_pairs(spark):
     assert "Scan parquet" not in plan  # everything reads the checkpoint
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_gopher_rules_scan_fused(spark):
+    """tx17: the rules gate must be a single map-only projection — no
+    exchange, no join, no window; the cheapest possible first pass."""
+    plan = plan_of(spark, "tx17_gopher_rules")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan

@@ -1163,6 +1163,9 @@ def semdedup(
 
     emb = t["embeddings"]
     if n_centroids is None:
+        # one count job to size k — callers that already know the corpus
+        # size (or can read it from table statistics) should pass
+        # n_centroids explicitly to skip this extra pass
         n_centroids = choose_semdedup_k(emb.count())
     cents, assigned = _ivf_assign(emb, n_centroids)
     # `ne` = the unit-normalized vector, computed ONCE per vector: the

@@ -195,6 +195,34 @@ def span_index_refresh(t: dict[str, DataFrame], cutoff: int = 250) -> DataFrame:
     return untouched.unionByName(recomputed)
 
 
+def _centroid_model(emb: DataFrame, n_centroids: int):
+    """(cents, collected rows) for the fixed coarse quantizer — shared by
+    t11/t12 so both maintenance ops assign against the identical model."""
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    return cents, cents.collect()  # bounded: the n_centroids-row model
+
+
+def _cell_aggregate(part: DataFrame, cents, cent_rows, *aggs) -> DataFrame:
+    """Shared t11/t12 scaffold: map-only inlined-centroid assignment +
+    per-cell aggregation over the centroid distance, which is ROUNDED to
+    3 decimals BEFORE any aggregate — the v16 dist contract both oracles
+    assert; keep the rounding here, in ONE place, so the two ops can
+    never drift apart. Aggregates reference the distance as `dc`."""
+    from ..functions import vector as V
+    from .similarity import _assign_cells
+
+    assigned = _assign_cells(part, cents, rows=cent_rows)
+    dist = F.round(V.euclidean_distance("embedding", "ce"), 3) + F.lit(0.0)
+    return (
+        assigned.join(F.broadcast(cents), "cid")
+        .select("cid", dist.alias("dc"))
+        .groupBy("cid")
+        .agg(*aggs)
+    )
+
+
 def cell_stats_refresh(
     t: dict[str, DataFrame], cutoff: int = 400, n_centroids: int = 16
 ) -> DataFrame:
@@ -228,28 +256,16 @@ def cell_stats_refresh(
     Reference: the engine extension the reference's once-built vector
     store lacks — its refresh re-embeds and rewrites whole files
     (embed/refresh.py:28-143) but never maintains layout statistics."""
-    from ..functions import vector as V
-    from .similarity import _assign_cells
-
     emb = t["embeddings"]
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    cent_rows = cents.collect()  # bounded: the n_centroids-row model
+    cents, cent_rows = _centroid_model(emb, n_centroids)
 
     def stats(part: DataFrame) -> DataFrame:
-        assigned = _assign_cells(part, cents, rows=cent_rows)
-        dist = F.round(
-            V.euclidean_distance("embedding", "ce"), 3
-        ) + F.lit(0.0)
-        return (
-            assigned.join(F.broadcast(cents), "cid")
-            .select("cid", dist.alias("dc"))
-            .groupBy("cid")
-            .agg(
-                F.count(F.lit(1)).alias("n_vecs"),
-                F.max("dc").alias("r_cell"),
-            )
+        return _cell_aggregate(
+            part,
+            cents,
+            cent_rows,
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.max("dc").alias("r_cell"),
         )
 
     stored = stats(emb.filter(F.col("vec_id") < cutoff))
@@ -299,23 +315,16 @@ def drift_monitor(
     Reference: the reference rebuilds its store blind (embed/refresh.py:
     28-143, drop-and-reload); layout-quality monitoring is the engine
     extension that makes incremental maintenance safe to trust."""
-    from ..functions import vector as V
-    from .similarity import _assign_cells
-
     emb = t["embeddings"]
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    cent_rows = cents.collect()  # bounded: the n_centroids-row model
+    cents, cent_rows = _centroid_model(emb, n_centroids)
 
     def stats(part: DataFrame) -> DataFrame:
-        assigned = _assign_cells(part, cents, rows=cent_rows)
-        dist = F.round(V.euclidean_distance("embedding", "ce"), 3) + F.lit(0.0)
-        return (
-            assigned.join(F.broadcast(cents), "cid")
-            .select("cid", dist.alias("dc"))
-            .groupBy("cid")
-            .agg(F.count(F.lit(1)).alias("n"), F.avg("dc").alias("md"))
+        return _cell_aggregate(
+            part,
+            cents,
+            cent_rows,
+            F.count(F.lit(1)).alias("n"),
+            F.avg("dc").alias("md"),
         )
 
     hist = stats(emb.filter(F.col("vec_id") < cutoff))

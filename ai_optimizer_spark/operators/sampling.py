@@ -496,9 +496,17 @@ def dsir_select(
         .groupBy("b")
         .agg(F.sum("cnt").alias("ct"))
     )
-    totals = raw.crossJoin(F.broadcast(tgt.select(F.sum("ct").alias("nt")))).join(
-        F.broadcast(raw.select(F.sum("cr").alias("nr"))), how="cross"
-    )
+    # COALESCE the target total to 0: with no 'src0' docs in the pool,
+    # SUM over the empty tgt is NULL, which would NULL every weight and
+    # make the final equi-join on "weight" silently select ZERO documents
+    # (NULL keys never match) while the oracle still ranks N rows — the
+    # coalesce makes the empty-target degenerate case a well-defined
+    # uniform target (p_t = 1/B for every bucket) in both engines
+    totals = raw.crossJoin(
+        F.broadcast(
+            tgt.select(F.coalesce(F.sum("ct"), F.lit(0).cast("long")).alias("nt"))
+        )
+    ).join(F.broadcast(raw.select(F.sum("cr").alias("nr"))), how="cross")
     # raw covers every bucket that occurs in any document, so a left join
     # from raw (not from an exhaustive 0..B-1 range) is complete
     ratio = (

@@ -710,9 +710,9 @@ def gopher_rules(t: dict[str, DataFrame]) -> DataFrame:
     n_alpha = F.size(F.filter(F.col("w"), lambda x: x.rlike("[A-Za-z]")))
     alpha_frac = F.round(n_alpha / n, 3)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop_hits = F.size(
-        F.array_intersect(F.array_distinct(F.col("w")), stop_arr)
-    ).cast("long")
+    # array_intersect already deduplicates its result (as does DuckDB's
+    # list_intersect), so no distinct pass over the full word array
+    stop_hits = F.size(F.array_intersect(F.col("w"), stop_arr)).cast("long")
     scored = base.select(
         "doc_id",
         n.alias("n_words"),

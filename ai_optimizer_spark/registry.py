@@ -4418,7 +4418,7 @@ _register(
     ),
     raw AS (SELECT b, SUM(cnt) AS cr FROM doc_b GROUP BY 1),
     tgt AS (SELECT b, SUM(cnt) AS ct FROM doc_b WHERE source = 'src0' GROUP BY 1),
-    nt AS (SELECT SUM(ct) AS nt FROM tgt),
+    nt AS (SELECT COALESCE(SUM(ct), 0) AS nt FROM tgt),
     nr AS (SELECT SUM(cr) AS nr FROM raw),
     ratio AS (
         SELECT raw.b,
@@ -4454,7 +4454,7 @@ _register(
                      / CAST(len(w) AS DOUBLE), 3) AS mean_word_len,
                ROUND(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
                      / CAST(len(w) AS DOUBLE), 3) AS alpha_frac,
-               CAST(len(list_intersect(list_distinct(w),
+               CAST(len(list_intersect(w,
                     ['the', 'a', 'and', 'of', 'to', 'in'])) AS BIGINT) AS stop_hits
         FROM arr
     )
@@ -4600,7 +4600,7 @@ _register(
     ),
     raw AS (SELECT b, SUM(cnt) AS cr FROM doc_b GROUP BY 1),
     tgt AS (SELECT b, SUM(cnt) AS ct FROM doc_b WHERE source = 'src0' GROUP BY 1),
-    nt AS (SELECT SUM(ct) AS nt FROM tgt),
+    nt AS (SELECT COALESCE(SUM(ct), 0) AS nt FROM tgt),
     nr AS (SELECT SUM(cr) AS nr FROM raw),
     ratio AS (
         SELECT raw.b,

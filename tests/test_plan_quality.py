@@ -545,12 +545,16 @@ def test_cell_stats_refresh_map_only_assignment(spark):
 
 
 def test_ngram_perplexity_model_broadcasts(spark):
-    """tx16: the bigram LM must be token-TYPE-sized and broadcast — exactly
-    two corpus passes (model build + scoring; c1/vocab derive from the
-    checkpointed c2, never re-scanning), no sort-merge join, no global
-    sort; the tertile window partitions by language."""
+    """tx16: the bigram LM must be token-TYPE-sized and broadcast. The
+    SERVED plan contains exactly ONE parquet scan — the scoring pass; the
+    model pass runs once at checkpoint build time (c1/vocab derive from
+    the checkpointed c2, never re-scanning). Count in the TREE section
+    only: formatted explain prints every node a second time in the
+    details section. No sort-merge join, no global sort; the tertile
+    window partitions by language."""
     plan = plan_of(spark, "tx16_ngram_perplexity")
-    assert plan.count("Scan parquet") == 2  # model pass + scoring pass only
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1  # scoring pass only
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan  # the LM joins broadcast

@@ -329,6 +329,15 @@ def drift_monitor(
 
     hist = stats(emb.filter(F.col("vec_id") < cutoff))
     new = stats(emb.filter(F.col("vec_id") >= cutoff))
+    return drift_report(hist, new, n_centroids)
+
+
+def drift_report(hist: DataFrame, new: DataFrame, n_centroids: int) -> DataFrame:
+    """The drift computation over two per-cell (cid, n, md) stats tables —
+    shared by t12 (both sides batch) and st15 (the new side streamed into
+    the memory sink first): full-outer merge, add-half-smoothed shares,
+    per-cell PSI contribution, distance delta, verdict. Everything here is
+    n_centroids-sized — both inputs, both scalar totals, the output."""
     th = hist.select(F.sum("n").alias("th"))
     td = new.select(F.sum("n").alias("td"))
     merged = (

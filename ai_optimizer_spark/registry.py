@@ -3689,6 +3689,17 @@ ORACLE_SQL["st13_streaming_ivf_assign"] = """
     FROM assigned GROUP BY cid
 """
 
+def _st15_streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.event_stream import streaming_drift_monitor
+
+    return streaming_drift_monitor(spark, sf_dir)
+
+
+QUERIES["st15_streaming_drift_monitor"] = _st15_streaming_drift_monitor
+# same oracle as t12 by construction: the streamed per-cell delta must
+# agree with the batch delta bit-for-bit (registered after t12 below, so
+# the SQL is attached there once both exist)
+
 _register(
     "t9_incremental_rollup",
     RF.incremental_rollup,
@@ -4515,6 +4526,8 @@ _register(
     """,
 )
 
+ORACLE_SQL["st15_streaming_drift_monitor"] = ORACLE_SQL["t12_drift_monitor"]
+
 _register(
     "d18_semdedup",
     D.semdedup,
@@ -4679,7 +4692,7 @@ _PRIORITY: list[str] = [
     "e2e_curation_pipeline",
     "v14_hybrid_rrf_topk",
     # text-analysis family + multimodal (+ d15 substring dedup, new r5)
-    "tx6_quality_bins",
+    "st15_streaming_drift_monitor",
     "mm3_audio_features",
     "d15_repeated_substrings",
     "s13_store_catalog",
@@ -4716,6 +4729,7 @@ _PRIORITY: list[str] = [
     "a18_idle_rich_customers",
     "v13_clustered_ivf_topk",
     "smp5_temperature_mix",
+    "tx6_quality_bins",
     # positions 51+ — driver-verified only if the sample widens; the repo
     # parity gate (tests/test_oracle_parity.py) checks them every session
     "v8_ivf_knn_join",

@@ -413,3 +413,52 @@ def streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     return run_to_memory(spark, plan, f"st13_{uuid.uuid4().hex[:8]}")
+
+
+def streaming_drift_monitor(
+    spark: SparkSession, sf_dir: str, cutoff: int = 400, n_centroids: int = 16
+) -> DataFrame:
+    """ST15: always-on embedding-drift monitoring — the streaming twin of
+    t12, closing the serving-maintenance family (st13 routes arrivals,
+    t11 maintains the stats, t12/st15 watch them). Arriving vectors
+    assign STATELESSLY to the fixed coarse quantizer (the model ships
+    inside the plan — the st13 shape); the ONLY streaming state is the
+    per-cell (count, mean-distance) aggregate: n_centroids rows, bounded
+    forever. Structured Streaming forbids joins and second aggregations
+    downstream of a streaming aggregate, so the per-cell table
+    materializes to the memory sink and the drift report (global delta
+    total, PSI vs stored stats, verdict) composes BATCH-side over those
+    n_centroids rows — exactly how a production monitor reads its metrics
+    store. Output schema and values are t12's (same oracle): the streamed
+    delta must agree with the batch delta bit-for-bit."""
+    import os as _os
+    import uuid
+
+    from ..operators.refresh import _cell_aggregate, _centroid_model, drift_report
+
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, cent_rows = _centroid_model(static, n_centroids)
+
+    table_path = f"{sf_dir}/embeddings.parquet"
+    reader = spark.readStream.schema(static.schema).option("maxFilesPerTrigger", 1)
+    if _os.path.isdir(table_path):
+        stream = reader.parquet(table_path)
+    else:
+        stream = reader.option("pathGlobFilter", "embeddings.parquet").parquet(sf_dir)
+
+    new_cells = _cell_aggregate(
+        stream.filter(F.col("vec_id") >= cutoff),
+        cents,
+        cent_rows,
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dc").alias("md"),
+    )
+    mem = run_to_memory(spark, new_cells, f"st15_{uuid.uuid4().hex[:8]}")
+    hist = _cell_aggregate(
+        static.filter(F.col("vec_id") < cutoff),
+        cents,
+        cent_rows,
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dc").alias("md"),
+    )
+    return drift_report(hist, mem, n_centroids)

@@ -88,6 +88,7 @@ HEADLINE = [
     "t10_span_index_refresh",
     "t11_cell_stats_refresh",
     "t12_drift_monitor",
+    "st15_streaming_drift_monitor",
     "v16b_clustered_range_search",
     "v21_dpp_cell_stats",
     "j26_shipping_priority",

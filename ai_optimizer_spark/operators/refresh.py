@@ -317,19 +317,22 @@ def drift_monitor(
     extension that makes incremental maintenance safe to trust."""
     emb = t["embeddings"]
     cents, cent_rows = _centroid_model(emb, n_centroids)
-
-    def stats(part: DataFrame) -> DataFrame:
-        return _cell_aggregate(
-            part,
-            cents,
-            cent_rows,
-            F.count(F.lit(1)).alias("n"),
-            F.avg("dc").alias("md"),
-        )
-
-    hist = stats(emb.filter(F.col("vec_id") < cutoff))
-    new = stats(emb.filter(F.col("vec_id") >= cutoff))
+    hist = drift_cell_stats(emb.filter(F.col("vec_id") < cutoff), cents, cent_rows)
+    new = drift_cell_stats(emb.filter(F.col("vec_id") >= cutoff), cents, cent_rows)
     return drift_report(hist, new, n_centroids)
+
+
+def drift_cell_stats(part: DataFrame, cents, cent_rows) -> DataFrame:
+    """The (cid, n, md) drift-stat table drift_report consumes — defined
+    ONCE so t12's batch sides and st15's streaming head can never drift
+    apart on the aggregate spec."""
+    return _cell_aggregate(
+        part,
+        cents,
+        cent_rows,
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dc").alias("md"),
+    )
 
 
 def drift_report(hist: DataFrame, new: DataFrame, n_centroids: int) -> DataFrame:
@@ -358,11 +361,17 @@ def drift_report(hist: DataFrame, new: DataFrame, n_centroids: int) -> DataFrame
         dn.alias("new_n"),
         F.round(ph, 4).alias("hist_share"),
         F.round(pd_, 4).alias("new_share"),
-        F.round(psi, 6).alias("psi"),
-        F.round(
-            F.coalesce(F.col("d.md"), F.lit(0.0))
-            - F.coalesce(F.col("h.md"), F.lit(0.0)),
-            4,
+        # + 0.0 normalizes -0.0 (the codebase convention at every rounded
+        # cross-engine-compared column): equal-but-oppositely-summed
+        # deltas round to ±0.0 whose float64 bytes differ in the hash
+        (F.round(psi, 6) + F.lit(0.0)).alias("psi"),
+        (
+            F.round(
+                F.coalesce(F.col("d.md"), F.lit(0.0))
+                - F.coalesce(F.col("h.md"), F.lit(0.0)),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("dist_delta"),
-        (F.round(psi, 6) > F.lit(DRIFT_PSI_THRESHOLD)).alias("drifted"),
+        (F.round(psi, 6) + F.lit(0.0) > F.lit(DRIFT_PSI_THRESHOLD)).alias("drifted"),
     )

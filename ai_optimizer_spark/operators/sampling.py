@@ -473,12 +473,15 @@ def dsir_select(
     downstream token accounting never re-reads text. Scale shape is
     documented on dsir_importance."""
     from ..functions.text import words
+    from ..tables import widen_scan
 
     keys = ["doc_id", "source", *extra_keys]
     # eager barrier: three consumer subtrees below — without it Catalyst
-    # re-scans the corpus and replays the explode for each
+    # re-scans the corpus and replays the explode for each; widen_scan
+    # first, so the per-token hashing doesn't run on the narrow scan's
+    # single partition at fixture scale (the tx16/d18 convention)
     doc_b = (
-        docs.select(
+        widen_scan(docs).select(
             *keys,
             F.explode(words("text")).alias("term"),
         )
@@ -523,7 +526,11 @@ def dsir_select(
         doc_b.join(F.broadcast(ratio), "b")
         .groupBy(*keys)
         .agg(
-            F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 4).alias("weight"),
+            # + 0.0 normalizes -0.0 so a zero-sum weight hashes and
+            # groups identically across engines
+            (F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 4) + F.lit(0.0)).alias(
+                "weight"
+            ),
             F.sum("cnt").alias("n_tokens"),
         )
         .localCheckpoint(eager=True)  # feeds the total-count scalar + cumsum + keep chain

@@ -658,7 +658,7 @@ def ngram_perplexity(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(-F.avg(lp), 4).alias("cross_entropy"),
+            (F.round(-F.avg(lp), 4) + F.lit(0.0)).alias("cross_entropy"),
         )
     )
     tert = Window.partitionBy("lang").orderBy(

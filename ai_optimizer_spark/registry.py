@@ -4397,7 +4397,7 @@ _register(
     per_doc AS (
         SELECT bi.doc_id, bi.lang, COUNT(*) AS n_bigrams,
                ROUND(-AVG(ln((COALESCE(c2.c2, 0) + 1.0)
-                             / (COALESCE(c1.c1, 0) + v.v))), 4) AS cross_entropy
+                             / (COALESCE(c1.c1, 0) + v.v))), 4) + 0.0 AS cross_entropy
         FROM bi LEFT JOIN c2 USING (prev, cur)
                 LEFT JOIN c1 USING (prev)
                 CROSS JOIN v
@@ -4438,7 +4438,7 @@ _register(
         FROM raw LEFT JOIN tgt USING (b) CROSS JOIN nt CROSS JOIN nr
     ),
     weights AS (
-        SELECT doc_id, source, ROUND(SUM(cnt * log_ratio), 4) AS weight
+        SELECT doc_id, source, ROUND(SUM(cnt * log_ratio), 4) + 0.0 AS weight
         FROM doc_b JOIN ratio USING (b) GROUP BY 1, 2
     ),
     k AS (SELECT CEIL(COUNT(*) / 4.0) AS k FROM weights)
@@ -4515,12 +4515,12 @@ _register(
            ROUND(((COALESCE(d.n, 0) + 0.5) / (td.td + 8.0)
                   - (COALESCE(h.n, 0) + 0.5) / (th.th + 8.0))
                  * ln(((COALESCE(d.n, 0) + 0.5) / (td.td + 8.0))
-                      / ((COALESCE(h.n, 0) + 0.5) / (th.th + 8.0))), 6) AS psi,
-           ROUND(COALESCE(d.md, 0.0) - COALESCE(h.md, 0.0), 4) AS dist_delta,
+                      / ((COALESCE(h.n, 0) + 0.5) / (th.th + 8.0))), 6) + 0.0 AS psi,
+           ROUND(COALESCE(d.md, 0.0) - COALESCE(h.md, 0.0), 4) + 0.0 AS dist_delta,
            ROUND(((COALESCE(d.n, 0) + 0.5) / (td.td + 8.0)
                   - (COALESCE(h.n, 0) + 0.5) / (th.th + 8.0))
                  * ln(((COALESCE(d.n, 0) + 0.5) / (td.td + 8.0))
-                      / ((COALESCE(h.n, 0) + 0.5) / (th.th + 8.0))), 6)
+                      / ((COALESCE(h.n, 0) + 0.5) / (th.th + 8.0))), 6) + 0.0
                > 0.01 AS drifted
     FROM h FULL OUTER JOIN d ON h.cid = d.cid, th, td
     """,
@@ -4535,6 +4535,9 @@ _register(
     WITH cents AS (
         SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
         FROM embeddings WHERE vec_id < 16
+        -- 16-cell layout: choose_semdedup_k's floor for every fixture
+        -- (<= 8000 vectors); the coupling is guarded by
+        -- tests/test_text_dedup.py::test_semdedup_auto_k_matches_oracle_floor
     ),
     scored AS (
         SELECT vec_id, cid, ee,
@@ -4585,7 +4588,7 @@ _register(
     per_doc AS (
         SELECT bi.doc_id, COUNT(*) AS n_bigrams,
                ROUND(-AVG(ln((COALESCE(c2.c2, 0) + 1.0)
-                             / (COALESCE(c1.c1, 0) + v.v))), 4) AS cross_entropy,
+                             / (COALESCE(c1.c1, 0) + v.v))), 4) + 0.0 AS cross_entropy,
                bi.lang
         FROM bi LEFT JOIN c2 USING (prev, cur)
                 LEFT JOIN c1 USING (prev)
@@ -4623,7 +4626,7 @@ _register(
     ),
     weights AS (
         SELECT doc_id, source, lang,
-               ROUND(SUM(cnt * log_ratio), 4) AS weight,
+               ROUND(SUM(cnt * log_ratio), 4) + 0.0 AS weight,
                CAST(SUM(cnt) AS BIGINT) AS n_tokens
         FROM doc_b JOIN ratio USING (b) GROUP BY 1, 2, 3
     ),

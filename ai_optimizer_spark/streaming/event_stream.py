@@ -177,6 +177,21 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the embeddings parquet — shared by st13/st15.
+    FileStreamSource monitors a DIRECTORY: stream the table dir when
+    embeddings.parquet is directory-style (multi-part layout), else fall
+    back to globbing the single file out of its parent."""
+    import os as _os
+
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    table_path = f"{sf_dir}/embeddings.parquet"
+    reader = spark.readStream.schema(static.schema).option("maxFilesPerTrigger", 1)
+    if _os.path.isdir(table_path):
+        return reader.parquet(table_path)
+    return reader.option("pathGlobFilter", "embeddings.parquet").parquet(sf_dir)
+
+
 def streaming_term_doc_freq(docs: DataFrame) -> DataFrame:
     """Streaming flatMap-aggregation: per-term document frequency maintained
     incrementally as documents arrive — the streaming form of
@@ -393,17 +408,7 @@ def streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = static.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    # FileStreamSource monitors a DIRECTORY: stream the table dir when
-    # embeddings.parquet is directory-style (multi-part layout), else fall
-    # back to globbing the single file out of its parent
-    import os as _os
-
-    table_path = f"{sf_dir}/embeddings.parquet"
-    reader = spark.readStream.schema(static.schema).option("maxFilesPerTrigger", 1)
-    if _os.path.isdir(table_path):
-        stream = reader.parquet(table_path)
-    else:
-        stream = reader.option("pathGlobFilter", "embeddings.parquet").parquet(sf_dir)
+    stream = embeddings_stream(spark, sf_dir)
     assigned = _assign_cells(stream, cents)
     plan = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -431,34 +436,18 @@ def streaming_drift_monitor(
     n_centroids rows — exactly how a production monitor reads its metrics
     store. Output schema and values are t12's (same oracle): the streamed
     delta must agree with the batch delta bit-for-bit."""
-    import os as _os
     import uuid
 
-    from ..operators.refresh import _cell_aggregate, _centroid_model, drift_report
+    from ..operators.refresh import _centroid_model, drift_cell_stats, drift_report
 
     static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents, cent_rows = _centroid_model(static, n_centroids)
-
-    table_path = f"{sf_dir}/embeddings.parquet"
-    reader = spark.readStream.schema(static.schema).option("maxFilesPerTrigger", 1)
-    if _os.path.isdir(table_path):
-        stream = reader.parquet(table_path)
-    else:
-        stream = reader.option("pathGlobFilter", "embeddings.parquet").parquet(sf_dir)
-
-    new_cells = _cell_aggregate(
-        stream.filter(F.col("vec_id") >= cutoff),
-        cents,
-        cent_rows,
-        F.count(F.lit(1)).alias("n"),
-        F.avg("dc").alias("md"),
+    stream = embeddings_stream(spark, sf_dir)
+    new_cells = drift_cell_stats(
+        stream.filter(F.col("vec_id") >= cutoff), cents, cent_rows
     )
     mem = run_to_memory(spark, new_cells, f"st15_{uuid.uuid4().hex[:8]}")
-    hist = _cell_aggregate(
-        static.filter(F.col("vec_id") < cutoff),
-        cents,
-        cent_rows,
-        F.count(F.lit(1)).alias("n"),
-        F.avg("dc").alias("md"),
+    hist = drift_cell_stats(
+        static.filter(F.col("vec_id") < cutoff), cents, cent_rows
     )
     return drift_report(hist, mem, n_centroids)

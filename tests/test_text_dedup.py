@@ -405,3 +405,18 @@ def test_band_key_fold_matches_agg_form(spark, sf_medium):
     agg = {(r.doc_id, r.band, r.key) for r in D.minhash_band_keys(docs).collect()}
     fold = {(r.doc_id, r.band, r.key) for r in D.minhash_band_keys_fold(docs).collect()}
     assert agg == fold and agg
+
+
+def test_semdedup_auto_k_matches_oracle_floor():
+    """d18's oracle pins the 16-cell layout (vec_id < 16); the registered
+    query auto-sizes k from the corpus count, so the auto rule MUST stay
+    on the 16 floor for every fixture-scale corpus (largest fixture =
+    sf0.1's 2000 embeddings; 8000 leaves 4x margin). If a bigger fixture
+    ever enters the parity gate, this fails loudly instead of the oracle
+    silently diverging on cell assignments."""
+    from ai_optimizer_spark.operators.dedup import choose_semdedup_k
+
+    for n in (1, 500, 2000, 5000, 8000):
+        assert choose_semdedup_k(n) == 16
+    # and it really does scale past fixture sizes
+    assert choose_semdedup_k(80_000) == 160

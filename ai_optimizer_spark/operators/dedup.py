@@ -1225,3 +1225,73 @@ def semdedup(
         scored.join(removed, "vec_id", "left")
         .select("vec_id", "cid", "cos_c", F.col("rm").isNull().alias("is_kept"))
     )
+
+
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 3
+BLOOM_MIN_OVERLAP = 3
+
+
+def bloom_decontamination(
+    t: dict[str, DataFrame],
+    min_overlap: int = BLOOM_MIN_OVERLAP,
+    bench_mod: int = DECON_BENCH_MOD,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """d19: Bloom-filter decontamination — the SCALE path of d12 for when
+    the eval-set shingle index is too large to broadcast exactly (the
+    GPT-3-appendix design: membership of training n-grams in an eval-set
+    Bloom filter). Each shingle maps to `k` bit positions (seeded portable
+    hash60 mod `m`); the filter is the distinct-bit set of the benchmark
+    partition's shingles; a corpus shingle is flagged iff ALL of its bits
+    are present. Docs with >= `min_overlap` flagged shingles are reported
+    with their hit fraction. Deterministic (md5-seeded bits), so the
+    DuckDB oracle reproduces the exact same filter, false positives
+    included.
+
+    Scale shape: the bit table is bounded by `m` (2^20 here) REGARDLESS of
+    eval-set size — that is the whole point: a 10M-doc eval set collapses
+    to a broadcastable <= m-row bit set (or a bitmap at real scale), while
+    d12's exact index grows linearly. Corpus side: digests only — the
+    (doc_id, shingle-bit) explode shuffles BIGINTs, never text; per-doc
+    aggregation is partial+final. False-positive rate at fill ratio p is
+    p^k; with the test corpus p << 1%, so d19 ~= the union-level exact
+    answer, and the op stays honest at any fill since the oracle computes
+    the same filter."""
+    sh = _shingle_sets(t["documents"]).persist()
+    bits = lambda col: F.array_distinct(  # noqa: E731
+        F.array(*[T.seeded_hash60(col, f"bloom{i}") % m for i in range(k)])
+    )
+    bench_bits = (
+        sh.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode(bits(F.col("shingle"))).alias("bit"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % bench_mod != 0)
+    cb = corpus.select(
+        "doc_id", "shingle", bits(F.col("shingle")).alias("bset")
+    ).select(
+        "doc_id",
+        "shingle",
+        F.size("bset").alias("n_need"),
+        F.explode("bset").alias("bit"),
+    )
+    pos = (
+        cb.join(F.broadcast(bench_bits), "bit")
+        .groupBy("doc_id", "shingle", "n_need")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") == F.col("n_need"))
+    )
+    hits = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    csizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        hits.join(csizes, "doc_id")
+        .filter(F.col("n_hit") >= min_overlap)
+        .select(
+            "doc_id",
+            "n_hit",
+            "n_sh",
+            F.round(F.col("n_hit") * 1.0 / F.col("n_sh"), 3).alias("hit_frac"),
+        )
+    )

@@ -559,3 +559,91 @@ def dsir_select(
         .where(F.col("higher") + F.col("within") <= F.col("k"))
         .select(*keys, "weight", "n_tokens")
     )
+
+
+UNIMAX_MAX_EPOCHS = 2
+UNIMAX_BUDGET_FRAC = 1.0
+
+
+def unimax_budget(
+    t: dict[str, DataFrame],
+    budget_frac: float = UNIMAX_BUDGET_FRAC,
+    max_epochs: int = UNIMAX_MAX_EPOCHS,
+) -> DataFrame:
+    """smp11: UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling") over (lang, source) domains —
+    distribute a total token budget across domains as uniformly as
+    possible subject to a per-domain epoch cap: no domain repeats more
+    than `max_epochs` times, and the freed budget spreads evenly over the
+    larger domains. This is the sampling policy that replaced temperature
+    mixing (smp5) for multilingual pretraining corpora.
+
+    The paper's greedy (ascending-size scan carrying remaining budget) is
+    water-filling, which has a CLOSED FORM over windows — no iteration:
+    sort domains by cap ascending; domain at rank r is fully funded
+    ("capped") iff cap_r * (N - r + 1) <= B - prefix_caps_before_r (exact
+    BIGINT arithmetic — once it fails it fails for every later rank, so
+    the capped set is a rank prefix); every uncapped domain gets the equal
+    share theta = (B - capped_sum) / n_uncapped.
+
+    Scale shape: one corpus-sized partial+final aggregate produces the
+    domain table, which is |domains| rows (dozens) — the windows and the
+    scalar budget run on that tiny table; nothing corpus-sized shuffles
+    twice. All comparisons deciding the capped set are integer-exact, so
+    the DuckDB oracle matches bit-for-bit; only the final theta division
+    is floating (deterministic: both engines divide the same two BIGINTs).
+    """
+    from ..functions.text import token_count
+
+    # a24 barrier: the budget scalar derives from `dom`; without the
+    # checkpoint Catalyst inlines the lineage and re-scans the corpus for
+    # the budget branch (two full token-count passes instead of one).
+    dom = (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(F.sum(token_count(F.col("text"))).alias("n_tokens"))
+        .withColumn("cap", F.col("n_tokens") * F.lit(max_epochs))
+        .localCheckpoint(eager=False)
+    )
+    budget = dom.agg(
+        F.floor(F.lit(budget_frac) * F.sum("n_tokens")).cast("long").alias("budget")
+    )
+    w = Window.orderBy(F.col("cap").asc(), F.col("lang").asc(), F.col("source").asc())
+    ranked = (
+        dom.crossJoin(F.broadcast(budget))
+        .withColumn("r", F.row_number().over(w))
+        .withColumn(
+            "pre",
+            F.coalesce(
+                F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("n_dom", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "capped",
+            (
+                F.col("cap") * (F.col("n_dom") - F.col("r") + 1)
+                <= F.col("budget") - F.col("pre")
+            ).cast("int"),
+        )
+    )
+    wall = Window.partitionBy()
+    capped_sum = F.coalesce(
+        F.sum(F.when(F.col("capped") == 1, F.col("cap"))).over(wall),
+        F.lit(0).cast("long"),
+    )
+    n_uncapped = F.count(F.lit(1)).over(wall) - F.sum("capped").over(wall)
+    theta = (F.col("budget") - capped_sum) / n_uncapped
+    alloc = F.when(F.col("capped") == 1, F.col("cap").cast("double")).otherwise(
+        F.round(theta, 4)
+    )
+    return ranked.select(
+        "lang",
+        "source",
+        "n_tokens",
+        "cap",
+        "capped",
+        (alloc + F.lit(0.0)).alias("alloc_tokens"),
+        (F.round(alloc / F.col("n_tokens"), 4) + F.lit(0.0)).alias("epochs"),
+    )

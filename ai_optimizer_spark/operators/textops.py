@@ -736,3 +736,55 @@ def gopher_rules(t: dict[str, DataFrame]) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_count & ok_len & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+ZIPF_TOP_TERMS = 64
+
+
+def zipf_fit(t: dict[str, DataFrame], top_r: int = ZIPF_TOP_TERMS) -> DataFrame:
+    """tx18: Zipf rank-frequency fit per source — the corpus-QA diagnostic
+    that checks whether a source's vocabulary follows a natural power law
+    (log f ~ intercept + slope * log rank, slope near -1 for organic text;
+    machine-generated or templated sources flatten or step). Fit is OLS
+    over the top `top_r` terms per source, the standard practice since the
+    head of the distribution carries the power-law signal.
+
+    Scale shape: one corpus-sized partial+final (source, term) count, then
+    a vocabulary-bounded per-source window to rank, then an OLS over
+    <= top_r points per source. Nothing after the first aggregate touches
+    corpus-sized data. Cross-engine determinism: ln() may differ in the
+    last ulp between libms, so both engines round the log points to 6
+    decimals and sum them as DECIMALs (exact, order-independent) before
+    the closed-form slope — the j19 decimal-stabilization pattern.
+    """
+    docs = t["documents"]
+    terms = (
+        docs.select("source", F.explode(T.words("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("term"))
+    ranked = terms.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_r
+    )
+    lx = F.round(F.log(F.col("rank").cast("double")), 6).cast("decimal(12,6)")
+    ly = F.round(F.log(F.col("freq").cast("double")), 6).cast("decimal(12,6)")
+    pts = ranked.select("source", lx.alias("lx"), ly.alias("ly"))
+    agg = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return agg.select(
+        "source",
+        "n_terms",
+        (F.round(slope, 4) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round(intercept, 4) + F.lit(0.0)).alias("zipf_intercept"),
+    )

@@ -4646,6 +4646,137 @@ _register(
 )
 
 
+_register(
+    "smp11_unimax_budget",
+    SMP.unimax_budget,
+    f"""
+    WITH arr AS (
+        SELECT lang, source, len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+        FROM documents
+    ),
+    dom AS (
+        SELECT lang, source,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(SUM(nt) AS BIGINT) * {SMP.UNIMAX_MAX_EPOCHS} AS cap
+        FROM arr GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT CAST(FLOOR({SMP.UNIMAX_BUDGET_FRAC} * CAST(SUM(n_tokens) AS BIGINT)) AS BIGINT) AS budget
+        FROM dom
+    ),
+    ranked AS (
+        SELECT lang, source, n_tokens, cap, budget,
+               ROW_NUMBER() OVER (ORDER BY cap ASC, lang ASC, source ASC) AS r,
+               CAST(COALESCE(SUM(cap) OVER (ORDER BY cap ASC, lang ASC, source ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre,
+               COUNT(*) OVER () AS n_dom
+        FROM dom CROSS JOIN b
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN cap * (n_dom - r + 1) <= budget - pre THEN 1 ELSE 0 END AS capped
+        FROM ranked
+    ),
+    tot AS (
+        SELECT *,
+               CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN cap END) OVER (), 0) AS BIGINT) AS capped_sum,
+               CAST(COUNT(*) OVER () - SUM(capped) OVER () AS BIGINT) AS n_uncapped
+        FROM flagged
+    )
+    SELECT lang, source, n_tokens, cap, capped,
+           (CASE WHEN capped = 1 THEN CAST(cap AS DOUBLE)
+                 ELSE ROUND((budget - capped_sum) / n_uncapped, 4) END) + 0.0
+               AS alloc_tokens,
+           ROUND(
+               (CASE WHEN capped = 1 THEN CAST(cap AS DOUBLE)
+                ELSE ROUND((budget - capped_sum) / n_uncapped, 4) END) / n_tokens,
+               4) + 0.0 AS epochs
+    FROM tot
+    """,
+)
+
+_register(
+    "tx18_zipf_fit",
+    TX.zipf_fit,
+    f"""
+    WITH terms AS (
+        SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    freqs AS (
+        SELECT source, term, COUNT(*) AS freq FROM terms GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT source, freq,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY freq DESC, term ASC) AS rank
+        FROM freqs
+    ),
+    pts AS (
+        SELECT source,
+               CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(12,6)) AS lx,
+               CAST(ROUND(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(12,6)) AS ly
+        FROM ranked WHERE rank <= {TX.ZIPF_TOP_TERMS}
+    ),
+    agg AS (
+        SELECT source,
+               COUNT(*) AS n_terms,
+               CAST(SUM(lx) AS DOUBLE) AS sx,
+               CAST(SUM(ly) AS DOUBLE) AS sy,
+               CAST(SUM(lx * ly) AS DOUBLE) AS sxy,
+               CAST(SUM(lx * lx) AS DOUBLE) AS sxx
+        FROM pts GROUP BY 1
+    )
+    SELECT source, n_terms,
+           ROUND((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4) + 0.0
+               AS zipf_slope,
+           ROUND((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
+                 / n_terms, 4) + 0.0 AS zipf_intercept
+    FROM agg
+    """,
+)
+
+_register(
+    "d19_bloom_decontamination",
+    D.bloom_decontamination,
+    f"""
+    WITH {OD._SHINGLES_CTE},
+    seeds AS (SELECT unnest(range(0, {D.BLOOM_HASHES})) AS s),
+    bench_bits AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5('bloom' || s.s || '|' || shingle), 1, 15))::BIGINT
+                   % {D.BLOOM_BITS} AS bit
+        FROM sh, seeds s WHERE doc_id % {D.DECON_BENCH_MOD} = 0
+    ),
+    cb AS (
+        SELECT DISTINCT doc_id, shingle,
+               ('0x' || substr(md5('bloom' || s.s || '|' || shingle), 1, 15))::BIGINT
+                   % {D.BLOOM_BITS} AS bit
+        FROM sh, seeds s WHERE doc_id % {D.DECON_BENCH_MOD} <> 0
+    ),
+    need AS (SELECT doc_id, shingle, COUNT(*) AS n_need FROM cb GROUP BY 1, 2),
+    matched AS (
+        SELECT c.doc_id, c.shingle, COUNT(*) AS n_match
+        FROM cb c JOIN bench_bits b ON c.bit = b.bit GROUP BY 1, 2
+    ),
+    pos AS (
+        SELECT m.doc_id
+        FROM matched m JOIN need n ON m.doc_id = n.doc_id AND m.shingle = n.shingle
+        WHERE m.n_match = n.n_need
+    ),
+    hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM pos GROUP BY 1),
+    csizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh
+        WHERE doc_id % {D.DECON_BENCH_MOD} <> 0 GROUP BY 1
+    )
+    SELECT h.doc_id, h.n_hit, c.n_sh,
+           ROUND(h.n_hit * 1.0 / c.n_sh, 3) AS hit_frac
+    FROM hits h JOIN csizes c ON h.doc_id = c.doc_id
+    WHERE h.n_hit >= {D.BLOOM_MIN_OVERLAP}
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order priority
 # ---------------------------------------------------------------------------
@@ -4664,16 +4795,16 @@ _PRIORITY: list[str] = [
     # every session (v8/v10/v12, d3 uncapped, j15/j20, tx7/tx8/tx9, st4/st5/
     # st6, a12/a13/a16, v16; ≥1 per family retained in the prefix). Every
     # prefix query passed the driver-strict canon replica at sf0.01 AND sf0.1
-    # before promotion.
+    # before promotion. Late-r5 swap: d19/smp11/tx18 (new, strict-checked at
+    # both scales) replace veterans v7/j10/d4 (driver-green since r2-r4; each
+    # family keeps multiple prefix slots and the repo gate still covers all).
     # ANN / similarity tiers (IVF, k-means, IVFPQ, stored-layout serving)
-    "v7_ivf_topk",
     "v19_ann_operating_curve",
     "d3c_minhash_lsh_capped",
     "v16b_clustered_range_search",
     "v21_dpp_cell_stats",
     "v15_clustered_ivf_knn_join",
     # temporal / skew / bucketed / analytic join shapes
-    "j10_salted_skew_join",
     "j11_asof_join",
     "j12_banded_range_join",
     "d16_cluster_survivors",
@@ -4687,8 +4818,8 @@ _PRIORITY: list[str] = [
     # dedup family (scale-safe canonical forms) + clustering + curation e2e
     "d1_exact_dedup",
     "d18_semdedup",
+    "d19_bloom_decontamination",
     "d13_topic_clusters",
-    "d4_simhash_pairs",
     "d5_embedding_neardup",
     "d6_dedup_clusters",
     "smp9_token_budget_select",
@@ -4706,6 +4837,7 @@ _PRIORITY: list[str] = [
     "t10_span_index_refresh",
     "t9_incremental_rollup",
     "tx16_ngram_perplexity",
+    "tx18_zipf_fit",
     # aggregation extensions + sampling/packing (+ j28/a24 Q2/Q11, new r5)
     "j28_min_cost_supplier",
     "a24_important_part_values",
@@ -4714,6 +4846,7 @@ _PRIORITY: list[str] = [
     "smp6_sequence_packing",
     "tx14_bpe_learn",
     "smp10_dsir_importance",
+    "smp11_unimax_budget",
     # streaming near-dup + SCD2 (round-3 flagships)
     "st12_streaming_neardup_candidates",
     "t8_scd2_history",
@@ -4733,6 +4866,9 @@ _PRIORITY: list[str] = [
     "v13_clustered_ivf_topk",
     "smp5_temperature_mix",
     "tx6_quality_bins",
+    "v7_ivf_topk",
+    "j10_salted_skew_join",
+    "d4_simhash_pairs",
     # positions 51+ — driver-verified only if the sample widens; the repo
     # parity gate (tests/test_oracle_parity.py) checks them every session
     "v8_ivf_knn_join",

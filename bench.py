@@ -67,13 +67,16 @@ HEADLINE = [
     "tx13_bpe_pair_counts",
     "tx16_ngram_perplexity",
     "tx17_gopher_rules",
+    "tx18_zipf_fit",
     "d12_decontamination",
+    "d19_bloom_decontamination",
     "v12_ann_recall",
     "v16_range_search_pruned",
     "smp5_temperature_mix",
     "smp6_sequence_packing",
     "smp9_token_budget_select",
     "smp10_dsir_importance",
+    "smp11_unimax_budget",
     "e2e_corpus_assembly",
     "t6_token_stream_assembly",
     "st2_sessionize",

@@ -9,9 +9,13 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from ai_optimizer_spark.operators.dedup import SEMDEDUP_TAU, semdedup
-from ai_optimizer_spark.operators.sampling import dsir_select
-from ai_optimizer_spark.operators.textops import ngram_perplexity
+from ai_optimizer_spark.operators.dedup import (
+    SEMDEDUP_TAU,
+    bloom_decontamination,
+    semdedup,
+)
+from ai_optimizer_spark.operators.sampling import dsir_select, unimax_budget
+from ai_optimizer_spark.operators.textops import ngram_perplexity, zipf_fit
 
 
 def _docs(spark, rows):
@@ -98,3 +102,94 @@ def test_semdedup_rank_greedy_guarantee(spark):
                 cos(vecs[v], vecs[u]) >= SEMDEDUP_TAU for u in order[:idx]
             )
             assert out[v].is_kept == (not has_pred), (cid, v)
+
+
+def test_unimax_water_filling_invariants(spark, random_corpus):
+    """Chung et al.'s allocation guarantees, checked directly:
+    (a) budget conservation — allocations sum to the budget (up to the
+        4-decimal rounding of the equal share);
+    (b) capped domains get exactly their cap (== max_epochs epochs);
+    (c) uncapped domains all get the SAME share theta;
+    (d) water level: every capped cap <= theta <= every uncapped cap
+        (the defining property of water-filling);
+    (e) no domain exceeds max_epochs."""
+    max_epochs = 2
+    out = unimax_budget(
+        {"documents": random_corpus}, budget_frac=1.0, max_epochs=max_epochs
+    ).collect()
+    assert out
+    budget = math.floor(sum(r.n_tokens for r in out))
+    capped = [r for r in out if r.capped == 1]
+    uncapped = [r for r in out if r.capped == 0]
+    total = sum(r.alloc_tokens for r in out)
+    assert abs(total - budget) <= 0.001 * max(1, len(uncapped)) + 1
+    for r in capped:
+        assert r.alloc_tokens == float(r.cap)
+        assert abs(r.epochs - max_epochs) < 1e-9
+    if uncapped:
+        thetas = {r.alloc_tokens for r in uncapped}
+        assert len(thetas) == 1
+        theta = thetas.pop()
+        if capped:
+            assert max(r.cap for r in capped) <= theta + 0.0001
+        assert theta <= min(r.cap for r in uncapped) + 0.0001
+    for r in out:
+        assert r.epochs <= max_epochs + 1e-9
+
+
+def test_unimax_all_capped_when_budget_exceeds_caps(spark, random_corpus):
+    """With budget >= sum(caps) every domain is capped at max_epochs and
+    the n_uncapped=0 division never fires (guarded by the capped branch)."""
+    out = unimax_budget(
+        {"documents": random_corpus}, budget_frac=10.0, max_epochs=2
+    ).collect()
+    assert all(r.capped == 1 for r in out)
+    assert all(r.alloc_tokens == float(r.cap) for r in out)
+
+
+def test_zipf_fit_recovers_known_exponent(spark):
+    """A corpus built with exact power-law frequencies f_r = round(C/r)
+    must fit slope ~ -1; a flat corpus (all terms equal) fits slope 0."""
+    rows = []
+    words = []
+    for r in range(1, 31):
+        words += [f"t{r:02d}"] * round(400 / r)
+    rows.append((0, " ".join(words), "en", "power", len(words)))
+    flat = " ".join(f"u{j}" for j in range(20) for _ in range(7))
+    rows.append((1, flat, "en", "flat", 140))
+    out = {r.source: r for r in zipf_fit({"documents": _docs(spark, rows)}).collect()}
+    assert out["power"].n_terms == 30
+    assert abs(out["power"].zipf_slope - (-1.0)) < 0.02
+    assert out["flat"].zipf_slope == 0.0
+
+
+def test_bloom_decontamination_never_misses_exact_hits(spark, random_corpus):
+    """Bloom membership has NO false negatives: every shingle that truly
+    occurs in the benchmark partition is flagged, so each doc's bloom hit
+    count >= its exact member-shingle count, and every doc the exact check
+    would flag (at the same min_overlap) appears in the bloom output."""
+    from ai_optimizer_spark.operators.dedup import _shingle_sets
+
+    bench_mod, min_overlap = 17, 3
+    sh = _shingle_sets(random_corpus)
+    bench = sh.filter(F.col("doc_id") % bench_mod == 0).select("shingle").distinct()
+    exact = (
+        sh.filter(F.col("doc_id") % bench_mod != 0)
+        .join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .collect()
+    )
+    exact_hits = {r.doc_id: r.n_exact for r in exact}
+    bloom = {
+        r.doc_id: r
+        for r in bloom_decontamination(
+            {"documents": random_corpus}, min_overlap=min_overlap
+        ).collect()
+    }
+    for doc_id, n_exact in exact_hits.items():
+        if n_exact >= min_overlap:
+            assert doc_id in bloom, doc_id
+            assert bloom[doc_id].n_hit >= n_exact
+    for r in bloom.values():
+        assert 0.0 < r.hit_frac <= 1.0

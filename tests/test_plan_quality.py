@@ -617,3 +617,37 @@ def test_gopher_rules_scan_fused(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_unimax_single_corpus_pass(spark):
+    """smp11: the corpus must be token-counted ONCE — the budget scalar
+    derives from the checkpointed |domains|-row table, never a second
+    parquet scan (the a24 re-scan trap); windows then run on domain-sized
+    data only."""
+    plan = plan_of(spark, "smp11_unimax_budget")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0  # both branches read the barrier
+    assert tree.count("Scan ExistingRDD") == 2  # dom + its budget fold
+    assert "SortMergeJoin" not in plan
+
+
+def test_zipf_fit_group_limit_and_single_scan(spark):
+    """tx18: one corpus scan; the top-64 rank filter must push down as a
+    WindowGroupLimit (partial per-map-side group limit — vocabulary never
+    fully sorts per source); no join anywhere."""
+    plan = plan_of(spark, "tx18_zipf_fit")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+
+
+def test_bloom_decontamination_broadcasts_bit_set(spark):
+    """d19: the shingle index is computed once (cached relation reused by
+    the bench-bits, corpus, and per-doc-size branches); the Bloom bit set
+    — bounded by 2^20 regardless of eval-set size — joins as a broadcast;
+    nothing sort-merge joins."""
+    plan = plan_of(spark, "d19_bloom_decontamination")
+    assert "InMemoryTableScan" in plan  # shingle index built once
+    assert "BroadcastExchange" in plan  # the bit table broadcasts
+    assert "SortMergeJoin" not in plan

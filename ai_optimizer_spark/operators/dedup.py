@@ -1232,6 +1232,34 @@ BLOOM_HASHES = 3
 BLOOM_MIN_OVERLAP = 3
 
 
+def bloom_bit(col, i: int, m: int = BLOOM_BITS):
+    """Bit position i of a shingle's Bloom family: seeded portable hash60
+    mod the table size — deterministic, so DuckDB rebuilds the same bit."""
+    return T.seeded_hash60(col, f"bloom{i}") % m
+
+
+def bloom_bits_set(col, m: int = BLOOM_BITS, k: int = BLOOM_HASHES):
+    """The distinct bit-position SET of one shingle (duplicates collapse
+    when two seeds collide — `n_need` below accounts for that)."""
+    return F.array_distinct(F.array(*[bloom_bit(col, i, m) for i in range(k)]))
+
+
+def bloom_bench_bits(
+    sh: DataFrame,
+    bench_mod: int = DECON_BENCH_MOD,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """The Bloom filter itself: the distinct bit set of the benchmark
+    partition's shingles — <= m rows regardless of eval-set size. Shared
+    by the batch gate (d19) and the streaming ingest probe (st16)."""
+    return (
+        sh.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode(bloom_bits_set(F.col("shingle"), m, k)).alias("bit"))
+        .distinct()
+    )
+
+
 def bloom_decontamination(
     t: dict[str, DataFrame],
     min_overlap: int = BLOOM_MIN_OVERLAP,
@@ -1260,17 +1288,10 @@ def bloom_decontamination(
     answer, and the op stays honest at any fill since the oracle computes
     the same filter."""
     sh = _shingle_sets(t["documents"]).persist()
-    bits = lambda col: F.array_distinct(  # noqa: E731
-        F.array(*[T.seeded_hash60(col, f"bloom{i}") % m for i in range(k)])
-    )
-    bench_bits = (
-        sh.filter(F.col("doc_id") % bench_mod == 0)
-        .select(F.explode(bits(F.col("shingle"))).alias("bit"))
-        .distinct()
-    )
+    bench_bits = bloom_bench_bits(sh, bench_mod, m, k)
     corpus = sh.filter(F.col("doc_id") % bench_mod != 0)
     cb = corpus.select(
-        "doc_id", "shingle", bits(F.col("shingle")).alias("bset")
+        "doc_id", "shingle", bloom_bits_set(F.col("shingle"), m, k).alias("bset")
     ).select(
         "doc_id",
         "shingle",

@@ -3700,6 +3700,18 @@ QUERIES["st15_streaming_drift_monitor"] = _st15_streaming_drift_monitor
 # agree with the batch delta bit-for-bit (registered after t12 below, so
 # the SQL is attached there once both exist)
 
+
+def _st16_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.event_stream import streaming_decontamination
+
+    return streaming_decontamination(spark, sf_dir)
+
+
+QUERIES["st16_streaming_decontamination"] = _st16_streaming_decontamination
+# same oracle as d19 by construction: streamed ingest-time admission
+# verdicts must equal the offline Bloom gate bit-for-bit (attached after
+# d19's registration at the bottom of this file)
+
 _register(
     "t9_incremental_rollup",
     RF.incremental_rollup,
@@ -4773,6 +4785,51 @@ _register(
            ROUND(h.n_hit * 1.0 / c.n_sh, 3) AS hit_frac
     FROM hits h JOIN csizes c ON h.doc_id = c.doc_id
     WHERE h.n_hit >= {D.BLOOM_MIN_OVERLAP}
+    """,
+)
+
+
+# st16 shares d19's oracle: the streaming Bloom gate must reproduce the
+# offline gate's admission verdicts exactly (same filter, same counts).
+ORACLE_SQL["st16_streaming_decontamination"] = ORACLE_SQL[
+    "d19_bloom_decontamination"
+]
+
+_register(
+    "smp12_curriculum_order",
+    SMP.curriculum_order,
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    dist AS (SELECT n_tokens, COUNT(*) AS c FROM d GROUP BY 1),
+    cum AS (
+        SELECT n_tokens,
+               CAST(SUM(c) OVER (ORDER BY n_tokens ASC) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM dist
+    ),
+    staged AS (
+        SELECT n_tokens,
+               CAST((cum * {SMP.CURRICULUM_STAGES} - 1) // n AS INTEGER) AS stage
+        FROM cum
+    ),
+    sharded AS (
+        SELECT d.doc_id, d.n_tokens, s.stage,
+               {_h60("'curshard|' || CAST(doc_id AS VARCHAR)")}
+                   % {SMP.CURRICULUM_SHARDS} AS shard,
+               {_h60("'curorder|' || CAST(doc_id AS VARCHAR)")}
+                   % 1000000000 AS h
+        FROM d JOIN staged s USING (n_tokens)
+    )
+    SELECT doc_id, n_tokens, stage, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY stage, shard ORDER BY h ASC, doc_id ASC
+           ) AS BIGINT) AS pos
+    FROM sharded
     """,
 )
 

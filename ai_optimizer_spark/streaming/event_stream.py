@@ -392,6 +392,77 @@ def streaming_span_novelty(spark: SparkSession, sf_dir: str, window: int = 8) ->
     return run_to_memory(spark, plan, f"st14_{uuid.uuid4().hex[:8]}")
 
 
+def decontamination_probe_plan(docs: DataFrame, bits: DataFrame) -> DataFrame:
+    """The stream-side plan of st16: explode arriving docs into shingles,
+    test each shingle's k Bloom bits against the static `bits` set with
+    one broadcast left-join per seed (stateless), then ONE streaming
+    aggregation per doc_id counting total and fully-matched shingles.
+    Factored out so tests can run it over arbitrary multi-batch feeds."""
+    from ..operators.dedup import BLOOM_HASHES, SHINGLE_N, bloom_bit
+    from ..functions import text as T
+
+    probe = docs.select(
+        "doc_id", F.explode(T.word_shingles("text", SHINGLE_N)).alias("shingle")
+    )
+    flags = []
+    for i in range(BLOOM_HASHES):
+        bi = bits.select(F.col("bit").alias(f"b{i}"))
+        probe = probe.join(
+            F.broadcast(bi), bloom_bit(F.col("shingle"), i) == F.col(f"b{i}"), "left"
+        )
+        flags.append(F.col(f"b{i}").isNotNull())
+    contaminated = flags[0]
+    for fl in flags[1:]:
+        contaminated = contaminated & fl
+    return probe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum(F.when(contaminated, 1).otherwise(0)).cast("long").alias("n_hit"),
+    )
+
+
+def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST16: ingest-time benchmark decontamination — the streaming read
+    path of d19's Bloom gate. Arriving documents' shingles are hashed to
+    their k bit positions STATELESSLY; membership of each bit in the
+    STORED benchmark bit set is tested with one stream-static broadcast
+    left-join PER SEED rather than the batch form's per-(doc, shingle)
+    bit aggregation — chaining a second aggregation under a streaming agg
+    is illegal, but k static joins plus flag conjunction are stateless,
+    leaving exactly ONE streaming aggregation (per arriving doc). A
+    shingle is contaminated iff every seed's bit joined (duplicate bit
+    values collapse in the DISTINCT static set, so per-seed membership ==
+    all-distinct-bits-present). The >= min_overlap gate and hit fraction
+    compose batch-side over the memory table (st15's pattern: a monitor
+    reads its metrics store). Shares d19's oracle verbatim — streamed
+    admission verdicts ≡ the offline gate is the invariant.
+
+    At 100 TB the bit set is the whole point: <= 2^20 rows no matter how
+    the eval suite grows, rebuilt only when the benchmark changes, shipped
+    as one broadcast to every ingest executor."""
+    from ..operators.dedup import (
+        BLOOM_MIN_OVERLAP,
+        DECON_BENCH_MOD,
+        bloom_bench_bits,
+        _shingle_sets,
+    )
+    import uuid
+
+    static_sh = _shingle_sets(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    bits = bloom_bench_bits(static_sh).localCheckpoint(eager=True)
+
+    docs = documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % DECON_BENCH_MOD != 0
+    )
+    plan = decontamination_probe_plan(docs, bits)
+    table = run_to_memory(spark, plan, f"st16_{uuid.uuid4().hex[:8]}")
+    return table.filter(F.col("n_hit") >= BLOOM_MIN_OVERLAP).select(
+        "doc_id",
+        "n_hit",
+        "n_sh",
+        F.round(F.col("n_hit") * 1.0 / F.col("n_sh"), 3).alias("hit_frac"),
+    )
+
+
 def streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST13: streaming ANN index ingestion — arriving embeddings assigned
     to the EXISTING IVF coarse quantizer and rolled up per cell. The

@@ -41,6 +41,7 @@ OPS = [
     "d16_cluster_survivors",
     "d17_corpus_dup_profile",
     "d18_semdedup",
+    "d19_bloom_decontamination",
     "e2e_curation_pipeline",
     "e2e_corpus_assembly",
     "v10_matmul_knn",
@@ -49,8 +50,10 @@ OPS = [
     "smp6_sequence_packing",
     "smp9_token_budget_select",
     "smp10_dsir_importance",
+    "smp11_unimax_budget",
     "tx13_bpe_pair_counts",
     "tx16_ngram_perplexity",
+    "tx18_zipf_fit",
     # incremental-maintenance family: the write paths behind the serving
     # tiers — cost must track the delta/affected set, not the corpus
     "t10_span_index_refresh",

@@ -478,3 +478,74 @@ def test_span_novelty_is_arrival_order_invariant(spark, sf_small, tmp_path):
             tuple(r) for r in spark.table(f"st14_order_{order_name}").collect()
         }
     assert results["fwd"] == results["rev"] and results["fwd"]
+
+
+def test_streaming_decontamination_multibatch_equals_batch_gate(
+    spark, sf_small, tmp_path
+):
+    """st16 semantics: the Bloom bit set is static and per-shingle bit
+    probing is stateless, so the streamed admission verdicts must equal
+    the offline d19 gate's bit-for-bit, regardless of how the corpus is
+    split across micro-batches or in which order batches arrive."""
+    from ai_optimizer_spark.operators.dedup import (
+        BLOOM_MIN_OVERLAP,
+        DECON_BENCH_MOD,
+        bloom_bench_bits,
+        bloom_decontamination,
+        _shingle_sets,
+    )
+    from ai_optimizer_spark.streaming.event_stream import (
+        decontamination_probe_plan,
+    )
+    from ai_optimizer_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_small)["documents"]
+    truth = {
+        tuple(r)
+        for r in bloom_decontamination({"documents": docs}).collect()
+    }
+    assert truth  # fixture must exercise the gate
+
+    bits = bloom_bench_bits(_shingle_sets(docs)).localCheckpoint(eager=False)
+    corpus = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    half_a = corpus.filter(F.col("doc_id") % 2 == 0)
+    half_b = corpus.filter(F.col("doc_id") % 2 == 1)
+
+    results = {}
+    for order_name, batches in (("fwd", [half_a, half_b]), ("rev", [half_b, half_a])):
+        feed = str(tmp_path / f"dec_{order_name}")
+        os.makedirs(feed)
+        for i, bdf in enumerate(batches):
+            stage = str(tmp_path / f"dec_{order_name}_s{i}")
+            bdf.coalesce(1).write.parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            dst = os.path.join(feed, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        plan = decontamination_probe_plan(stream, bits)
+        q = (
+            plan.writeStream.format("memory")
+            .queryName(f"st16_order_{order_name}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        results[order_name] = {
+            tuple(r)
+            for r in spark.table(f"st16_order_{order_name}")
+            .filter(F.col("n_hit") >= BLOOM_MIN_OVERLAP)
+            .select(
+                "doc_id",
+                "n_hit",
+                "n_sh",
+                F.round(F.col("n_hit") * 1.0 / F.col("n_sh"), 3).alias("hit_frac"),
+            )
+            .collect()
+        }
+    assert results["fwd"] == results["rev"] == truth

@@ -647,3 +647,65 @@ def unimax_budget(
         (alloc + F.lit(0.0)).alias("alloc_tokens"),
         (F.round(alloc / F.col("n_tokens"), 4) + F.lit(0.0)).alias("epochs"),
     )
+
+
+CURRICULUM_STAGES = 4
+CURRICULUM_SHARDS = 32
+
+
+def curriculum_order(
+    t: dict[str, DataFrame],
+    n_stages: int = CURRICULUM_STAGES,
+    n_shards: int = CURRICULUM_SHARDS,
+) -> DataFrame:
+    """smp12: curriculum schedule by sequence-length warmup (Li et al. 2022,
+    "The Stability-Efficiency Dilemma: ... Curriculum Learning" — short
+    sequences first is the production curriculum for LLM pretraining) —
+    every document gets a training STAGE (exact global length quantile)
+    and a deterministic position within its stage, pre-sharded so the
+    trainer streams stage 0 shard-by-shard, then stage 1, ...
+
+    tx6_quality_bins is the NTILE form of this binning: correct while a
+    partition column (lang) bounds the window, but a GLOBAL NTILE is a
+    single-partition sort of the corpus — the one shape this module bans.
+    Here the exact global quantile comes from the token-count DISTRIBUTION
+    table instead (same move as smp9's hierarchical prefix sum): count docs
+    per distinct n_tokens value (partial+final agg, digests only), run the
+    cumulative sum on that |distinct lengths|-row table (bounded by the
+    longest document, NOT the corpus — trivially window-able), and map each
+    doc to stage = ceil(cum(v) * n_stages / N) with pure BIGINT arithmetic
+    ((cum*s - 1) DIV N), broadcast-joined back on n_tokens. Ties share a
+    length value, hence a stage — stages are exact quantile blocks up to
+    tie granularity, bit-identical in any engine.
+
+    Within a stage, order must be SHUFFLED (curriculum orders stages, not
+    docs — in-stage correlation hurts convergence), so position is a
+    row_number keyed by the portable hash, partitioned by (stage, shard):
+    n_stages * n_shards independent windows, each ~corpus/128 rows — no
+    global sort anywhere at any scale.
+    """
+    from ..functions.text import token_count
+
+    docs = t["documents"].select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    dist = docs.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    # the distribution table is tiny (distinct length values), so the
+    # unpartitioned cumulative window and the count scalar are O(1) jobs
+    cum = dist.withColumn(
+        "cum", F.sum("c").over(Window.orderBy("n_tokens"))
+    ).crossJoin(F.broadcast(dist.agg(F.sum("c").cast("long").alias("n"))))
+    staged = cum.select(
+        "n_tokens",
+        F.expr(f"CAST((cum * {n_stages} - 1) DIV n AS INT)").alias("stage"),
+    )
+    shard = _bucket(F.col("doc_id"), "curshard", n_shards)
+    pos_w = Window.partitionBy("stage", "shard").orderBy(
+        _bucket(F.col("doc_id"), "curorder", 1_000_000_000).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        docs.join(F.broadcast(staged), "n_tokens")
+        .select("doc_id", "n_tokens", "stage", shard.cast("long").alias("shard"))
+        .withColumn("pos", F.row_number().over(pos_w).cast("long"))
+    )

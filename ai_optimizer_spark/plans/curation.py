@@ -83,3 +83,115 @@ def training_export(t: dict[str, DataFrame], capacity: int = 2048) -> DataFrame:
     curated = curation_pipeline(t)
     train = curated.filter(F.col("split") == "train").select("doc_id", "n_tokens")
     return pack_token_stream(train, capacity)
+
+
+CASCADE_STAGES = ("input", "exact", "minhash_lsh", "semdedup")
+
+
+def dedup_cascade(t: dict[str, DataFrame]) -> DataFrame:
+    """E2E dedup cascade — the FineWeb/Dolma recipe (Penedo et al. 2024;
+    Soldaini et al. 2024): exact dedup, then MinHash-LSH near-dup, then
+    SemDeDup semantic dedup, reported as a 4-row attrition profile
+    (docs/tokens surviving after each stage) — the table a curation run
+    publishes before anyone trains on the output.
+
+    Each stage's removal set is computed GLOBALLY over the input corpus
+    (how production pipelines actually run — the three stages are
+    independent jobs that can execute in parallel; recomputing LSH on
+    exact-survivors would serialize them for near-zero benefit since an
+    exact-duplicate's LSH pairs are also pairs of its canonical), then
+    applied SEQUENTIALLY: a doc's removal is attributed to the FIRST
+    stage that catches it, so the profile decomposes the corpus exactly.
+
+    Scale shape: the three removal sets are id-only columns (exact: a
+    digest-keyed window over md5, no bodies shuffled; LSH: the capped
+    production config's component losers — the near-dup subgraph only;
+    SemDeDup: auto-k celled pair scan, linear by construction). The base
+    is one token-count projection fused into the scan; the flags attach
+    via three left joins whose build sides are each a vanishing fraction
+    of the corpus (broadcast under AQE), and the profile itself is ONE
+    partial+final aggregate — four rows come out of a struct inline, not
+    four passes."""
+    from ..operators.dedup import (
+        LSH_MAX_BUCKET_DEFAULT,
+        dedup_losers,
+        semdedup,
+    )
+    from ..functions.text import token_count
+
+    docs = t["documents"]
+    base = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    exact_losers = (
+        docs.select(
+            "doc_id",
+            F.min("doc_id")
+            .over(Window.partitionBy(F.md5("text")))
+            .alias("canon"),
+        )
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select("doc_id", F.lit(True).alias("f1"))
+    )
+    lsh_losers = dedup_losers(
+        t, max_bucket_size=LSH_MAX_BUCKET_DEFAULT
+    ).select("doc_id", F.lit(True).alias("f2"))
+    sem_losers = (
+        semdedup(t)
+        .filter(~F.col("is_kept"))
+        .select(F.col("vec_id").alias("doc_id"), F.lit(True).alias("f3"))
+    )
+    flagged = (
+        base.join(exact_losers, "doc_id", "left")
+        .join(lsh_losers, "doc_id", "left")
+        .join(sem_losers, "doc_id", "left")
+        .select(
+            "n_tokens",
+            F.coalesce("f1", F.lit(False)).alias("f1"),
+            F.coalesce("f2", F.lit(False)).alias("f2"),
+            F.coalesce("f3", F.lit(False)).alias("f3"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("n_tokens").alias("t0"),
+        F.coalesce(F.sum(F.when(F.col("f1"), 1)), zero).alias("r1"),
+        F.coalesce(F.sum(F.when(F.col("f1"), F.col("n_tokens"))), zero).alias("tt1"),
+        F.coalesce(F.sum(F.when(~F.col("f1") & F.col("f2"), 1)), zero).alias("r2"),
+        F.coalesce(
+            F.sum(F.when(~F.col("f1") & F.col("f2"), F.col("n_tokens"))), zero
+        ).alias("tt2"),
+        F.coalesce(
+            F.sum(F.when(~F.col("f1") & ~F.col("f2") & F.col("f3"), 1)), zero
+        ).alias("r3"),
+        F.coalesce(
+            F.sum(F.when(~F.col("f1") & ~F.col("f2") & F.col("f3"), F.col("n_tokens"))),
+            zero,
+        ).alias("tt3"),
+    )
+
+    def row(stage: int, removed, remaining, tokens):
+        return F.struct(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(CASCADE_STAGES[stage]).alias("stage_name"),
+            removed.cast("long").alias("docs_removed"),
+            remaining.cast("long").alias("docs_remaining"),
+            tokens.cast("long").alias("tokens_remaining"),
+        )
+
+    n0, t0 = F.col("n0"), F.col("t0")
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    tt1, tt2, tt3 = F.col("tt1"), F.col("tt2"), F.col("tt3")
+    return agg.select(
+        F.inline(
+            F.array(
+                row(0, F.lit(0), n0, t0),
+                row(1, r1, n0 - r1, t0 - tt1),
+                row(2, r2, n0 - r1 - r2, t0 - tt1 - tt2),
+                row(3, r3, n0 - r1 - r2 - r3, t0 - tt1 - tt2 - tt3),
+            )
+        )
+    )

@@ -4795,6 +4795,101 @@ ORACLE_SQL["st16_streaming_decontamination"] = ORACLE_SQL[
     "d19_bloom_decontamination"
 ]
 
+from .plans.curation import dedup_cascade  # noqa: E402
+
+_register(
+    "e2e_dedup_cascade",
+    dedup_cascade,
+    f"""
+    WITH RECURSIVE
+    d AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+            FROM documents
+        ) WHERE doc_id <> canon
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM ({OD.minhash_lsh_capped(D.LSH_MAX_BUCKET_DEFAULT)}) lsh
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    cc AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.b AS node, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    ),
+    lsh_losers AS (
+        SELECT node AS doc_id FROM cc GROUP BY node HAVING node <> MIN(label)
+    ),
+    cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    scored AS (
+        SELECT vec_id, cid, ee,
+               ROUND(list_cosine_similarity(ee, ce), 3) + 0.0 AS cos_c
+        FROM (
+            SELECT e.vec_id, e.ee, c.cid, c.ce,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    sem AS (
+        SELECT DISTINCT a.vec_id AS doc_id
+        FROM scored a JOIN scored b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.ee, b.ee), 3) + 0.0
+                  >= {D.SEMDEDUP_TAU}
+          AND (b.cos_c < a.cos_c OR (b.cos_c = a.cos_c AND b.vec_id < a.vec_id))
+    ),
+    flags AS (
+        SELECT d.doc_id, d.n_tokens,
+               (ex.doc_id IS NOT NULL) AS f1,
+               (l.doc_id IS NOT NULL) AS f2,
+               (s.doc_id IS NOT NULL) AS f3
+        FROM d
+        LEFT JOIN ex ON ex.doc_id = d.doc_id
+        LEFT JOIN lsh_losers l ON l.doc_id = d.doc_id
+        LEFT JOIN sem s ON s.doc_id = d.doc_id
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(n_tokens) AS BIGINT) AS t0,
+               CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+               CAST(SUM(CASE WHEN f1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tt1,
+               CAST(SUM(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+               CAST(SUM(CASE WHEN NOT f1 AND f2 THEN n_tokens ELSE 0 END) AS BIGINT) AS tt2,
+               CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+               CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN n_tokens ELSE 0 END) AS BIGINT) AS tt3
+        FROM flags
+    )
+    SELECT CAST(0 AS BIGINT) AS stage, 'input' AS stage_name,
+           CAST(0 AS BIGINT) AS docs_removed,
+           n0 AS docs_remaining, t0 AS tokens_remaining
+    FROM agg
+    UNION ALL
+    SELECT 1, 'exact', r1, n0 - r1, t0 - tt1 FROM agg
+    UNION ALL
+    SELECT 2, 'minhash_lsh', r2, n0 - r1 - r2, t0 - tt1 - tt2 FROM agg
+    UNION ALL
+    SELECT 3, 'semdedup', r3, n0 - r1 - r2 - r3, t0 - tt1 - tt2 - tt3 FROM agg
+    """,
+)
+
 _register(
     "smp12_curriculum_order",
     SMP.curriculum_order,

@@ -44,6 +44,7 @@ OPS = [
     "d19_bloom_decontamination",
     "e2e_curation_pipeline",
     "e2e_corpus_assembly",
+    "e2e_dedup_cascade",
     "v10_matmul_knn",
     "v17_ivfpq_topk",
     "v20_ivfpq_topk_np",
@@ -51,6 +52,7 @@ OPS = [
     "smp9_token_budget_select",
     "smp10_dsir_importance",
     "smp11_unimax_budget",
+    "smp12_curriculum_order",
     "tx13_bpe_pair_counts",
     "tx16_ngram_perplexity",
     "tx18_zipf_fit",

@@ -193,3 +193,81 @@ def test_bloom_decontamination_never_misses_exact_hits(spark, random_corpus):
             assert bloom[doc_id].n_hit >= n_exact
     for r in bloom.values():
         assert 0.0 < r.hit_frac <= 1.0
+
+
+def test_curriculum_stages_are_exact_length_quantiles(spark, random_corpus):
+    """smp12 guarantees: (a) stages partition the corpus; (b) stage
+    boundaries respect length order — every doc in stage s is no longer
+    than any doc in stage s+1; (c) equal lengths share a stage; (d) stage
+    sizes are the exact quantile blocks up to tie granularity: stage s
+    ends at the first length value whose cumulative count reaches
+    ceil(N*(s+1)/4); (e) within (stage, shard), pos is 1..k dense."""
+    from ai_optimizer_spark.operators.sampling import curriculum_order
+
+    out = curriculum_order({"documents": random_corpus}).collect()
+    n = random_corpus.count()
+    assert len(out) == n
+    by_stage = {}
+    stage_of_len = {}
+    for r in out:
+        by_stage.setdefault(r.stage, []).append(r.n_tokens)
+        prev = stage_of_len.setdefault(r.n_tokens, r.stage)
+        assert prev == r.stage  # (c) ties share a stage
+    stages = sorted(by_stage)
+    for lo, hi in zip(stages, stages[1:]):
+        assert max(by_stage[lo]) <= min(by_stage[hi])  # (b) ordered blocks
+    # (d) exact quantile attribution: a doc's stage equals the ceil-rank
+    # of its length's cumulative count
+    lens = sorted(r.n_tokens for r in out)
+    cum = {}
+    for v in lens:
+        cum[v] = cum.get(v, 0) + 1
+    running = 0
+    for v in sorted(cum):
+        running += cum[v]
+        expect = (running * 4 - 1) // len(lens)
+        assert stage_of_len[v] == expect
+    # (e) dense positions per (stage, shard)
+    per_cell = {}
+    for r in out:
+        per_cell.setdefault((r.stage, r.shard), []).append(r.pos)
+    for cell, poss in per_cell.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_dedup_cascade_profile_decomposes_corpus(spark, random_corpus):
+    """e2e_dedup_cascade guarantees: 4 ordered stages; docs_remaining and
+    tokens_remaining are non-increasing; each row's removal count equals
+    the drop in remaining; the input row matches the corpus exactly; and
+    the final remaining set equals corpus minus the union of the three
+    stage removal sets (first-catch attribution sums to the union)."""
+    from ai_optimizer_spark.plans.curation import dedup_cascade
+    from ai_optimizer_spark.functions.text import token_count
+
+    # embeddings keyed to doc_ids (vec_id == doc_id convention)
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)], i % 3)
+            for i in range(120)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    t = {"documents": random_corpus, "embeddings": emb}
+    rows = sorted(dedup_cascade(t).collect(), key=lambda r: r.stage)
+    assert [r.stage_name for r in rows] == [
+        "input",
+        "exact",
+        "minhash_lsh",
+        "semdedup",
+    ]
+    n = random_corpus.count()
+    total_tokens = random_corpus.select(
+        F.sum(token_count(F.col("text"))).cast("long").alias("t")
+    ).collect()[0].t
+    assert rows[0].docs_remaining == n and rows[0].tokens_remaining == total_tokens
+    assert rows[0].docs_removed == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.docs_remaining == prev.docs_remaining - cur.docs_removed
+        assert cur.tokens_remaining <= prev.tokens_remaining
+    # the synthetic corpus is built to collide: at least one stage fires
+    assert rows[3].docs_remaining < n

@@ -651,3 +651,24 @@ def test_bloom_decontamination_broadcasts_bit_set(spark):
     assert "InMemoryTableScan" in plan  # shingle index built once
     assert "BroadcastExchange" in plan  # the bit table broadcasts
     assert "SortMergeJoin" not in plan
+
+
+def test_curriculum_order_avoids_global_ntile(spark):
+    """smp12's stage must come from the length-distribution table, never a
+    corpus-wide NTILE sort: no rangepartitioning anywhere, the staged dist
+    broadcasts back onto the scan, and the only corpus-sized window is
+    partitioned by (stage, shard)."""
+    plan = plan_of(spark, "smp12_curriculum_order")
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan  # staged dist joins map-side
+    assert "hashpartitioning(stage" in plan  # bounded per-(stage,shard) windows
+
+
+def test_dedup_cascade_single_profile_aggregate(spark):
+    """e2e_dedup_cascade's 4-row profile must come from ONE partial+final
+    aggregate fanned out by inline — four SinglePartition exchanges (or a
+    union of four aggregates) would mean four corpus passes."""
+    plan = plan_of(spark, "e2e_dedup_cascade")
+    assert plan.count("SinglePartition") == 1
+    assert "inline" in plan  # struct fan-out via Generate, not a union
+    assert "Union" not in plan

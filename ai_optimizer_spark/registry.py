@@ -4972,7 +4972,7 @@ _PRIORITY: list[str] = [
     "d18_semdedup",
     "d19_bloom_decontamination",
     "d13_topic_clusters",
-    "d5_embedding_neardup",
+    "e2e_dedup_cascade",
     "d6_dedup_clusters",
     "smp9_token_budget_select",
     "e2e_curation_pipeline",
@@ -5000,9 +5000,9 @@ _PRIORITY: list[str] = [
     "smp10_dsir_importance",
     "smp11_unimax_budget",
     # streaming near-dup + SCD2 (round-3 flagships)
-    "st12_streaming_neardup_candidates",
+    "st16_streaming_decontamination",
     "t8_scd2_history",
-    "smp8_quality_resample",
+    "smp12_curriculum_order",
     "tx17_gopher_rules",
     "t12_drift_monitor",
     # NL2SQL generation + evaluation e2e + deep parse
@@ -5011,6 +5011,9 @@ _PRIORITY: list[str] = [
     "s5_deep_parse",
     # displaced from the prefix by the r5 additions (repo gate still
     # covers them every session; each family keeps >=2 prefix slots)
+    "d5_embedding_neardup",
+    "st12_streaming_neardup_candidates",
+    "smp8_quality_resample",
     "d2_ngram_jaccard_pairs",
     "st7_streaming_sessionize",
     "e2e_vector_search",

@@ -375,3 +375,40 @@ def drift_report(hist: DataFrame, new: DataFrame, n_centroids: int) -> DataFrame
         ).alias("dist_delta"),
         (F.round(psi, 6) + F.lit(0.0) > F.lit(DRIFT_PSI_THRESHOLD)).alias("drifted"),
     )
+
+
+def bloom_index_refresh(t: dict[str, DataFrame], cutoff: int = 250) -> DataFrame:
+    """T13: incremental maintenance of the decontamination Bloom bit set
+    that d19 gates with and st16 probes at ingest — closing the
+    build/serve/maintain loop for the decontamination family the way
+    t10/st14 close it for the span index.
+
+    Bloom state is a distinct-union MERGE by design (the reason d19 chose
+    a Bloom filter over d12's exact index): when the eval suite grows,
+    only the DELTA benchmark docs are shingled and hashed (delta-sized
+    text pass), their bits distinct-unioned into the stored set, which
+    stays <= 2^20 rows at every suite size. Unlike t10 there is no
+    affected-set re-aggregation at all — bit membership is idempotent.
+    Emits the refreshed set with provenance (is_new = bit first
+    contributed by the delta), the signal an operator reads to decide
+    whether downstream re-gating is needed (no new bits == the stored
+    verdicts still hold). The oracle recomputes the full set from scratch
+    and derives the same flag — merge result must be bit-identical to a
+    full rebuild.
+
+    Here the "stored" side is recomputed from the < cutoff half to keep
+    the query self-contained; in production the bit table is the stored
+    artifact (it is exactly what st16 broadcasts)."""
+    from .dedup import _shingle_sets, bloom_bench_bits
+
+    sh = _shingle_sets(t["documents"])
+    # production: read the stored bit parquet; simulation: derive it, and
+    # checkpoint because it feeds two consumers (union + anti-join probe)
+    stored_bits = bloom_bench_bits(
+        sh.filter(F.col("doc_id") < cutoff)
+    ).localCheckpoint(eager=True)
+    delta_bits = bloom_bench_bits(sh.filter(F.col("doc_id") >= cutoff))
+    new_bits = delta_bits.join(stored_bits, "bit", "left_anti")
+    return stored_bits.select(
+        "bit", F.lit(False).alias("is_new")
+    ).unionByName(new_bits.select("bit", F.lit(True).alias("is_new")))

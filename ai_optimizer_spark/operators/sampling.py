@@ -709,3 +709,45 @@ def curriculum_order(
         .select("doc_id", "n_tokens", "stage", shard.cast("long").alias("shard"))
         .withColumn("pos", F.row_number().over(pos_w).cast("long"))
     )
+
+
+def mixture_epochs(t: dict[str, DataFrame]) -> DataFrame:
+    """smp13: apply smp11's UniMax allocation at document granularity —
+    the step that turns a per-domain token budget into the actual repeat
+    schedule a data loader executes. A domain funded for e epochs repeats
+    every document floor(e) times, plus one more for a deterministic
+    hash-uniform frac(e) subset (the standard fractional-epoch rule:
+    sampling without replacement within the final partial pass).
+
+    Exactness: e is smp11's ROUND(...,4) double, identical on both
+    engines; frac(e)*1e6 rounds to an integer ppm threshold, and the
+    extra-repeat draw is the same portable-hash comparison every sampler
+    in this module uses — no RNG, no float comparison, stable under
+    re-ingest.
+
+    Scale shape: the domain table (epochs per (lang, source)) is dozens
+    of rows and BROADCASTS onto the corpus scan; n_repeats is then a
+    scan-fused projection — the whole op adds zero shuffles on top of
+    smp11's single corpus aggregate."""
+    dom = unimax_budget(t).select(
+        "lang",
+        "source",
+        F.floor("epochs").cast("long").alias("full_epochs"),
+        F.round((F.col("epochs") - F.floor("epochs")) * 1_000_000)
+        .cast("long")
+        .alias("frac_ppm"),
+    )
+    extra = (_bucket(F.col("doc_id"), "epoch", 1_000_000) < F.col("frac_ppm")).cast(
+        "long"
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "lang", "source")
+        .join(F.broadcast(dom), ["lang", "source"])
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            (F.col("full_epochs") + extra).alias("n_repeats"),
+        )
+    )

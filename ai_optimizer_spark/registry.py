@@ -4891,6 +4891,48 @@ _register(
 )
 
 _register(
+    "t13_bloom_index_refresh",
+    RF.bloom_index_refresh,
+    f"""
+    WITH {OD._SHINGLES_CTE},
+    seeds AS (SELECT unnest(range(0, {D.BLOOM_HASHES})) AS s),
+    bits AS (
+        SELECT ('0x' || substr(md5('bloom' || s.s || '|' || shingle), 1, 15))::BIGINT
+                   % {D.BLOOM_BITS} AS bit,
+               doc_id
+        FROM sh, seeds s WHERE doc_id % {D.DECON_BENCH_MOD} = 0
+    ),
+    stored AS (SELECT DISTINCT bit FROM bits WHERE doc_id < 250),
+    alls AS (SELECT DISTINCT bit FROM bits)
+    SELECT a.bit, (s.bit IS NULL) AS is_new
+    FROM alls a LEFT JOIN stored s ON a.bit = s.bit
+    """,
+)
+
+_register(
+    "smp13_mixture_epochs",
+    SMP.mixture_epochs,
+    f"""
+    WITH dom AS (
+        SELECT lang, source,
+               CAST(FLOOR(epochs) AS BIGINT) AS full_epochs,
+               CAST(ROUND((epochs - FLOOR(epochs)) * 1000000) AS BIGINT) AS frac_ppm
+        FROM ({{smp11}}) u
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           full_epochs
+             + CASE WHEN {_h60("'epoch|' || CAST(doc_id AS VARCHAR)")} % 1000000
+                         < frac_ppm
+                    THEN 1 ELSE 0 END AS n_repeats
+    FROM documents d JOIN dom USING (lang, source)
+    """,
+)
+# smp13's oracle embeds smp11's verbatim so the two can never drift
+ORACLE_SQL["smp13_mixture_epochs"] = ORACLE_SQL["smp13_mixture_epochs"].format(
+    smp11=ORACLE_SQL["smp11_unimax_budget"]
+)
+
+_register(
     "smp12_curriculum_order",
     SMP.curriculum_order,
     f"""

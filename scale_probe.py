@@ -53,12 +53,14 @@ OPS = [
     "smp10_dsir_importance",
     "smp11_unimax_budget",
     "smp12_curriculum_order",
+    "smp13_mixture_epochs",
     "tx13_bpe_pair_counts",
     "tx16_ngram_perplexity",
     "tx18_zipf_fit",
     # incremental-maintenance family: the write paths behind the serving
     # tiers — cost must track the delta/affected set, not the corpus
     "t10_span_index_refresh",
+    "t13_bloom_index_refresh",
     "t11_cell_stats_refresh",
     "t12_drift_monitor",
     # events family (VERDICT r3 task #7): per-user chained aggregates —

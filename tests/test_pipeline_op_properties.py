@@ -271,3 +271,61 @@ def test_dedup_cascade_profile_decomposes_corpus(spark, random_corpus):
         assert cur.tokens_remaining <= prev.tokens_remaining
     # the synthetic corpus is built to collide: at least one stage fires
     assert rows[3].docs_remaining < n
+
+
+def test_bloom_refresh_merge_equals_full_rebuild(spark, random_corpus):
+    """t13 guarantees: the merged bit set equals the from-scratch set of
+    all benchmark docs (Bloom merge is exact by design); no stored bit is
+    ever flagged new; flags partition the set by actual provenance."""
+    from ai_optimizer_spark.operators.dedup import (
+        DECON_BENCH_MOD,
+        _shingle_sets,
+        bloom_bench_bits,
+    )
+    from ai_optimizer_spark.operators.refresh import bloom_index_refresh
+
+    cutoff = 1  # stored = doc 0 only, so the delta must contribute new bits
+    out = bloom_index_refresh({"documents": random_corpus}, cutoff=cutoff).collect()
+    bits = {r.bit for r in out}
+    assert len(bits) == len(out)  # distinct-union: no duplicate bits
+    full = {
+        r.bit
+        for r in bloom_bench_bits(_shingle_sets(random_corpus)).collect()
+    }
+    assert bits == full  # merge == full rebuild
+    sh = _shingle_sets(random_corpus)
+    stored = {
+        r.bit
+        for r in bloom_bench_bits(
+            sh.filter(F.col("doc_id") < cutoff)
+        ).collect()
+    }
+    for r in out:
+        assert r.is_new == (r.bit not in stored)
+    assert any(r.is_new for r in out)  # fixture delta contributes bits
+
+
+def test_mixture_epochs_respects_unimax_allocation(spark, random_corpus):
+    """smp13 guarantees: every doc repeats floor(e) or floor(e)+1 times
+    for its domain's epoch count e; a capped domain (e == max_epochs
+    exactly) repeats every doc exactly max_epochs times; total scheduled
+    tokens per domain never exceed the domain cap."""
+    from ai_optimizer_spark.operators.sampling import (
+        UNIMAX_MAX_EPOCHS,
+        mixture_epochs,
+        unimax_budget,
+    )
+
+    t = {"documents": random_corpus}
+    alloc = {
+        (r.lang, r.source): r for r in unimax_budget(t).collect()
+    }
+    out = mixture_epochs(t).collect()
+    assert len(out) == random_corpus.count()
+    import math
+
+    for r in out:
+        e = alloc[(r.lang, r.source)].epochs
+        assert r.n_repeats in (math.floor(e), math.floor(e) + 1)
+        if alloc[(r.lang, r.source)].capped:
+            assert e == UNIMAX_MAX_EPOCHS and r.n_repeats == UNIMAX_MAX_EPOCHS

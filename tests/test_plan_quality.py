@@ -672,3 +672,24 @@ def test_dedup_cascade_single_profile_aggregate(spark):
     assert plan.count("SinglePartition") == 1
     assert "inline" in plan  # struct fan-out via Generate, not a union
     assert "Union" not in plan
+
+
+def test_bloom_refresh_delta_only_fingerprinting(spark):
+    """t13's served plan must shingle ONLY the delta: the stored bit set is
+    a checkpointed artifact (Scan ExistingRDD), the provenance probe is a
+    broadcast anti-join of two <=2^20-row sides, and exactly one shingle
+    Generate (the delta's) appears in the tree."""
+    plan = plan_of(spark, "t13_bloom_index_refresh")
+    assert "Scan ExistingRDD" in plan  # stored artifact, not re-derived
+    assert "LeftAnti" in plan
+    # one scan detail block == only the DELTA reads the corpus
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_mixture_epochs_broadcasts_domain_table(spark):
+    """smp13 must attach the |domains|-row epochs table by broadcast —
+    a corpus-side shuffle on (lang, source) would be the wrong plan at
+    any scale."""
+    plan = plan_of(spark, "smp13_mixture_epochs")
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(lang" not in plan

@@ -788,3 +788,141 @@ def zipf_fit(t: dict[str, DataFrame], top_r: int = ZIPF_TOP_TERMS) -> DataFrame:
         (F.round(slope, 4) + F.lit(0.0)).alias("zipf_slope"),
         (F.round(intercept, 4) + F.lit(0.0)).alias("zipf_intercept"),
     )
+
+
+QCLS_BUCKETS = 64  # hashed feature space (DSIR's bucket count)
+QCLS_BIAS = QCLS_BUCKETS  # bias term lives at feature index 64, x = 1.0
+QCLS_ROUNDS = 2  # full-batch gradient rounds (the oracle unrolls exactly 2)
+QCLS_LR = 1.0
+
+
+def _qcls_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, b, x): hashed bag-of-words rates + a bias feature.
+    x = ROUND(count/n_tokens, 9) so both engines carry the identical
+    double; y = 1.0 for the target domain (src0 — the same supervision
+    convention as smp10's DSIR)."""
+    w = T.words("text")
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("source") == "src0", 1.0).otherwise(0.0).alias("y"),
+        F.size(w).alias("n"),
+        w.alias("ws"),
+    )
+    word_feat = (
+        base.select("doc_id", "y", "n", F.explode("ws").alias("term"))
+        .groupBy(
+            "doc_id",
+            "y",
+            "n",
+            (T.hash60(F.concat(F.lit("qcls|"), F.col("term"))) % QCLS_BUCKETS).alias(
+                "b"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "doc_id", "y", "b", F.round(F.col("cnt") / F.col("n"), 9).alias("x")
+        )
+    )
+    bias = base.select(
+        "doc_id", "y", F.lit(QCLS_BIAS).cast("long").alias("b"), F.lit(1.0).alias("x")
+    )
+    return word_feat.unionByName(bias)
+
+
+def _fast_sigmoid(z):
+    """sigma(z) ~ 0.5 + z / (2*(1+|z|)) — the rational ("fast") sigmoid.
+    Chosen over exp() DELIBERATELY: +, *, /, abs are IEEE correctly
+    rounded, so every engine computes bit-identical doubles; libm exp()
+    is only faithfully rounded and may differ in the last ulp between
+    DuckDB and the JVM, which would compound across gradient rounds."""
+    return F.round(0.5 + z / (2.0 * (1.0 + F.abs(z))), 9) + F.lit(0.0)
+
+
+def quality_classifier(
+    t: dict[str, DataFrame],
+    rounds: int = QCLS_ROUNDS,
+    lr: float = QCLS_LR,
+) -> DataFrame:
+    """tx19: model-based quality filtering — the FineWeb-Edu / DCLM move
+    (Penedo et al. 2024; Li et al. 2024): train a cheap linear classifier
+    to recognize the target domain, score the whole corpus, gate on the
+    score. Features are hashed bag-of-words rates (+bias); training is
+    full-batch gradient ascent on the quasi-logistic likelihood with the
+    rational sigmoid link, unrolled for a FIXED number of rounds so the
+    entire fit is hash-verifiable in DuckDB (the v9-Lloyd/tx14-BPE
+    pattern for iterative algorithms).
+
+    Determinism contract: every per-row product is ROUNDed to 9 decimals
+    and summed as DECIMAL (exact, order-independent — the tx18/j19
+    stabilization); the link uses only IEEE-exact ops (see _fast_sigmoid);
+    weight updates round THROUGH SPARK's ROUND (collected after rounding)
+    so there is exactly one rounding semantics on the engine side.
+
+    Scale shape: the feature table is built once and persisted (digests
+    only: (doc_id, b, x)); each round is ONE job — per-doc dot via a
+    65-entry broadcast map literal (no join), err joined back to the
+    co-partitioned features, 65-key gradient aggregate; the collected
+    model is 65 rows (the kmeans/BPE bounded-model precedent). Scoring
+    is a map-side projection. K rounds = K digest-sized shuffles, never
+    a re-tokenization."""
+    docs = t["documents"]
+    n_docs = docs.count()
+    feat = _qcls_features(docs).repartition("doc_id").persist()
+
+    weights: dict[int, float] = {}
+
+    def w_expr():
+        if not weights:
+            return F.lit(0.0)
+        items = sorted(weights.items())
+        lookup = F.create_map(*[F.lit(v) for kv in items for v in kv])[F.col("b")]
+        return F.coalesce(lookup, F.lit(0.0))
+
+    def doc_scores() -> DataFrame:
+        z = (
+            feat.groupBy("doc_id", "y")
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * w_expr(), 9).cast("decimal(20,9)")
+                )
+                .cast("double")
+                .alias("z")
+            )
+        )
+        return z.select("doc_id", "y", _fast_sigmoid(F.col("z")).alias("p"))
+
+    for _ in range(rounds):
+        err = doc_scores().select("doc_id", (F.col("y") - F.col("p")).alias("err"))
+        grads = (
+            feat.join(err, "doc_id")
+            .groupBy("b")
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * F.col("err"), 9).cast("decimal(20,9)")
+                )
+                .cast("double")
+                .alias("gsum")
+            )
+            .select(
+                "b",
+                (
+                    F.round(
+                        w_expr() + F.lit(lr) * (F.col("gsum") / F.lit(n_docs)), 9
+                    )
+                    + F.lit(0.0)
+                ).alias("w"),
+            )
+        )
+        weights = {r.b: r.w for r in grads.collect()}
+
+    out = doc_scores()
+    return (
+        docs.select("doc_id", "source")
+        .join(out, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            (F.round(F.col("p"), 6) + F.lit(0.0)).alias("score"),
+            (F.col("p") >= 0.5).alias("keep"),
+        )
+    )

@@ -4970,6 +4970,76 @@ _register(
     """,
 )
 
+_register(
+    "tx19_quality_classifier",
+    TX.quality_classifier,
+    f"""
+    WITH arr AS (
+        SELECT doc_id, source,
+               CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+               regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, y, len(words) AS n, unnest(words) AS term FROM arr),
+    wf AS (
+        SELECT doc_id, y, {_h60("'qcls|' || term")} % {TX.QCLS_BUCKETS} AS b,
+               ROUND(COUNT(*) * 1.0 / n, 9) AS x
+        FROM tok GROUP BY doc_id, y, b, n
+    ),
+    feat AS (
+        SELECT doc_id, y, b, x FROM wf
+        UNION ALL
+        SELECT doc_id, y, {TX.QCLS_BIAS} AS b, 1.0 AS x FROM arr
+    ),
+    nd AS (SELECT COUNT(*) AS nd FROM arr),
+    -- round 1 from w0 = 0: z = 0, p = 0.5, err = y - 0.5
+    w1 AS (
+        SELECT b,
+               ROUND({TX.QCLS_LR}
+                     * (CAST(SUM(CAST(ROUND(x * (y - 0.5), 9) AS DECIMAL(20,9)))
+                             AS DOUBLE) / nd.nd), 9) + 0.0 AS w
+        FROM feat, nd GROUP BY b, nd.nd
+    ),
+    z2 AS (
+        SELECT f.doc_id, f.y,
+               CAST(SUM(CAST(ROUND(f.x * COALESCE(w1.w, 0.0), 9) AS DECIMAL(20,9)))
+                    AS DOUBLE) AS z
+        FROM feat f LEFT JOIN w1 USING (b) GROUP BY f.doc_id, f.y
+    ),
+    p2 AS (
+        SELECT doc_id, y,
+               ROUND(0.5 + z / (2.0 * (1.0 + ABS(z))), 9) + 0.0 AS p
+        FROM z2
+    ),
+    w2 AS (
+        SELECT f.b,
+               ROUND(MAX(COALESCE(w1.w, 0.0))
+                     + {TX.QCLS_LR}
+                       * (CAST(SUM(CAST(ROUND(f.x * (p2.y - p2.p), 9)
+                                        AS DECIMAL(20,9))) AS DOUBLE) / nd.nd),
+                     9) + 0.0 AS w
+        FROM feat f
+        JOIN p2 ON f.doc_id = p2.doc_id
+        LEFT JOIN w1 ON f.b = w1.b, nd
+        GROUP BY f.b, nd.nd
+    ),
+    z3 AS (
+        SELECT f.doc_id,
+               CAST(SUM(CAST(ROUND(f.x * COALESCE(w2.w, 0.0), 9) AS DECIMAL(20,9)))
+                    AS DOUBLE) AS z
+        FROM feat f LEFT JOIN w2 USING (b) GROUP BY f.doc_id
+    ),
+    p3 AS (
+        SELECT doc_id,
+               ROUND(0.5 + z / (2.0 * (1.0 + ABS(z))), 9) + 0.0 AS p
+        FROM z3
+    )
+    SELECT d.doc_id, d.source, ROUND(p3.p, 6) + 0.0 AS score,
+           p3.p >= 0.5 AS keep
+    FROM documents d JOIN p3 USING (doc_id)
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # Registration-order priority

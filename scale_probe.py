@@ -57,6 +57,7 @@ OPS = [
     "tx13_bpe_pair_counts",
     "tx16_ngram_perplexity",
     "tx18_zipf_fit",
+    "tx19_quality_classifier",
     # incremental-maintenance family: the write paths behind the serving
     # tiers — cost must track the delta/affected set, not the corpus
     "t10_span_index_refresh",

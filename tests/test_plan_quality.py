@@ -693,3 +693,14 @@ def test_mixture_epochs_broadcasts_domain_table(spark):
     plan = plan_of(spark, "smp13_mixture_epochs")
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(lang" not in plan
+
+
+def test_quality_classifier_cached_features_and_jvm_scoring(spark):
+    """tx19's served plan must score off the PERSISTED feature table
+    (InMemoryTableScan — never re-tokenizes the corpus), keep the weight
+    lookup as a JVM map literal (no Python eval in the hot path), and
+    avoid any global sort."""
+    plan = plan_of(spark, "tx19_quality_classifier")
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan
+    assert "rangepartitioning" not in plan

@@ -838,6 +838,119 @@ def _fast_sigmoid(z):
     return F.round(0.5 + z / (2.0 * (1.0 + F.abs(z))), 9) + F.lit(0.0)
 
 
+def _qcls_w_expr(weights: dict[int, float]):
+    """The model as a 65-entry map LITERAL — broadcast inside the plan,
+    no join; absent buckets read as 0.0 (their gradient was never
+    computed because no feature row exists)."""
+    if not weights:
+        return F.lit(0.0)
+    items = sorted(weights.items())
+    lookup = F.create_map(*[F.lit(v) for kv in items for v in kv])[F.col("b")]
+    return F.coalesce(lookup, F.lit(0.0))
+
+
+def _qcls_doc_scores(feat: DataFrame, weights: dict[int, float]) -> DataFrame:
+    """(doc_id, y, p): the per-doc dot as a DECIMAL sum of 9-rounded
+    products (exact, order-independent), passed through the rational
+    sigmoid."""
+    z = feat.groupBy("doc_id", "y").agg(
+        F.sum(F.round(F.col("x") * _qcls_w_expr(weights), 9).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("z")
+    )
+    return z.select("doc_id", "y", _fast_sigmoid(F.col("z")).alias("p"))
+
+
+def qcls_fit(
+    docs: DataFrame, rounds: int = QCLS_ROUNDS, lr: float = QCLS_LR
+) -> tuple[dict[int, float], DataFrame]:
+    """Train the classifier; returns (weights, persisted feature table).
+    Each round is one job: per-doc dot against the map-literal model,
+    err joined back to the doc-co-partitioned features, 65-key gradient
+    aggregate; weight updates round THROUGH SPARK's ROUND before
+    collection so exactly one rounding semantics exists engine-side."""
+    n_docs = docs.count()
+    feat = _qcls_features(docs).repartition("doc_id").persist()
+    weights: dict[int, float] = {}
+    for _ in range(rounds):
+        err = _qcls_doc_scores(feat, weights).select(
+            "doc_id", (F.col("y") - F.col("p")).alias("err")
+        )
+        grads = (
+            feat.join(err, "doc_id")
+            .groupBy("b")
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * F.col("err"), 9).cast("decimal(20,9)")
+                )
+                .cast("double")
+                .alias("gsum")
+            )
+            .select(
+                "b",
+                (
+                    F.round(
+                        _qcls_w_expr(weights)
+                        + F.lit(lr) * (F.col("gsum") / F.lit(n_docs)),
+                        9,
+                    )
+                    + F.lit(0.0)
+                ).alias("w"),
+            )
+        )
+        weights = {r.b: r.w for r in grads.collect()}
+    return weights, feat
+
+
+def qcls_score_expr(weights: dict[int, float], text_col: str = "text"):
+    """Per-ROW scorer for ingest-time gating (st17): the identical score
+    as the batch DECIMAL-sum dot, computed entirely inside one row so a
+    streaming plan needs NO aggregation and NO state.
+
+    Bit-equality argument: the batch z is CAST(SUM(DECIMAL(20,9)) AS
+    DOUBLE) over per-bucket products round(x*w, 9) — each an exact
+    multiple of 1e-9. Here each product is scaled to its integer
+    numerator (round(round(x*w,9)*1e9) is exact: the double is within
+    2^-52 relative of the integer, far under 0.5), the numerators sum as
+    BIGINTs (exact, order-free), and one final division by 1e9 produces
+    the nearest double of the same exact rational — precisely what the
+    DECIMAL->DOUBLE cast produces. The sigmoid is the same rational link.
+    """
+    w = T.words(text_col)
+    n = F.size(w)
+    buckets = F.transform(
+        w,
+        lambda term: T.hash60(F.concat(F.lit("qcls|"), term)) % QCLS_BUCKETS,
+    )
+
+    def scaled(b):
+        cnt = F.size(F.filter(buckets, lambda x: x == b))
+        x = F.round(cnt / n, 9)
+        wb = F.coalesce(
+            _qcls_w_expr_for(weights, b), F.lit(0.0)
+        )
+        return F.round(F.round(wb * x, 9) * 1e9).cast("long")
+
+    z_words = F.aggregate(
+        F.array_distinct(buckets),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + scaled(b),
+    )
+    bias_w = weights.get(QCLS_BIAS, 0.0)
+    bias_scaled = F.round(F.round(F.lit(bias_w) * F.lit(1.0), 9) * 1e9).cast("long")
+    z = (z_words + bias_scaled) / F.lit(1e9)
+    return _fast_sigmoid(z)
+
+
+def _qcls_w_expr_for(weights: dict[int, float], b_col):
+    """Map-literal lookup keyed by an arbitrary expression (the HOF lambda
+    variable), not the feat table's `b` column."""
+    if not weights:
+        return F.lit(0.0)
+    items = sorted(weights.items())
+    return F.create_map(*[F.lit(v) for kv in items for v in kv])[b_col]
+
+
 def quality_classifier(
     t: dict[str, DataFrame],
     rounds: int = QCLS_ROUNDS,
@@ -866,56 +979,8 @@ def quality_classifier(
     is a map-side projection. K rounds = K digest-sized shuffles, never
     a re-tokenization."""
     docs = t["documents"]
-    n_docs = docs.count()
-    feat = _qcls_features(docs).repartition("doc_id").persist()
-
-    weights: dict[int, float] = {}
-
-    def w_expr():
-        if not weights:
-            return F.lit(0.0)
-        items = sorted(weights.items())
-        lookup = F.create_map(*[F.lit(v) for kv in items for v in kv])[F.col("b")]
-        return F.coalesce(lookup, F.lit(0.0))
-
-    def doc_scores() -> DataFrame:
-        z = (
-            feat.groupBy("doc_id", "y")
-            .agg(
-                F.sum(
-                    F.round(F.col("x") * w_expr(), 9).cast("decimal(20,9)")
-                )
-                .cast("double")
-                .alias("z")
-            )
-        )
-        return z.select("doc_id", "y", _fast_sigmoid(F.col("z")).alias("p"))
-
-    for _ in range(rounds):
-        err = doc_scores().select("doc_id", (F.col("y") - F.col("p")).alias("err"))
-        grads = (
-            feat.join(err, "doc_id")
-            .groupBy("b")
-            .agg(
-                F.sum(
-                    F.round(F.col("x") * F.col("err"), 9).cast("decimal(20,9)")
-                )
-                .cast("double")
-                .alias("gsum")
-            )
-            .select(
-                "b",
-                (
-                    F.round(
-                        w_expr() + F.lit(lr) * (F.col("gsum") / F.lit(n_docs)), 9
-                    )
-                    + F.lit(0.0)
-                ).alias("w"),
-            )
-        )
-        weights = {r.b: r.w for r in grads.collect()}
-
-    out = doc_scores()
+    weights, feat = qcls_fit(docs, rounds, lr)
+    out = _qcls_doc_scores(feat, weights)
     return (
         docs.select("doc_id", "source")
         .join(out, "doc_id")

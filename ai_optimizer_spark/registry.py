@@ -3708,6 +3708,18 @@ def _st16_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 QUERIES["st16_streaming_decontamination"] = _st16_streaming_decontamination
+
+
+def _st17_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.event_stream import streaming_quality_gate
+
+    return streaming_quality_gate(spark, sf_dir)
+
+
+QUERIES["st17_streaming_quality_gate"] = _st17_streaming_quality_gate
+# shares tx19's oracle: the stateless per-row ingest scorer must reproduce
+# the batch classifier's scores bit-for-bit (attached after tx19's
+# registration below)
 # same oracle as d19 by construction: streamed ingest-time admission
 # verdicts must equal the offline Bloom gate bit-for-bit (attached after
 # d19's registration at the bottom of this file)
@@ -5039,6 +5051,13 @@ _register(
     FROM documents d JOIN p3 USING (doc_id)
     """,
 )
+
+# st17 shares tx19's oracle: ingest-time scoring is a pure per-row twin of
+# the batch scorer (exact scaled-integer dot), so verdicts must match
+# bit-for-bit.
+ORACLE_SQL["st17_streaming_quality_gate"] = ORACLE_SQL[
+    "tx19_quality_classifier"
+]
 
 
 # ---------------------------------------------------------------------------

@@ -522,3 +522,46 @@ def streaming_drift_monitor(
         static.filter(F.col("vec_id") < cutoff), cents, cent_rows
     )
     return drift_report(hist, mem, n_centroids)
+
+
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST17: ingest-time model-based quality gating — tx19's serving path.
+    The classifier is fit ONCE on the stored corpus (the batch job that
+    owns the model); arriving documents are scored by a PURE PER-ROW
+    expression (`qcls_score_expr`): bucket counts, the 9-rounded products,
+    and the dot product all fold inside one row as exact scaled-integer
+    arithmetic, so the streaming plan has NO aggregation and NO state at
+    all — append mode, stateless, the cheapest possible ingest shape.
+    Verdicts are bit-identical to the batch scorer by construction (the
+    integer-numerator argument in qcls_score_expr's docstring), which the
+    shared tx19 oracle enforces end-to-end.
+
+    At 100 TB the model is 65 numbers: it ships inside the plan as a map
+    literal — no broadcast table, no join, no per-batch recomputation."""
+    from ..operators.textops import qcls_fit, qcls_score_expr
+    import uuid
+
+    static_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights, feat = qcls_fit(static_docs)
+    feat.unpersist()
+
+    docs = documents_stream(spark, sf_dir)
+    p = qcls_score_expr(weights)
+    plan = docs.select(
+        "doc_id",
+        "source",
+        (F.round(p, 6) + F.lit(0.0)).alias("score"),
+        (p >= 0.5).alias("keep"),
+    )
+    name = f"st17_{uuid.uuid4().hex[:8]}"
+    q = (
+        plan.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # stateless projection: append, not complete
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(f"streaming query {name!r} did not finish within 120s")
+    return spark.table(name)

@@ -549,3 +549,64 @@ def test_streaming_decontamination_multibatch_equals_batch_gate(
             .collect()
         }
     assert results["fwd"] == results["rev"] == truth
+
+
+def test_streaming_quality_gate_multibatch_equals_batch_scorer(
+    spark, sf_small, tmp_path
+):
+    """st17 semantics: scoring is a pure per-row expression over a fixed
+    model, so streamed scores must equal the batch classifier's
+    bit-for-bit regardless of micro-batch split or arrival order —
+    including the exact scaled-integer dot reproduction."""
+    from ai_optimizer_spark.operators.textops import (
+        qcls_fit,
+        qcls_score_expr,
+        quality_classifier,
+    )
+    from ai_optimizer_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_small)["documents"]
+    truth = {
+        tuple(r) for r in quality_classifier({"documents": docs}).collect()
+    }
+    assert truth
+
+    weights, feat = qcls_fit(docs)
+    feat.unpersist()
+    results = {}
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    for order_name, batches in (("fwd", [half_a, half_b]), ("rev", [half_b, half_a])):
+        feed = str(tmp_path / f"qg_{order_name}")
+        os.makedirs(feed)
+        for i, bdf in enumerate(batches):
+            stage = str(tmp_path / f"qg_{order_name}_s{i}")
+            bdf.coalesce(1).write.parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            dst = os.path.join(feed, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        p = qcls_score_expr(weights)
+        plan = stream.select(
+            "doc_id",
+            "source",
+            (F.round(p, 6) + F.lit(0.0)).alias("score"),
+            (p >= 0.5).alias("keep"),
+        )
+        q = (
+            plan.writeStream.format("memory")
+            .queryName(f"st17_order_{order_name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        results[order_name] = {
+            tuple(r) for r in spark.table(f"st17_order_{order_name}").collect()
+        }
+    assert results["fwd"] == results["rev"] == truth

@@ -37,6 +37,15 @@ def cosine_similarity(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_similarity_safe(a, b) -> Column:
+    """Cosine with a zero-norm guard: 0.0 when either vector has zero
+    norm. ANSI mode makes the plain division THROW on zero vectors (a
+    realistic artifact: failed encodes produce all-zero embeddings);
+    'similar to nothing' is the behavior every consumer wants for them."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def cosine_distance(a, b) -> Column:
     """Oracle COSINE distance: 1 - cos(a,b)."""
     return F.lit(1.0) - cosine_similarity(a, b)

@@ -1180,14 +1180,21 @@ def semdedup(
             assigned["cid"].alias("cid"),
             "embedding",
             V.norm("embedding").alias("nrm"),
-            (F.round(V.cosine_similarity("embedding", "ce"), 3) + F.lit(0.0)).alias(
-                "cos_c"
-            ),
+            # _safe: ANSI throws on zero-norm vectors (failed encodes emit
+            # all-zero embeddings); they cosine to 0 = never a duplicate
+            (
+                F.round(V.cosine_similarity_safe("embedding", "ce"), 3) + F.lit(0.0)
+            ).alias("cos_c"),
         )
         .select(
             "vec_id",
             "cid",
-            F.transform("embedding", lambda x: x / F.col("nrm")).alias("ne"),
+            F.transform(
+                "embedding",
+                lambda x: F.when(F.col("nrm") > 0, x / F.col("nrm")).otherwise(
+                    F.lit(0.0)
+                ),
+            ).alias("ne"),
             "cos_c",
         )
         .localCheckpoint(eager=True)

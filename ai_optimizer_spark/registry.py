@@ -5109,12 +5109,12 @@ _PRIORITY: list[str] = [
     "e2e_curation_pipeline",
     "v14_hybrid_rrf_topk",
     # text-analysis family + multimodal (+ d15 substring dedup, new r5)
-    "st15_streaming_drift_monitor",
+    "st17_streaming_quality_gate",
     "mm3_audio_features",
     "d15_repeated_substrings",
     "s13_store_catalog",
     "mm2_frame_features",
-    "tx11_repetition_stats",
+    "tx19_quality_classifier",
     # streaming / event-time (+ st14/t10 span-index pair, new r5)
     "st14_streaming_span_novelty",
     "t10_span_index_refresh",
@@ -5142,6 +5142,8 @@ _PRIORITY: list[str] = [
     "s5_deep_parse",
     # displaced from the prefix by the r5 additions (repo gate still
     # covers them every session; each family keeps >=2 prefix slots)
+    "tx11_repetition_stats",
+    "st15_streaming_drift_monitor",
     "d5_embedding_neardup",
     "st12_streaming_neardup_candidates",
     "smp8_quality_resample",

@@ -10,6 +10,7 @@ import pytest
 from ai_optimizer_spark.operators import dedup as D
 from ai_optimizer_spark.operators import sampling as SMP
 from ai_optimizer_spark.operators import textops as TX
+from ai_optimizer_spark.operators import refresh as RF
 from ai_optimizer_spark.plans.corpus_mix import corpus_assembly
 
 
@@ -52,6 +53,14 @@ def degenerate_t(spark):
         TX.gopher_rules,
         corpus_assembly,
         lambda t: D.span_index(t["documents"]),
+        # final-r5 additions: the modern-pipeline ops must survive NULL /
+        # empty / whitespace-only text too
+        TX.quality_classifier,
+        SMP.curriculum_order,
+        SMP.mixture_epochs,
+        SMP.unimax_budget,
+        RF.bloom_index_refresh,
+        D.bloom_decontamination,
     ],
 )
 def test_text_family_survives_degenerate_docs(degenerate_t, fn):
@@ -171,3 +180,30 @@ def test_cell_stats_refresh_empty_delta_and_empty_history(spark, sf_small):
     assert results[0] == results[1] == results[2]
     # every centroid owns at least its own seed vector
     assert len(results[0]) == 16
+
+
+def test_dedup_cascade_degenerate_docs_and_zero_vector(spark, degenerate_t):
+    """e2e_dedup_cascade must survive NULL/empty text AND a zero-norm
+    embedding (normalization divides by the norm: IEEE gives inf/NaN,
+    the cosine filters must treat it as not-a-duplicate, never throw),
+    and the profile must stay internally consistent."""
+    from ai_optimizer_spark.plans.curation import dedup_cascade
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0] * 8, 0),  # zero vector: norm == 0
+            (2, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0),
+            (3, [1.0, 0.001, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0),
+            (4, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 1),
+            (5, [0.0, 1.0, 0.001, 0.0, 0.0, 0.0, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    t = {"documents": degenerate_t["documents"], "embeddings": emb}
+    rows = sorted(dedup_cascade(t).collect(), key=lambda r: r.stage)
+    assert len(rows) == 4
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.docs_remaining == prev.docs_remaining - cur.docs_removed
+        assert cur.docs_remaining >= 0
+    # docs 4/5 are exact duplicates: the exact stage must fire
+    assert rows[1].docs_removed >= 1

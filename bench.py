@@ -68,6 +68,7 @@ HEADLINE = [
     "tx16_ngram_perplexity",
     "tx17_gopher_rules",
     "tx18_zipf_fit",
+    "tx19_quality_classifier",
     "d12_decontamination",
     "d19_bloom_decontamination",
     "v12_ann_recall",
@@ -77,7 +78,10 @@ HEADLINE = [
     "smp9_token_budget_select",
     "smp10_dsir_importance",
     "smp11_unimax_budget",
+    "smp12_curriculum_order",
+    "smp13_mixture_epochs",
     "e2e_corpus_assembly",
+    "e2e_dedup_cascade",
     "t6_token_stream_assembly",
     "st2_sessionize",
     "st11_funnel_steps",
@@ -90,6 +94,7 @@ HEADLINE = [
     "t9_incremental_rollup",
     "t10_span_index_refresh",
     "t11_cell_stats_refresh",
+    "t13_bloom_index_refresh",
     "t12_drift_monitor",
     "st15_streaming_drift_monitor",
     "v16b_clustered_range_search",

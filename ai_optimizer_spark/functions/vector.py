@@ -34,16 +34,21 @@ def norm(a) -> Column:
 
 
 def cosine_similarity(a, b) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
-
-
-def cosine_similarity_safe(a, b) -> Column:
-    """Cosine with a zero-norm guard: 0.0 when either vector has zero
-    norm. ANSI mode makes the plain division THROW on zero vectors (a
-    realistic artifact: failed encodes produce all-zero embeddings);
-    'similar to nothing' is the behavior every consumer wants for them."""
+    """Zero-norm-safe cosine. ANSI mode makes the plain division THROW on
+    zero vectors — a realistic artifact (failed encodes emit all-zero
+    embeddings) that would otherwise kill a whole-corpus scan mid-stage.
+    A zero vector is 'similar to nothing' (0.0), which every consumer
+    (top-k, thresholds, near-dup gates) already handles; NULL inputs stay
+    NULL (missing, not dissimilar). Fixtures contain neither, so oracle
+    parity is untouched — this is pure robustness for real corpora."""
     denom = norm(a) * norm(b)
-    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+    return F.when(denom > 0, dot(a, b) / denom).when(
+        denom.isNotNull(), F.lit(0.0)
+    )
+
+
+# d18's call sites adopted the guard first; keep the explicit name alive
+cosine_similarity_safe = cosine_similarity
 
 
 def cosine_distance(a, b) -> Column:

@@ -207,3 +207,39 @@ def test_dedup_cascade_degenerate_docs_and_zero_vector(spark, degenerate_t):
         assert cur.docs_remaining >= 0
     # docs 4/5 are exact duplicates: the exact stage must fire
     assert rows[1].docs_removed >= 1
+
+
+@pytest.fixture(scope="module")
+def degenerate_emb(spark):
+    """Realistic embedding pathologies: a zero vector (failed encode), a
+    NULL embedding (missing row), plus normal vectors — every
+    similarity-family op must survive a corpus containing them."""
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.2, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.0] * 8, 0),  # zero norm
+            (2, None, 1),  # NULL embedding
+            (3, [0.9, 0.25, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0),
+            (4, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.1], 1),
+            (5, [0.0, 0.95, 0.0, 0.0, 0.0, 0.0, 0.0, 0.12], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_similarity_family_survives_degenerate_embeddings(spark, degenerate_emb):
+    """Zero-norm and NULL embeddings must flow through the cosine paths
+    without ANSI divide-by-zero errors; the zero vector scores 0.0
+    ('similar to nothing'), the NULL row scores NULL (missing) — neither
+    ever surfaces as a near-duplicate or a top hit."""
+    from ai_optimizer_spark.operators import dedup as DD
+    from ai_optimizer_spark.operators import similarity as S
+
+    t = {"embeddings": degenerate_emb}
+    topk = S.cosine_topk(t).collect()  # query vec_id=0, must not raise
+    assert all(r.vec_id != 1 or r.cos_sim == 0.0 for r in topk)
+    pairs = DD.embedding_neardup_blocked(t).collect()  # must not raise
+    flat = {v for r in pairs for v in (r.vec_a, r.vec_b)}
+    assert 1 not in flat and 2 not in flat  # degenerate rows never pair
+    sem = DD.semdedup(t, n_centroids=2).collect()
+    assert {r.vec_id for r in sem} >= {0, 1, 3, 4, 5}

@@ -938,7 +938,10 @@ def qcls_score_expr(weights: dict[int, float], text_col: str = "text"):
     )
     bias_w = weights.get(QCLS_BIAS, 0.0)
     bias_scaled = F.round(F.round(F.lit(bias_w) * F.lit(1.0), 9) * 1e9).cast("long")
-    z = (z_words + bias_scaled) / F.lit(1e9)
+    # NULL text => NULL bucket array => NULL fold; the batch scorer still
+    # scores such a doc's bias row (its word features simply don't exist),
+    # so the word part must coalesce to 0 — not poison z to NULL
+    z = (F.coalesce(z_words, F.lit(0).cast("long")) + bias_scaled) / F.lit(1e9)
     return _fast_sigmoid(z)
 
 

@@ -243,3 +243,34 @@ def test_similarity_family_survives_degenerate_embeddings(spark, degenerate_emb)
     assert 1 not in flat and 2 not in flat  # degenerate rows never pair
     sem = DD.semdedup(t, n_centroids=2).collect()
     assert {r.vec_id for r in sem} >= {0, 1, 3, 4, 5}
+
+
+def test_qcls_row_scorer_matches_batch_on_degenerate_text(spark, degenerate_t):
+    """The st17 per-row scorer must equal the batch classifier even for
+    NULL/empty/whitespace-only text: such docs have no word features but
+    DO have the bias feature, so both scorers emit sigmoid(bias) — the
+    row scorer must not poison z to NULL through the NULL bucket array."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.operators.textops import (
+        qcls_fit,
+        qcls_score_expr,
+        quality_classifier,
+    )
+
+    docs = degenerate_t["documents"]
+    batch = {
+        (r.doc_id, r.score, r.keep)
+        for r in quality_classifier(degenerate_t).collect()
+    }
+    weights, _feat = qcls_fit(docs)
+    p = qcls_score_expr(weights)
+    rowwise = {
+        (r.doc_id, r.score, r.keep)
+        for r in docs.select(
+            "doc_id",
+            (F.round(p, 6) + F.lit(0.0)).alias("score"),
+            (p >= 0.5).alias("keep"),
+        ).collect()
+    }
+    assert rowwise == batch and len(batch) == 5

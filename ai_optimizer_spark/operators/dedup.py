@@ -1166,7 +1166,14 @@ def semdedup(
         # one count job to size k — callers that already know the corpus
         # size (or can read it from table statistics) should pass
         # n_centroids explicitly to skip this extra pass
-        n_centroids = choose_semdedup_k(emb.count())
+        n_vecs = emb.count()
+        if n_vecs == 0:
+            # an empty centroid literal types as VOID and breaks analysis;
+            # an empty corpus trivially has no duplicates
+            return emb.sparkSession.createDataFrame(
+                [], "vec_id long, cid long, cos_c double, is_kept boolean"
+            )
+        n_centroids = choose_semdedup_k(n_vecs)
     cents, assigned = _ivf_assign(emb, n_centroids)
     # `ne` = the unit-normalized vector, computed ONCE per vector: the
     # per-pair cosine then collapses to a single dot fold instead of

@@ -157,7 +157,7 @@ def dedup_cascade(t: dict[str, DataFrame]) -> DataFrame:
     zero = F.lit(0).cast("long")
     agg = flagged.agg(
         F.count(F.lit(1)).alias("n0"),
-        F.sum("n_tokens").alias("t0"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0).cast("long")).alias("t0"),
         F.coalesce(F.sum(F.when(F.col("f1"), 1)), zero).alias("r1"),
         F.coalesce(F.sum(F.when(F.col("f1"), F.col("n_tokens"))), zero).alias("tt1"),
         F.coalesce(F.sum(F.when(~F.col("f1") & F.col("f2"), 1)), zero).alias("r2"),

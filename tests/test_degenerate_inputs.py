@@ -274,3 +274,24 @@ def test_qcls_row_scorer_matches_batch_on_degenerate_text(spark, degenerate_t):
         ).collect()
     }
     assert rowwise == batch and len(batch) == 5
+
+
+def test_dedup_cascade_empty_corpus(spark):
+    """An empty corpus must produce the 4-row all-zero profile — not NULL
+    token sums (uncoalesced SUM) or an analysis error (semdedup's empty
+    centroid literal types as VOID without its guard)."""
+    from ai_optimizer_spark.plans.curation import dedup_cascade
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    rows = sorted(
+        dedup_cascade({"documents": docs, "embeddings": emb}).collect(),
+        key=lambda r: r.stage,
+    )
+    assert len(rows) == 4
+    assert all(
+        (r.docs_removed, r.docs_remaining, r.tokens_remaining) == (0, 0, 0)
+        for r in rows
+    )

@@ -1330,3 +1330,83 @@ def bloom_decontamination(
             F.round(F.col("n_hit") * 1.0 / F.col("n_sh"), 3).alias("hit_frac"),
         )
     )
+
+
+SEMDECON_TAU = SEMDEDUP_TAU  # same fixture-calibrated cosine regime as d18
+
+
+def semantic_decontamination(
+    t: dict[str, DataFrame],
+    tau: float = SEMDECON_TAU,
+    bench_mod: int = DECON_BENCH_MOD,
+    n_centroids: int | None = None,
+) -> DataFrame:
+    """d20: embedding-space benchmark decontamination — the third tier of
+    the decontamination family (d12 exact n-gram, d19 Bloom, d20
+    semantic): paraphrased or reformatted eval answers share no shingles
+    with the training copy, but their embeddings stay close — the overlap
+    modern releases actually audit for (the GPT-4/Llama-style semantic
+    contamination check). A corpus vector is contaminated iff some
+    same-cell benchmark vector sits within cosine >= tau; emits the
+    flagged vectors with hit count and max cosine.
+
+    Scale shape: d18's machinery, cross-set instead of self-join —
+    assignment is the map-only inlined-centroid projection over BOTH
+    partitions at once; vectors are normalized ONCE and checkpointed (the
+    HOF-fold barrier lesson), the per-pair cosine is a single dot fold;
+    the bench side is a vanishing fraction of the table (and at 100 TB
+    the eval suite is fixed-size while the corpus grows), so AQE
+    broadcasts it and the join never shuffles the corpus. k scales with
+    the corpus via choose_semdedup_k so cell occupancy — and with it the
+    per-vector candidate count — stays constant."""
+    from ..tables import widen_scan
+    from .similarity import _ivf_assign
+
+    emb = t["embeddings"]
+    if n_centroids is None:
+        n_vecs = emb.count()
+        if n_vecs == 0:
+            return emb.sparkSession.createDataFrame(
+                [], "vec_id long, cid long, n_bench_hits long, max_cos double"
+            )
+        n_centroids = choose_semdedup_k(n_vecs)
+    cents, assigned = _ivf_assign(emb, n_centroids)
+    normed = (
+        assigned.select(
+            "vec_id",
+            "cid",
+            V.norm("embedding").alias("nrm"),
+            "embedding",
+        )
+        .select(
+            "vec_id",
+            "cid",
+            F.transform(
+                "embedding",
+                lambda x: F.when(F.col("nrm") > 0, x / F.col("nrm")).otherwise(
+                    F.lit(0.0)
+                ),
+            ).alias("ne"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    corpus = widen_scan(
+        normed.filter(F.col("vec_id") % bench_mod != 0).select(
+            F.col("vec_id").alias("vc"), F.col("cid").alias("cc"), F.col("ne").alias("nc")
+        ),
+        min_parts=32,
+    )
+    bench = normed.filter(F.col("vec_id") % bench_mod == 0).select(
+        F.col("vec_id").alias("vb"), F.col("cid").alias("cb"), F.col("ne").alias("nb")
+    )
+    cos = F.round(V.dot("nc", "nb"), 3) + F.lit(0.0)
+    return (
+        corpus.join(F.broadcast(bench), F.col("cc") == F.col("cb"))
+        .select("vc", "cc", cos.alias("cos"))
+        .filter(F.col("cos") >= tau)
+        .groupBy(F.col("vc").alias("vec_id"), F.col("cc").alias("cid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+            (F.max("cos") + F.lit(0.0)).alias("max_cos"),
+        )
+    )

@@ -5059,6 +5059,35 @@ ORACLE_SQL["st17_streaming_quality_gate"] = ORACLE_SQL[
     "tx19_quality_classifier"
 ]
 
+_register(
+    "d20_semantic_decontamination",
+    D.semantic_decontamination,
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    scored AS (
+        SELECT vec_id, cid, ee FROM (
+            SELECT e.vec_id, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    )
+    SELECT c.vec_id, c.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+           MAX(ROUND(list_cosine_similarity(c.ee, b.ee), 3) + 0.0) + 0.0 AS max_cos
+    FROM scored c JOIN scored b ON c.cid = b.cid
+    WHERE c.vec_id % {D.DECON_BENCH_MOD} <> 0 AND b.vec_id % {D.DECON_BENCH_MOD} = 0
+      AND ROUND(list_cosine_similarity(c.ee, b.ee), 3) + 0.0 >= {D.SEMDECON_TAU}
+    GROUP BY c.vec_id, c.cid
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # Registration-order priority
@@ -5099,7 +5128,7 @@ _PRIORITY: list[str] = [
     "j25_waiting_supplier",
     "a21_customer_order_distribution",
     # dedup family (scale-safe canonical forms) + clustering + curation e2e
-    "d1_exact_dedup",
+    "d20_semantic_decontamination",
     "d18_semdedup",
     "d19_bloom_decontamination",
     "d13_topic_clusters",
@@ -5142,6 +5171,7 @@ _PRIORITY: list[str] = [
     "s5_deep_parse",
     # displaced from the prefix by the r5 additions (repo gate still
     # covers them every session; each family keeps >=2 prefix slots)
+    "d1_exact_dedup",
     "tx11_repetition_stats",
     "st15_streaming_drift_monitor",
     "d5_embedding_neardup",

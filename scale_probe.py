@@ -42,6 +42,7 @@ OPS = [
     "d17_corpus_dup_profile",
     "d18_semdedup",
     "d19_bloom_decontamination",
+    "d20_semantic_decontamination",
     "e2e_curation_pipeline",
     "e2e_corpus_assembly",
     "e2e_dedup_cascade",

@@ -362,3 +362,55 @@ def test_quality_classifier_learns_separable_signal(spark):
     assert min(pos) > max(neg)  # total separation
     kept = {r.doc_id: r.keep for r in out}
     assert all(kept[i] == (i % 2 == 0) for i in range(60))
+
+
+def test_semantic_decontamination_flags_exactly_same_cell_hits(spark):
+    """d20 rule checked directly: a corpus vector is flagged iff some
+    SAME-CELL benchmark vector has cosine >= tau, with the exact hit
+    count and max cosine; benchmark vectors themselves are never
+    emitted."""
+    from ai_optimizer_spark.operators.dedup import (
+        DECON_BENCH_MOD,
+        SEMDECON_TAU,
+        semantic_decontamination,
+        semdedup,
+    )
+
+    rows = []
+    for i in range(80):
+        base = [(i % 4) + 1.0, (i % 3) + 1.0, 1.0, 0.5, 0.25, 0.0, 0.0, 1.0]
+        vec = [x + 0.01 * ((i * 5 + j) % 7) for j, x in enumerate(base)]
+        rows.append((i, vec, i % 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    t = {"embeddings": emb}
+    out = {r.vec_id: r for r in semantic_decontamination(t, n_centroids=4).collect()}
+    assert out  # fixture must produce hits
+    # reuse semdedup's celling (same assignment machinery) for ground truth
+    cells = {
+        r.vec_id: r.cid for r in semdedup(t, n_centroids=4).collect()
+    }
+    vecs = {r[0]: r[1] for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 3)
+
+    bench = [v for v in vecs if v % DECON_BENCH_MOD == 0]
+    for v in vecs:
+        if v % DECON_BENCH_MOD == 0:
+            assert v not in out  # bench side never emitted
+            continue
+        hits = [
+            cos(vecs[v], vecs[b])
+            for b in bench
+            if cells[b] == cells[v] and cos(vecs[v], vecs[b]) >= SEMDECON_TAU
+        ]
+        if hits:
+            assert out[v].n_bench_hits == len(hits)
+            assert out[v].max_cos == max(hits)
+        else:
+            assert v not in out

@@ -704,3 +704,14 @@ def test_quality_classifier_cached_features_and_jvm_scoring(spark):
     assert "InMemoryTableScan" in plan
     assert "BatchEvalPython" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_semantic_decontamination_broadcasts_bench_side(spark):
+    """d20's served plan: the normalized base is a checkpointed artifact
+    (one assignment pass, Scan ExistingRDD), the benchmark side broadcasts
+    (fixed-size eval suite vs growing corpus), and the corpus never
+    shuffles for the join."""
+    plan = plan_of(spark, "d20_semantic_decontamination")
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

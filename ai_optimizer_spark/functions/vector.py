@@ -51,6 +51,16 @@ def cosine_similarity(a, b) -> Column:
 cosine_similarity_safe = cosine_similarity
 
 
+def safe_unit(vec_col, nrm_col) -> Column:
+    """Unit-normalize with the zero-norm guard — the cosine_similarity
+    policy in ONE place: a zero vector normalizes to the zero vector (its
+    dot with anything is then 0.0 = 'similar to nothing')."""
+    return F.transform(
+        vec_col,
+        lambda x: F.when(nrm_col > 0, x / nrm_col).otherwise(F.lit(0.0)),
+    )
+
+
 def cosine_distance(a, b) -> Column:
     """Oracle COSINE distance: 1 - cos(a,b)."""
     return F.lit(1.0) - cosine_similarity(a, b)

@@ -1196,12 +1196,7 @@ def semdedup(
         .select(
             "vec_id",
             "cid",
-            F.transform(
-                "embedding",
-                lambda x: F.when(F.col("nrm") > 0, x / F.col("nrm")).otherwise(
-                    F.lit(0.0)
-                ),
-            ).alias("ne"),
+            V.safe_unit("embedding", F.col("nrm")).alias("ne"),
             "cos_c",
         )
         .localCheckpoint(eager=True)
@@ -1381,12 +1376,7 @@ def semantic_decontamination(
         .select(
             "vec_id",
             "cid",
-            F.transform(
-                "embedding",
-                lambda x: F.when(F.col("nrm") > 0, x / F.col("nrm")).otherwise(
-                    F.lit(0.0)
-                ),
-            ).alias("ne"),
+            V.safe_unit("embedding", F.col("nrm")).alias("ne"),
         )
         .localCheckpoint(eager=True)
     )

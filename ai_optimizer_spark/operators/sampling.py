@@ -689,6 +689,12 @@ def curriculum_order(
     docs = t["documents"].select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
     )
+    # NULL-token docs (NULL text) can never join back on n_tokens, but
+    # left in the distribution they'd shift every quantile boundary — and
+    # differently per engine (Spark windows order NULLS FIRST, DuckDB
+    # NULLS LAST). The op is defined over tokenizable docs: drop them
+    # from the distribution AND the total in both engines.
+    docs = docs.filter(F.col("n_tokens").isNotNull())
     dist = docs.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c"))
     # the distribution table is tiny (distinct length values), so the
     # unpartitioned cumulative window and the count scalar are O(1) jobs

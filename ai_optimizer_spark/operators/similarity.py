@@ -172,6 +172,12 @@ def _assign_cells(emb: DataFrame, cents: DataFrame, rows=None) -> DataFrame:
     the centroid model (e.g. ivfpq_topk) skip the duplicate collect job."""
     if rows is None:
         rows = cents.collect()
+    if not rows:
+        # an empty centroid literal types as VOID and fails analysis; with
+        # no cells there is nothing to assign — empty result, right schema
+        return emb.limit(0).select(
+            "vec_id", "label", "embedding", F.lit(0).cast("long").alias("cid")
+        )
     # one array literal per centroid (not one scalar literal per dim) keeps
     # the expression tree small — codegen compiles in milliseconds even at
     # high dim, and the literal ships once inside the serialized plan

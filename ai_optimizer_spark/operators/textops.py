@@ -842,11 +842,7 @@ def _qcls_w_expr(weights: dict[int, float]):
     """The model as a 65-entry map LITERAL — broadcast inside the plan,
     no join; absent buckets read as 0.0 (their gradient was never
     computed because no feature row exists)."""
-    if not weights:
-        return F.lit(0.0)
-    items = sorted(weights.items())
-    lookup = F.create_map(*[F.lit(v) for kv in items for v in kv])[F.col("b")]
-    return F.coalesce(lookup, F.lit(0.0))
+    return F.coalesce(_qcls_w_expr_for(weights, F.col("b")), F.lit(0.0))
 
 
 def _qcls_doc_scores(feat: DataFrame, weights: dict[int, float]) -> DataFrame:
@@ -946,8 +942,9 @@ def qcls_score_expr(weights: dict[int, float], text_col: str = "text"):
 
 
 def _qcls_w_expr_for(weights: dict[int, float], b_col):
-    """Map-literal lookup keyed by an arbitrary expression (the HOF lambda
-    variable), not the feat table's `b` column."""
+    """Map-literal lookup keyed by an arbitrary expression (the feat
+    table's `b` column or a HOF lambda variable) — the ONE place the
+    model encoding lives."""
     if not weights:
         return F.lit(0.0)
     items = sorted(weights.items())

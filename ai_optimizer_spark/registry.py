@@ -4953,6 +4953,7 @@ _register(
                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
                    AS n_tokens
         FROM documents
+        WHERE text IS NOT NULL
     ),
     dist AS (SELECT n_tokens, COUNT(*) AS c FROM d GROUP BY 1),
     cum AS (

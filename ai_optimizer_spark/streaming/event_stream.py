@@ -120,14 +120,19 @@ def session_window_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 
 def run_to_memory(
-    spark: SparkSession, plan: DataFrame, name: str, timeout_sec: int = 120
+    spark: SparkSession,
+    plan: DataFrame,
+    name: str,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Execute a streaming plan with Trigger.AvailableNow into a memory
-    sink (complete mode), block until done, return the result table."""
+    sink, block until done, return the result table. Aggregating plans
+    use complete mode (default); stateless projections pass append."""
     q = (
         plan.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -553,15 +558,7 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(p, 6) + F.lit(0.0)).alias("score"),
         (p >= 0.5).alias("keep"),
     )
-    name = f"st17_{uuid.uuid4().hex[:8]}"
-    q = (
-        plan.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")  # stateless projection: append, not complete
-        .trigger(availableNow=True)
-        .start()
+    # stateless projection: append mode, not complete
+    return run_to_memory(
+        spark, plan, f"st17_{uuid.uuid4().hex[:8]}", output_mode="append"
     )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError(f"streaming query {name!r} did not finish within 120s")
-    return spark.table(name)

@@ -295,3 +295,26 @@ def test_dedup_cascade_empty_corpus(spark):
         (r.docs_removed, r.docs_remaining, r.tokens_remaining) == (0, 0, 0)
         for r in rows
     )
+
+
+def test_curriculum_ignores_null_text(spark, degenerate_t):
+    """smp12 is defined over tokenizable docs: a NULL-text doc must not
+    appear in the schedule AND must not shift anyone's stage boundaries
+    (left in the distribution it would — and differently per engine:
+    Spark windows order NULLS FIRST, DuckDB NULLS LAST)."""
+    from ai_optimizer_spark.operators.sampling import curriculum_order
+
+    docs = degenerate_t["documents"]
+    with_null = sorted(
+        map(tuple, curriculum_order({"documents": docs}).collect())
+    )
+    clean = sorted(
+        map(
+            tuple,
+            curriculum_order(
+                {"documents": docs.filter(docs.text.isNotNull())}
+            ).collect(),
+        )
+    )
+    assert with_null == clean
+    assert all(r[0] != 1 for r in with_null)  # doc 1 (NULL text) absent

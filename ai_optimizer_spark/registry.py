@@ -3717,6 +3717,17 @@ def _st17_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["st17_streaming_quality_gate"] = _st17_streaming_quality_gate
+
+
+def _st18_streaming_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.event_stream import streaming_semantic_decontamination
+
+    return streaming_semantic_decontamination(spark, sf_dir)
+
+
+QUERIES["st18_streaming_semantic_decon"] = _st18_streaming_semantic_decon
+# shares d20's oracle: ingest-time cell probing must reproduce the offline
+# semantic audit bit-for-bit (attached after d20's registration below)
 # shares tx19's oracle: the stateless per-row ingest scorer must reproduce
 # the batch classifier's scores bit-for-bit (attached after tx19's
 # registration below)
@@ -5088,6 +5099,12 @@ _register(
     GROUP BY c.vec_id, c.cid
     """,
 )
+
+# st18 shares d20's oracle: same centroids, same safe-unit normalization,
+# same rounded dot fold — streamed audit == offline audit.
+ORACLE_SQL["st18_streaming_semantic_decon"] = ORACLE_SQL[
+    "d20_semantic_decontamination"
+]
 
 
 # ---------------------------------------------------------------------------

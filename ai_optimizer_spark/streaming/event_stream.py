@@ -562,3 +562,80 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         spark, plan, f"st17_{uuid.uuid4().hex[:8]}", output_mode="append"
     )
+
+
+def streaming_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST18: ingest-time semantic decontamination — d20's streaming read
+    path, completing the decon family's ingest story (st16 probes the
+    Bloom bit set; st18 probes the benchmark's embedding cells). Arriving
+    vectors are assigned to the STORED coarse quantizer statelessly
+    (st13's inlined-centroid argmin), unit-normalized map-side, and
+    joined per cell against the broadcast normalized benchmark partition;
+    the cosine filter is stateless, leaving exactly ONE streaming
+    aggregation (per-vector hit count + max cosine). Verdicts equal the
+    offline d20 audit bit-for-bit (shared oracle): same centroids, same
+    safe_unit normalization, same rounded dot fold.
+
+    At 100 TB the broadcast is the eval suite's vectors — fixed-size
+    while ingest volume grows — and the quantizer is a plan literal, so
+    the stream shuffles nothing but the final per-vector digests."""
+    import uuid
+
+    from ..operators.dedup import (
+        DECON_BENCH_MOD,
+        SEMDECON_TAU,
+        choose_semdedup_k,
+    )
+    from ..functions import vector as V
+    from ..operators.similarity import _assign_cells
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_centroids = choose_semdedup_k(emb.count())
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cent_rows = cents.collect()
+
+    def normed(assigned: DataFrame) -> DataFrame:
+        return assigned.select(
+            "vec_id",
+            "cid",
+            V.norm("embedding").alias("nrm"),
+            "embedding",
+        ).select(
+            "vec_id", "cid", V.safe_unit("embedding", F.col("nrm")).alias("ne")
+        )
+
+    bench = (
+        normed(_assign_cells(emb, cents, rows=cent_rows))
+        .filter(F.col("vec_id") % DECON_BENCH_MOD == 0)
+        .select(
+            F.col("vec_id").alias("vb"),
+            F.col("cid").alias("cb"),
+            F.col("ne").alias("nb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    arriving = normed(_assign_cells(stream, cents, rows=cent_rows)).filter(
+        F.col("vec_id") % DECON_BENCH_MOD != 0
+    )
+    cos = F.round(V.dot("ne", "nb"), 3) + F.lit(0.0)
+    plan = (
+        arriving.join(F.broadcast(bench), F.col("cid") == F.col("cb"))
+        .select("vec_id", "cid", cos.alias("cos"))
+        .filter(F.col("cos") >= SEMDECON_TAU)
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+            (F.max("cos") + F.lit(0.0)).alias("max_cos"),
+        )
+    )
+    return run_to_memory(spark, plan, f"st18_{uuid.uuid4().hex[:8]}")

@@ -610,3 +610,94 @@ def test_streaming_quality_gate_multibatch_equals_batch_scorer(
             tuple(r) for r in spark.table(f"st17_order_{order_name}").collect()
         }
     assert results["fwd"] == results["rev"] == truth
+
+
+def test_streaming_semantic_decon_multibatch_equals_batch_audit(
+    spark, sf_small, tmp_path
+):
+    """st18 semantics: the quantizer and benchmark partition are fixed
+    static artifacts and per-vector probing is stateless, so streamed
+    audit rows must equal the offline d20 audit bit-for-bit regardless of
+    micro-batch split or arrival order."""
+    from ai_optimizer_spark.functions import vector as V
+    from ai_optimizer_spark.operators.dedup import (
+        DECON_BENCH_MOD,
+        SEMDECON_TAU,
+        choose_semdedup_k,
+        semantic_decontamination,
+    )
+    from ai_optimizer_spark.operators.similarity import _assign_cells
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    truth = {
+        tuple(r)
+        for r in semantic_decontamination({"embeddings": emb}).collect()
+    }
+    assert truth
+
+    n_centroids = choose_semdedup_k(emb.count())
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cent_rows = cents.collect()
+
+    def normed(assigned):
+        return assigned.select(
+            "vec_id", "cid", V.norm("embedding").alias("nrm"), "embedding"
+        ).select(
+            "vec_id", "cid", V.safe_unit("embedding", F.col("nrm")).alias("ne")
+        )
+
+    bench = (
+        normed(_assign_cells(emb, cents, rows=cent_rows))
+        .filter(F.col("vec_id") % DECON_BENCH_MOD == 0)
+        .select(
+            F.col("vec_id").alias("vb"),
+            F.col("cid").alias("cb"),
+            F.col("ne").alias("nb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    corpus = emb.filter(F.col("vec_id") % DECON_BENCH_MOD != 0)
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+    results = {}
+    for order_name, batches in (("fwd", [half_a, half_b]), ("rev", [half_b, half_a])):
+        feed = str(tmp_path / f"sd_{order_name}")
+        os.makedirs(feed)
+        for i, bdf in enumerate(batches):
+            stage = str(tmp_path / f"sd_{order_name}_s{i}")
+            bdf.coalesce(1).write.parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            dst = os.path.join(feed, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        cos = F.round(V.dot("ne", "nb"), 3) + F.lit(0.0)
+        plan = (
+            normed(_assign_cells(stream, cents, rows=cent_rows))
+            .join(F.broadcast(bench), F.col("cid") == F.col("cb"))
+            .select("vec_id", "cid", cos.alias("cos"))
+            .filter(F.col("cos") >= SEMDECON_TAU)
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+                (F.max("cos") + F.lit(0.0)).alias("max_cos"),
+            )
+        )
+        q = (
+            plan.writeStream.format("memory")
+            .queryName(f"st18_order_{order_name}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        results[order_name] = {
+            tuple(r) for r in spark.table(f"st18_order_{order_name}").collect()
+        }
+    assert results["fwd"] == results["rev"] == truth

@@ -71,6 +71,7 @@ HEADLINE = [
     "tx19_quality_classifier",
     "d12_decontamination",
     "d19_bloom_decontamination",
+    "d20_semantic_decontamination",
     "v12_ann_recall",
     "v16_range_search_pruned",
     "smp5_temperature_mix",

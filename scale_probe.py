@@ -31,7 +31,11 @@ from ai_optimizer_spark.session import get_spark
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/scale_probe"
-FACTORS = (1, 4, 16)
+# FACTORS=16,64 overrides the default ladder (e.g. a targeted 64x run to
+# extend a specific op's curve two more doublings)
+FACTORS = tuple(
+    int(f) for f in os.environ.get("FACTORS", "1,4,16").split(",")
+)
 OPS = [
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",

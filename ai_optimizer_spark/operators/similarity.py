@@ -1204,3 +1204,93 @@ def ivfpq_topk_np(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+HIER_GROUP_SIZE = 4  # centroids per group (pilot = the group's min cid)
+HIER_G_PROBE = 2  # level-1 groups searched at level 2
+
+
+def _assign_cells_hier(
+    emb: DataFrame,
+    rows,
+    group_size: int = HIER_GROUP_SIZE,
+    g_probe: int = HIER_G_PROBE,
+) -> DataFrame:
+    """Two-level coarse assignment — the fix for the O(n·k) flat-argmin
+    term SCALE.md's d20 64× analysis identified (auto-k families pay
+    n²/target in assignment; FAISS answers with a hierarchical coarse
+    quantizer). Centroids partition into cid-contiguous groups; level 1
+    ranks groups by distance to each group's PILOT (its min-cid member —
+    chosen over a mean representative deliberately: zero arithmetic, so
+    the rule is bit-deterministic and SQL-encodable with no float-order
+    risk); level 2 runs the exact argmin over only the g_probe nearest
+    groups' members. Per-vector work drops from k to G + g_probe·(k/G)
+    (≈2√k at the optimum); with g_probe == n_groups the result is EXACTLY
+    the flat argmin. Everything stays one inlined JVM projection — zero
+    shuffles, same as the flat form."""
+    pilots = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"]) // group_size).cast("long").alias("gid"),
+                F.lit([float(x) for x in r["ce"]]).alias("pe"),
+            )
+            for r in rows
+            if int(r["cid"]) % group_size == 0
+        ]
+    )
+    members = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).cast("long").alias("cid"),
+                F.lit(int(r["cid"]) // group_size).cast("long").alias("gid"),
+                F.lit([float(x) for x in r["ce"]]).alias("ce"),
+            )
+            for r in rows
+        ]
+    )
+    gd = F.transform(
+        pilots,
+        lambda p: F.struct(
+            V.euclidean_distance(F.col("embedding"), p["pe"]).alias("dist"),
+            p["gid"].alias("gid"),
+        ),
+    )
+    chosen_gids = F.transform(
+        F.slice(F.array_sort(gd), 1, g_probe), lambda c: c["gid"]
+    )
+    cand = F.filter(members, lambda m: F.array_contains(chosen_gids, m["gid"]))
+    dcs = F.transform(
+        cand,
+        lambda m: F.struct(
+            V.euclidean_distance(F.col("embedding"), m["ce"]).alias("dist"),
+            m["cid"].alias("cid"),
+        ),
+    )
+    return emb.select(
+        "vec_id", "label", "embedding", F.array_min(dcs)["cid"].alias("cid")
+    )
+
+
+def hier_ivf_topk(
+    t: dict[str, DataFrame],
+    query_id: int = 0,
+    k: int = TOP_K,
+    n_centroids: int = 16,
+    group_size: int = HIER_GROUP_SIZE,
+    g_probe: int = HIER_G_PROBE,
+    n_probe: int = 4,
+) -> DataFrame:
+    """v22: IVF top-k with HIERARCHICAL corpus assignment — v7's read path
+    over a two-level coarse quantizer. The approximation is part of the
+    contract: the oracle encodes the pilot rule and the g_probe group
+    choice verbatim, so the op is hash-verified WITH its approximation
+    (the d3c move: the production knob lives inside the oracle). Query-
+    side probing stays exact (one vector, k distances)."""
+    emb = t["embeddings"]
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    rows = cents.collect()
+    assigned = _assign_cells_hier(emb, rows, group_size, g_probe)
+    q = _query_vectors(t, [query_id])
+    return _probe_and_search(cents, assigned, q, query_id, k, n_probe)

@@ -5106,6 +5106,52 @@ ORACLE_SQL["st18_streaming_semantic_decon"] = ORACLE_SQL[
     "d20_semantic_decontamination"
 ]
 
+_register(
+    "v22_hier_ivf_topk",
+    S.hier_ivf_topk,
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings),
+    lvl1 AS (
+        SELECT e.vec_id, c.cid // {S.HIER_GROUP_SIZE} AS gid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.ee, c.ce) ASC,
+                            c.cid // {S.HIER_GROUP_SIZE} ASC
+               ) AS rn
+        FROM e JOIN cents c ON c.cid % {S.HIER_GROUP_SIZE} = 0
+    ),
+    chosen AS (SELECT vec_id, gid FROM lvl1 WHERE rn <= {S.HIER_G_PROBE}),
+    assigned AS (
+        SELECT vec_id, label, ee, cid FROM (
+            SELECT e.vec_id, e.label, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM e
+            JOIN chosen ch ON ch.vec_id = e.vec_id
+            JOIN cents c ON c.cid // {S.HIER_GROUP_SIZE} = ch.gid
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT c.cid FROM cents c, q
+        ORDER BY list_distance(c.ce, q.qe) ASC, c.cid ASC
+        LIMIT 4
+    )
+    SELECT a.vec_id, a.label, a.cid,
+           ROUND(list_cosine_similarity(a.ee, q.qe), 3) + 0.0 AS cos_sim
+    FROM assigned a JOIN probe p ON a.cid = p.cid, q
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id ASC
+    LIMIT 8
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # Registration-order priority

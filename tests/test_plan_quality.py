@@ -715,3 +715,12 @@ def test_semantic_decontamination_broadcasts_bench_side(spark):
     assert "Scan ExistingRDD" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hier_ivf_assignment_is_map_only(spark):
+    """v22's two-level assignment must stay a single inlined projection —
+    both quantizer levels are plan literals; no shuffle of the corpus on
+    vec_id, no join for the model."""
+    plan = plan_of(spark, "v22_hier_ivf_topk")
+    assert "hashpartitioning(vec_id" not in plan
+    assert "TakeOrderedAndProject" in plan

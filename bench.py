@@ -35,6 +35,7 @@ HEADLINE = [
     "v5_knn_self_join",
     "v10_matmul_knn",
     "v7_ivf_topk",
+    "v22_hier_ivf_topk",
     "v8_ivf_knn_join",
     "v13_clustered_ivf_topk",
     "v14_hybrid_rrf_topk",

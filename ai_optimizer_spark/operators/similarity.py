@@ -1258,17 +1258,26 @@ def _assign_cells_hier(
     chosen_gids = F.transform(
         F.slice(F.array_sort(gd), 1, g_probe), lambda c: c["gid"]
     )
-    cand = F.filter(members, lambda m: F.array_contains(chosen_gids, m["gid"]))
-    dcs = F.transform(
-        cand,
-        lambda m: F.struct(
-            V.euclidean_distance(F.col("embedding"), m["ce"]).alias("dist"),
-            m["cid"].alias("cid"),
-        ),
-    )
-    return emb.select(
-        "vec_id", "label", "embedding", F.array_min(dcs)["cid"].alias("cid")
-    )
+
+    # LET-BINDING, load-bearing: referencing `chosen_gids` directly inside
+    # the member filter re-evaluates the whole level-1 sort PER MEMBER
+    # (the hof-projection re-evaluation trap, measured 15x SLOWER than the
+    # flat argmin at k=256). transform over a 1-element array binds the
+    # chosen-group list once per row; the lambdas below reference the
+    # bound variable, not the expression.
+    def argmin_within(cg):
+        cand = F.filter(members, lambda m: F.array_contains(cg, m["gid"]))
+        dcs = F.transform(
+            cand,
+            lambda m: F.struct(
+                V.euclidean_distance(F.col("embedding"), m["ce"]).alias("dist"),
+                m["cid"].alias("cid"),
+            ),
+        )
+        return F.array_min(dcs)["cid"]
+
+    cid = F.get(F.transform(F.array(chosen_gids), argmin_within), 0)
+    return emb.select("vec_id", "label", "embedding", cid.alias("cid"))
 
 
 def hier_ivf_topk(

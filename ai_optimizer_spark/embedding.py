@@ -128,7 +128,7 @@ class ProviderEmbedder:
     exponential backoff (the adapter owns retries; the reference delegates
     them to litellm's client). Only RETRYABLE failures burn the retry
     budget — by default timeouts/connection drops and provider errors
-    carrying a 408/429/5xx `status_code`; permanent failures (bad API key,
+    carrying a 408/409/429/5xx `status_code`; permanent failures (bad API key,
     unknown model, other 4xx) re-raise immediately instead of sleeping
     through backoff toward the same answer. Pass `retryable` (an
     ``(exc) -> bool`` predicate) to widen or narrow the policy. Protocol

@@ -634,7 +634,10 @@ def unimax_budget(
         F.lit(0).cast("long"),
     )
     n_uncapped = F.count(F.lit(1)).over(wall) - F.sum("capped").over(wall)
-    theta = (F.col("budget") - capped_sum) / n_uncapped
+    # all-capped (budget_frac >= max_epochs): every domain gets its cap and
+    # theta's division never applies — guard the denominator so the 0/0
+    # branch is never evaluated (ADVICE r5)
+    theta = (F.col("budget") - capped_sum) / F.when(n_uncapped > 0, n_uncapped)
     alloc = F.when(F.col("capped") == 1, F.col("cap").cast("double")).otherwise(
         F.round(theta, 4)
     )

@@ -776,6 +776,11 @@ def zipf_fit(t: dict[str, DataFrame], top_r: int = ZIPF_TOP_TERMS) -> DataFrame:
         F.sum("ly").cast("double").alias("sy"),
         F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
         F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+    ).filter(
+        # a single distinct term gives a zero OLS denominator (n*sxx = sx^2
+        # exactly when every point is identical) — no fit exists, and the
+        # Inf/NULL rendering differs cross-engine; drop it (ADVICE r5)
+        F.col("n_terms") >= 2
     )
     n = F.col("n_terms").cast("double")
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")

@@ -4501,7 +4501,7 @@ _register(
                ROUND(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
                      / CAST(len(w) AS DOUBLE), 3) AS alpha_frac,
                CAST(len(list_intersect(w,
-                    ['the', 'a', 'and', 'of', 'to', 'in'])) AS BIGINT) AS stop_hits
+                    {list(TX.STOPWORDS)!r})) AS BIGINT) AS stop_hits
         FROM arr
     )
     SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
@@ -4768,6 +4768,7 @@ _register(
            ROUND((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
                  / n_terms, 4) + 0.0 AS zipf_intercept
     FROM agg
+    WHERE n_terms >= 2
     """,
 )
 

@@ -617,13 +617,7 @@ def streaming_semantic_decontamination(spark: SparkSession, sf_dir: str) -> Data
         .localCheckpoint(eager=True)
     )
 
-    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
-    )
+    stream = embeddings_stream(spark, sf_dir)
     arriving = normed(_assign_cells(stream, cents, rows=cent_rows)).filter(
         F.col("vec_id") % DECON_BENCH_MOD != 0
     )

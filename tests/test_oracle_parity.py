@@ -73,7 +73,32 @@ def test_oracle_output_types_pandas_safe(name, con):
     )
 
 
+# Oracle-backed queries allowed to return an empty result at sf0.01.
+# Empty today; add a name ONLY with a comment justifying why empty is the
+# correct answer at this scale.
+EMPTY_OK: frozenset[str] = frozenset()
+
+
+@pytest.mark.parametrize("name", sorted(set(ORACLE_SQL) - EMPTY_OK))
+def test_oracle_nonempty(name, con):
+    """Both-sides-empty hole (VERDICT r5 item 2): strict_compare passes when
+    Spark AND the oracle are both empty, so a paired bug that empties both
+    ships green — exactly what t10's f-string oracle did in r5 (``\\\\s+``
+    rendered as a literal-backslash regex, silently matching nothing; only a
+    rows mismatch caught it because Spark's side happened to be non-empty).
+    Every oracle must produce rows at sf0.01 so a silently-emptied oracle
+    fails even when the Spark side is emptied by the same class of bug."""
+    n = con.execute(f"SELECT COUNT(*) FROM ({ORACLE_SQL[name]})").fetchone()[0]
+    assert n > 0, (
+        f"{name} oracle returned 0 rows at sf0.01 — a silently-empty oracle "
+        f"makes the parity gate vacuous (see the r5 t10 \\s+ f-string bug); "
+        f"fix the oracle or add the name to EMPTY_OK with a justification"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL)))
 def test_rows_only_queries_run(name, spark):
+    """The rows-only floor: a15 (the one oracle-free query) returns rows at
+    sf0.01, so `> 0` is the real assertion — `>= 0` could never fail."""
     df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
+    assert df.count() > 0

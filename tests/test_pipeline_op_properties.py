@@ -157,10 +157,16 @@ def test_zipf_fit_recovers_known_exponent(spark):
     rows.append((0, " ".join(words), "en", "power", len(words)))
     flat = " ".join(f"u{j}" for j in range(20) for _ in range(7))
     rows.append((1, flat, "en", "flat", 140))
+    # degenerate source: ONE distinct term -> OLS denominator is exactly 0
+    # (every log-rank point identical); no fit exists, so the source must be
+    # absent rather than emitting Inf/NULL whose rendering differs
+    # cross-engine (ADVICE r5)
+    rows.append((2, "same same same same", "en", "mono", 4))
     out = {r.source: r for r in zipf_fit({"documents": _docs(spark, rows)}).collect()}
     assert out["power"].n_terms == 30
     assert abs(out["power"].zipf_slope - (-1.0)) < 0.02
     assert out["flat"].zipf_slope == 0.0
+    assert "mono" not in out
 
 
 def test_bloom_decontamination_never_misses_exact_hits(spark, random_corpus):

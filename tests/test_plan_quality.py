@@ -371,15 +371,6 @@ def test_incremental_rollup_merge_adds_no_exchange(spark):
     assert "LessThan(event_id,50000)" in plan  # branch filters reach the scans
 
 
-def test_clustered_range_search_prunes_partitions(spark):
-    """v16b: the big-side scan must carry a cid PartitionFilter (the live
-    cells resolved from STORED radii), and the plan must not contain the
-    corpus-wide radii aggregation v16 recomputes per query."""
-    plan = plan_of(spark, "v16b_clustered_range_search")
-    assert "PartitionFilters: [cid" in plan or "cid#" in plan.split("PartitionFilters")[1][:80]
-    assert "max(dc" not in plan  # radii come from the stored table, not an agg
-
-
 def test_dpp_cell_stats_uses_dynamic_pruning(spark):
     """v21: the runtime-computed probe cell set must reach the partitioned
     store scan as a dynamicpruningexpression PartitionFilter — Catalyst's
@@ -389,34 +380,18 @@ def test_dpp_cell_stats_uses_dynamic_pruning(spark):
     assert "PartitionFilters" in plan
 
 
-def test_shipping_priority_pushes_dates_and_takeordered(spark):
-    """j26 (Q3 shape): both date bounds and the segment filter reach their
-    scans; dims broadcast; the top-k fuses into TakeOrderedAndProject."""
-    plan = plan_of(spark, "j26_shipping_priority")
-    assert "TakeOrderedAndProject" in plan
-    assert "LessThan(o_orderdate" in plan
-    assert "GreaterThan(l_shipdate" in plan
-    assert "EqualTo(c_mktsegment,BUILDING)" in plan
-    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
-
-
-def test_disjunctive_revenue_pushes_part_disjunction(spark):
-    """j27 (Q19 shape): the part-only conjuncts of the OR are pushable —
-    the part scan carries an Or(...) filter — and the pruned dim
-    broadcasts; no shuffle join."""
-    plan = plan_of(spark, "j27_disjunctive_part_revenue")
-    assert "Or(" in plan  # disjunction reaches the part scan
-    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
-
-
 def test_clustered_range_search_prunes_partitions(spark):
     """v16b: the stored-radii serving tier — the pruning bound resolves to
     a LITERAL partition filter on the cid-partitioned store (no per-query
-    corpus aggregation), and the only exchanges are the broadcasts of the
-    tiny radii/query sides. The partition filter is the whole point: at
-    100 TB the scan reads only surviving cells' files."""
+    corpus aggregation — the `max(dc` radii aggregate v16 recomputes must
+    NOT appear), and the only exchanges are the broadcasts of the tiny
+    radii/query sides. The partition filter is the whole point: at 100 TB
+    the scan reads only surviving cells' files. (r6: merged from two
+    same-named definitions — Python kept only the second, silently
+    dropping the first's no-recompute guard.)"""
     plan = plan_of(spark, "v16b_clustered_range_search")
     assert "PartitionFilters: [cid" in plan
+    assert "max(dc" not in plan  # radii come from the stored table, not an agg
     assert plan.count("Exchange") == plan.count("BroadcastExchange")
     assert "SortMergeJoin" not in plan
 
@@ -424,7 +399,8 @@ def test_clustered_range_search_prunes_partitions(spark):
 def test_shipping_priority_q3_shape(spark):
     """j26 (TPC-H Q3 shape): every date/segment predicate reaches its scan,
     the dim chain broadcasts (no shuffle join at fixture scale), and the
-    top-k fuses into TakeOrderedAndProject instead of a global sort."""
+    top-k fuses into TakeOrderedAndProject instead of a global sort.
+    (r6: collapsed with its near-duplicate twin; union of asserts.)"""
     plan = plan_of(spark, "j26_shipping_priority")
     assert "TakeOrderedAndProject" in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
@@ -438,7 +414,8 @@ def test_disjunctive_part_revenue_pushes_or_bundles(spark):
     """j27 (TPC-H Q19 shape): the OR-of-bundles' single-side conjuncts are
     pushed to BOTH scans (part's brand/size union AND lineitem's quantity
     union) — the disjunction does not defeat pushdown — and the pruned
-    part dim broadcasts into a single join."""
+    part dim broadcasts into a single join. (r6: collapsed with its
+    near-duplicate twin; this one's asserts are strictly stronger.)"""
     plan = plan_of(spark, "j27_disjunctive_part_revenue")
     assert plan.count("Or(Or(And(") >= 2  # OR bundle pushed on both scans
     assert "BroadcastHashJoin" in plan
@@ -724,3 +701,33 @@ def test_hier_ivf_assignment_is_map_only(spark):
     plan = plan_of(spark, "v22_hier_ivf_topk")
     assert "hashpartitioning(vec_id" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hier_assignment_projection_shuffle_free_and_let_bound(spark):
+    """v22's `_assign_cells_hier` in isolation (VERDICT r5 task 4): the
+    corpus assignment is one narrow projection over the scan — ZERO
+    exchanges of any kind — and the level-1 group ranking is evaluated
+    ONCE per row. The let-binding's observable plan signature: exactly one
+    `array_sort` in the optimized expression tree. Referencing the
+    chosen-groups expression directly inside the member filter re-inlines
+    the whole level-1 sort per candidate (the hof-projection
+    re-evaluation trap, measured 15x slower; fixed in the r5 commit this
+    test guards)."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.operators.similarity import _assign_cells_hier
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    assigned = _assign_cells_hier(emb, cents.collect())
+    buf = _io.StringIO()
+    with _rs(buf):
+        assigned.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan  # map-only: both levels are plan literals
+    assert plan.count("array_sort") == 1  # let-binding held; not re-inlined

@@ -211,9 +211,9 @@ def _cell_aggregate(part: DataFrame, cents, cent_rows, *aggs) -> DataFrame:
     assert; keep the rounding here, in ONE place, so the two ops can
     never drift apart. Aggregates reference the distance as `dc`."""
     from ..functions import vector as V
-    from .similarity import _assign_cells
+    from .similarity import assign_cells_auto
 
-    assigned = _assign_cells(part, cents, rows=cent_rows)
+    assigned = assign_cells_auto(part, cents, rows=cent_rows)
     dist = F.round(V.euclidean_distance("embedding", "ce"), 3) + F.lit(0.0)
     return (
         assigned.join(F.broadcast(cents), "cid")

@@ -202,13 +202,118 @@ def _assign_cells(emb: DataFrame, cents: DataFrame, rows=None) -> DataFrame:
     )
 
 
+def _assign_cells_np(emb: DataFrame, cents: DataFrame, rows=None) -> DataFrame:
+    """The Arrow/BLAS tier of cell assignment (VERDICT r5 task 6 — v20's
+    pattern applied to the WRITE path): same logical operator as
+    `_assign_cells`, but the argmin runs as one (batch x k) numpy distance
+    matrix per Arrow batch instead of a k-literal expression tree.
+    Identical output contract: nearest centroid by euclidean distance,
+    ties broken by MIN cid (centroids are sorted cid-ascending and
+    `argmin` returns the first minimum; squared distance has the same
+    argmin as the root). Like v20, all arithmetic is float64 — numpy's
+    pairwise summation can differ from the expression fold by round-off
+    ulps on near-equidistant centroids; the tiers are equality-tested on
+    the fixtures (tests/test_similarity.py).
+
+    Scale rationale: the flat expression form pays an interpreted-HOF
+    evaluation per (vector, centroid) AND a codegen/analysis cost that
+    grows with the k-struct literal; this tier ships the centroid matrix
+    once per task closure and stays O(n·k) in BLAS flops with no
+    expression-size term — the shape that survives corpus-scaled k
+    (tools/assign_bench.py measures the tiers side by side)."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if rows is None:
+        rows = cents.collect()
+    base = emb.select("vec_id", "label", "embedding")
+    if not rows:
+        return base.limit(0).withColumn("cid", F.lit(0).cast("long"))
+    order = sorted(rows, key=lambda r: int(r["cid"]))
+    cids = np.asarray([int(r["cid"]) for r in order], dtype=np.int64)
+    C = np.ascontiguousarray(
+        [[float(x) for x in r["ce"]] for r in order], dtype=np.float64
+    )
+    schema = StructType(base.schema.fields + [StructField("cid", LongType())])
+
+    dim = C.shape[1]
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = list(pdf["embedding"])
+            ok = np.asarray(
+                [v is not None and len(v) == dim for v in vecs], dtype=bool
+            )
+            # NULL (or wrong-dim) embedding: every distance is NULL, and
+            # the flat tier's struct ordering then falls through to the
+            # MIN cid — reproduce that here so the tiers stay bit-equal
+            # on the degenerate gauntlet
+            out = np.full(len(vecs), cids[0], dtype=np.int64)
+            if ok.any():
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v, o in zip(vecs, ok) if o]
+                )
+                # ||x-c||^2 expanded form: one (n,k) GEMM + broadcast norms —
+                # O(n·k·d) flops without materializing (n,k,d)
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * (X @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                # NaN sorts GREATEST in Spark's ordering (the flat tier only
+                # picks a NaN-distance cell when every distance is NaN, and
+                # then ties break to min cid) — +inf gives argmin the same
+                # semantics, with the all-inf row landing on index 0 = min cid
+                d2 = np.where(np.isnan(d2), np.inf, d2)
+                out[ok] = cids[d2.argmin(axis=1)]
+            yield pdf.assign(cid=out)
+
+    return base.mapInPandas(_assign, schema)
+
+
+# Above this centroid count the flat inlined-literal argmin loses to the
+# Arrow tier (VERDICT r5 task 1 measurements, tools/assign_bench.py at the
+# 64x tile / 128k vectors: flat 27.1 s vs np 3.7 s at k=256; at corpus-
+# scaled k the flat expression ALSO pays a per-session analysis/codegen
+# cost that grows with the k-struct literal — the k=640 micro-bench that
+# timed out in r5). At or below the threshold the flat form wins: it fuses
+# into the scan with zero Python, and every driver fixture (k=16) stays on
+# the oracle-pinned flat plan.
+ASSIGN_FLAT_MAX_K = 64
+
+
+def choose_assignment_tier(k: int) -> str:
+    """Assignment tier for a k-centroid coarse quantizer: 'flat' (inlined
+    JVM expression, zero Python) below ASSIGN_FLAT_MAX_K, else 'np' (the
+    Arrow/BLAS mapInPandas kernel). Tested bit-equal on the fixtures; the
+    routing is what lets auto-k consumers (semdedup, semantic decon, the
+    IVF family) survive corpus-scaled k without a per-op tier choice."""
+    return "flat" if k <= ASSIGN_FLAT_MAX_K else "np"
+
+
+def assign_cells_auto(emb: DataFrame, cents: DataFrame, rows=None) -> DataFrame:
+    """`_assign_cells` with automatic tier selection (VERDICT r5 task 1).
+    Same output contract as both tiers: nearest centroid, euclidean,
+    min-cid tie-break."""
+    if rows is None:
+        rows = cents.collect()
+    if choose_assignment_tier(len(rows)) == "flat":
+        return _assign_cells(emb, cents, rows=rows)
+    return _assign_cells_np(emb, cents, rows=rows)
+
+
 def _ivf_assign(emb: DataFrame, n_centroids: int):
     """(centroids, cell assignment) for IVF: centroids seed from a fixed
-    corpus subset (deterministic k-means init)."""
+    corpus subset (deterministic k-means init). Assignment tier is chosen
+    by k (assign_cells_auto) so auto-k callers scale past the flat
+    expression form's limit."""
     cents = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    return cents, _assign_cells(emb, cents)
+    return cents, assign_cells_auto(emb, cents)
 
 
 def _lloyd_update(assigned: DataFrame) -> DataFrame:
@@ -250,7 +355,7 @@ def ivf_kmeans_topk(
     cents, assigned = _ivf_assign(emb, n_centroids)
     for _ in range(iterations):
         cents = _lloyd_update(assigned)
-        assigned = _assign_cells(emb, cents)
+        assigned = assign_cells_auto(emb, cents)
     q = _query_vectors(t, [query_id])
     return _probe_and_search(cents, assigned, q, query_id, k, n_probe)
 

@@ -88,7 +88,9 @@ def training_export(t: dict[str, DataFrame], capacity: int = 2048) -> DataFrame:
 CASCADE_STAGES = ("input", "exact", "minhash_lsh", "semdedup")
 
 
-def dedup_cascade(t: dict[str, DataFrame]) -> DataFrame:
+def dedup_cascade(
+    t: dict[str, DataFrame], max_bucket_size: int | None = None
+) -> DataFrame:
     """E2E dedup cascade — the FineWeb/Dolma recipe (Penedo et al. 2024;
     Soldaini et al. 2024): exact dedup, then MinHash-LSH near-dup, then
     SemDeDup semantic dedup, reported as a 4-row attrition profile

@@ -478,14 +478,14 @@ def streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     write path an always-on vector store runs: route each new vector to
     its cell/partition, keep per-cell occupancy current (the signal for
     when to re-train centroids or split cells)."""
-    from ..operators.similarity import _assign_cells
+    from ..operators.similarity import assign_cells_auto
 
     static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = static.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     stream = embeddings_stream(spark, sf_dir)
-    assigned = _assign_cells(stream, cents)
+    assigned = assign_cells_auto(stream, cents)
     plan = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.min("vec_id").alias("min_vec_id"),
@@ -587,7 +587,7 @@ def streaming_semantic_decontamination(spark: SparkSession, sf_dir: str) -> Data
         choose_semdedup_k,
     )
     from ..functions import vector as V
-    from ..operators.similarity import _assign_cells
+    from ..operators.similarity import assign_cells_auto
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_centroids = choose_semdedup_k(emb.count())
@@ -607,7 +607,7 @@ def streaming_semantic_decontamination(spark: SparkSession, sf_dir: str) -> Data
         )
 
     bench = (
-        normed(_assign_cells(emb, cents, rows=cent_rows))
+        normed(assign_cells_auto(emb, cents, rows=cent_rows))
         .filter(F.col("vec_id") % DECON_BENCH_MOD == 0)
         .select(
             F.col("vec_id").alias("vb"),
@@ -618,7 +618,7 @@ def streaming_semantic_decontamination(spark: SparkSession, sf_dir: str) -> Data
     )
 
     stream = embeddings_stream(spark, sf_dir)
-    arriving = normed(_assign_cells(stream, cents, rows=cent_rows)).filter(
+    arriving = normed(assign_cells_auto(stream, cents, rows=cent_rows)).filter(
         F.col("vec_id") % DECON_BENCH_MOD != 0
     )
     cos = F.round(V.dot("ne", "nb"), 3) + F.lit(0.0)

@@ -263,3 +263,122 @@ def test_hier_assignment_exact_when_fully_probed_and_agrees_when_pruned(
     # boundary vector moves at sf0.001)
     assert len(v22 & v7) >= 7, (sorted(v22), sorted(v7))
     assert len(v22 & exact) >= 7, (sorted(v22), sorted(exact))
+
+
+def test_np_assignment_tier_matches_flat_on_fixture(spark, sf_small):
+    """The Arrow/BLAS write-path tier (`_assign_cells_np`) and the flat
+    inlined-literal argmin are two physical strategies for ONE logical
+    operator: identical (vec_id -> cid) on the fixture corpus, both at
+    the oracle-pinned k=16 and above the routing threshold (k=65, where
+    `assign_cells_auto` switches to the np tier)."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.operators.similarity import (
+        ASSIGN_FLAT_MAX_K,
+        _assign_cells,
+        _assign_cells_np,
+        assign_cells_auto,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    for k in (16, ASSIGN_FLAT_MAX_K + 1):
+        cents = emb.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+        rows = cents.collect()
+        flat = {
+            r.vec_id: r.cid
+            for r in _assign_cells(emb, cents, rows=rows).collect()
+        }
+        np_ = {
+            r.vec_id: r.cid
+            for r in _assign_cells_np(emb, cents, rows=rows).collect()
+        }
+        assert np_ == flat, k
+        auto = {
+            r.vec_id: r.cid
+            for r in assign_cells_auto(emb, cents, rows=rows).collect()
+        }
+        assert auto == flat, k
+
+
+def test_np_assignment_tie_breaks_min_cid(spark):
+    """Exact-tie contract: a vector equidistant to two centroids assigns
+    to the MIN cid in both tiers, regardless of centroid row order (the
+    np tier sorts cid-ascending before argmin; the flat tier gets it from
+    lexicographic struct ordering)."""
+    from ai_optimizer_spark.operators.similarity import (
+        _assign_cells,
+        _assign_cells_np,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, "a", [1.0, 0.0]), (1, "b", [3.0, 4.0])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    # centroid rows deliberately OUT of cid order; vec 0 is exactly
+    # equidistant (dist 1.0) from cids 7 and 2 -> must pick 2
+    cents = emb.sparkSession.createDataFrame(
+        [(7, [2.0, 0.0]), (2, [0.0, 0.0]), (9, [100.0, 100.0])],
+        "cid long, ce array<double>",
+    )
+    for fn in (_assign_cells, _assign_cells_np):
+        got = {r.vec_id: r.cid for r in fn(emb, cents).collect()}
+        assert got[0] == 2, (fn.__name__, got)
+        assert got[1] == 7, (fn.__name__, got)
+
+
+def test_assignment_tier_routing_and_empty_model(spark):
+    """`choose_assignment_tier` boundary + the empty-centroid guard: zero
+    cells -> typed empty result (no VOID-literal analysis crash) through
+    every entry point."""
+    from ai_optimizer_spark.operators.similarity import (
+        ASSIGN_FLAT_MAX_K,
+        _assign_cells,
+        _assign_cells_np,
+        assign_cells_auto,
+        choose_assignment_tier,
+    )
+
+    assert choose_assignment_tier(1) == "flat"
+    assert choose_assignment_tier(ASSIGN_FLAT_MAX_K) == "flat"
+    assert choose_assignment_tier(ASSIGN_FLAT_MAX_K + 1) == "np"
+
+    emb = spark.createDataFrame(
+        [(0, "a", [1.0, 0.0])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    cents = emb.sparkSession.createDataFrame(
+        [], "cid long, ce array<double>"
+    )
+    for fn in (_assign_cells, _assign_cells_np, assign_cells_auto):
+        out = fn(emb, cents)
+        assert out.collect() == []
+        assert out.columns == ["vec_id", "label", "embedding", "cid"]
+
+
+def test_np_assignment_matches_flat_on_degenerate_embeddings(spark):
+    """NULL / zero / NaN / wrong-dim embeddings must produce the SAME cid
+    in both tiers (the flat tier's NULL distances fall through struct
+    ordering to the min cid; NaN sorts greatest)."""
+    from ai_optimizer_spark.operators.similarity import (
+        _assign_cells,
+        _assign_cells_np,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, "zero", [0.0, 0.0]),
+            (1, "null", None),
+            (2, "nan", [float("nan"), 1.0]),
+            (3, "short", [1.0]),
+            (4, "ok", [5.0, 0.0]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(3, [0.0, 0.0]), (8, [4.0, 0.0])], "cid long, ce array<double>"
+    )
+    flat = {r.vec_id: r.cid for r in _assign_cells(emb, cents).collect()}
+    np_ = {r.vec_id: r.cid for r in _assign_cells_np(emb, cents).collect()}
+    assert np_ == flat, (flat, np_)

@@ -1408,3 +1408,73 @@ def hier_ivf_topk(
     assigned = _assign_cells_hier(emb, rows, group_size, g_probe)
     q = _query_vectors(t, [query_id])
     return _probe_and_search(cents, assigned, q, query_id, k, n_probe)
+
+
+# SQ8 symmetric max-abs quantization: one int8 code per dimension, one
+# float scale per vector. 127 levels per sign — the FAISS ScalarQuantizer
+# QT_8bit family member that needs NO training pass, so the write path is
+# a pure projection (unlike PQ's codebook fit).
+SQ8_LEVELS = 127
+
+
+def sq8_store(emb: DataFrame) -> DataFrame:
+    """The stored layout of the SQ8 tier: (vec_id, label, scale, codes).
+    codes are integer-valued (round(x/scale) in [-127, 127]) — at rest
+    they serialize as int8, a 4× cut over float32 (8× over float64)
+    before any ANN structure is even involved; `scale` is the per-vector
+    max-abs / 127. A zero vector stores scale 0 + all-zero codes. Pure
+    scan-fused projection: quantization adds ZERO shuffles to ingest."""
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x))) / F.lit(
+        float(SQ8_LEVELS)
+    )
+    codes = F.when(
+        scale > 0,
+        F.transform("embedding", lambda x: F.round(x / scale)),
+    ).otherwise(F.transform("embedding", lambda x: F.lit(0.0)))
+    return emb.select(
+        "vec_id",
+        "label",
+        scale.alias("scale"),
+        codes.alias("codes"),
+    )
+
+
+def sq8_topk(
+    t: dict[str, DataFrame], query_id: int = 0, k: int = TOP_K
+) -> DataFrame:
+    """V23: scalar-quantized (SQ8) serving tier — the third STORAGE tier
+    beside flat float (v1/v5) and product quantization (v11/v17).
+    Asymmetric search: the query stays exact while candidates score
+    against their RECONSTRUCTED vectors (code · scale) — the FAISS
+    ScalarQuantizer read path. Quantization is deterministic arithmetic
+    (no trained codebook), so the DuckDB oracle reproduces the codes, the
+    reconstruction, and therefore the exact served set — approximation
+    encoded in the oracle, the d3c/v22 move.
+
+    Cosine is SCALE-INVARIANT, so scoring the reconstruction
+    (codes · scale) equals scoring the raw integer codes — the read path
+    therefore never dequantizes at all (per-vector `scale` is only needed
+    for dot/euclidean metrics and for reconstruction). This identity also
+    keeps the expensive fold referenced ONCE: a recon-array expression
+    inside the cosine would re-expand per occurrence (the d17/finding-9
+    HOF trap — verified in this op's first plan audit), while `codes` is
+    a stored column.
+
+    Scale shape: the plan is cosine_topk's (one corpus pass, broadcast
+    1-row query, TakeOrderedAndProject) over a store that is 4-8× smaller
+    on disk, which at 100 TB is the difference between a scan that fits
+    the read bandwidth budget and one that doesn't. Composes with the IVF
+    tiers: a clustered store would hold (cid, scale, codes) and prune
+    cells first; this op isolates the quantization contract itself.
+    Reference semantics: the vector store's similarity search
+    (vs_retriever.py:268-280) under a compressed at-rest layout."""
+    store = sq8_store(t["embeddings"])
+    q = _query_vectors(t, [query_id])
+    sim = F.round(V.cosine_similarity("codes", "query_vec"), 3) + F.lit(0.0)
+    return (
+        store.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -996,3 +996,88 @@ def quality_classifier(
             (F.col("p") >= 0.5).alias("keep"),
         )
     )
+
+
+def tokenizer_fertility(t: dict[str, DataFrame], n_merges: int = 8) -> DataFrame:
+    """TX20: per-(lang, source) tokenizer FERTILITY table — subwords per
+    word under the learned BPE (tx14's merge table), plus compression
+    (chars per subword). Fertility is the number multilingual mixes are
+    budgeted with (BLOOM's tokenizer evaluation, Scao et al. 2022): a
+    language whose fertility is 2× consumes 2× the token budget per word,
+    so this table feeds directly into UniMax-style allocation (smp11 —
+    token budgets, which are fertility-weighted word budgets).
+
+    Spark shape: the merge table is tiny driver-side model state applied
+    inside ONE Arrow-batched mapInPandas pass that carries (lang, source)
+    through — zero joins anywhere (the per-doc variant tx15 re-joins
+    documents; a budgeting table over billions of docs must not). The
+    only shuffle is the |lang × source|-row final aggregate, with
+    map-side partial combine. Reference semantics: the token accounting
+    of the embed pipeline (embed/document.py token counts) lifted to the
+    tokenizer-budgeting table a mix planner reads."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    merges = [
+        (r["a"], r["b"]) for r in bpe_learn(t, n_merges=n_merges).collect()
+    ]
+    pretoken = __import__("re").compile(BPE_PRETOKEN_RE)
+
+    def _apply(word: str) -> list[str]:
+        syms = list(word)
+        for a, b in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    schema = StructType(
+        [
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_words", LongType()),
+            StructField("n_subwords", LongType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+
+    def _stats(batches):
+        for pdf in batches:
+            memo: dict[str, int] = {}
+            rows = []
+            for lang, source, text in zip(pdf["lang"], pdf["source"], pdf["text"]):
+                n_words = n_sub = n_chars = 0
+                for w in pretoken.findall(text or ""):
+                    n_toks = memo.get(w)
+                    if n_toks is None:
+                        n_toks = len(_apply(w))
+                        memo[w] = n_toks
+                    n_words += 1
+                    n_sub += n_toks
+                    n_chars += len(w)
+                rows.append((lang, source, n_words, n_sub, n_chars))
+            yield pd.DataFrame(
+                rows, columns=["lang", "source", "n_words", "n_subwords", "n_chars"]
+            )
+
+    per_doc = t["documents"].select("lang", "source", "text").mapInPandas(
+        _stats, schema
+    )
+    one = F.lit(1).cast("long")
+    tw = F.greatest(F.sum("n_words"), one)
+    ts = F.greatest(F.sum("n_subwords"), one)
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_subwords").cast("long").alias("total_subwords"),
+        (
+            F.round(F.sum("n_subwords") * F.lit(1.0) / tw, 4) + F.lit(0.0)
+        ).alias("fertility"),
+        (
+            F.round(F.sum("n_chars") * F.lit(1.0) / ts, 4) + F.lit(0.0)
+        ).alias("chars_per_subword"),
+    )

@@ -282,10 +282,54 @@ STREAMING_NEARDUP_CANDIDATES = f"""
 
 
 # d3c: the PRODUCTION LSH configuration (bucket cap ON) with the cap
+def autocap_ctes(headroom: float = 4.0) -> str:
+    """`choose_lsh_bucket_cap` recomputed in SQL (the e2e_auto_curation
+    oracle): yields a CTE chain ending in `autocap(cap)`. Formula parity
+    with operators/dedup.py::choose_lsh_bucket_cap — per-band mean
+    colliding-bucket size via IEEE double division, then
+    cap = max(2, min(ceil(headroom * worst_band_mean), max_bucket_n)),
+    empty-collision corpus -> 2. Splice at the HEAD of a WITH list; the
+    shingle/bucket names it defines are shadowed harmlessly when a nested
+    LSH subquery redefines them (DuckDB lexical CTE scoping)."""
+    return f"""{_SHINGLES_CTE},
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS base
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_minhash_cols()}
+        FROM hashed
+        GROUP BY doc_id
+    ),
+    bands AS (
+        {_bands_union()}
+    ),
+    buckets AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key),
+    bandprof AS (
+        SELECT band,
+               SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) * 1.0
+                   / SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS mean_n,
+               MAX(n) AS max_n
+        FROM buckets GROUP BY band
+        HAVING SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) > 0
+    ),
+    autocap AS (
+        SELECT CAST(COALESCE(
+            GREATEST(2, LEAST(CAST(CEIL({headroom} * MAX(mean_n)) AS BIGINT),
+                              CAST(MAX(max_n) AS BIGINT))),
+            2) AS BIGINT) AS cap
+        FROM bandprof
+    )"""
+
+
 # encoded in the oracle itself — band buckets above the cap are dropped
 # whole before candidate generation, exactly like
 # minhash_lsh_pairs(max_bucket_size=...).
-def minhash_lsh_capped(max_bucket_size: int) -> str:
+def minhash_lsh_capped(max_bucket_size: int | str) -> str:
+    # max_bucket_size may be a literal int OR a SQL scalar subquery string
+    # (e2e_auto_curation passes "(SELECT cap FROM autocap)" so the cap the
+    # oracle verifies is the one IT derives from the corpus)
     return f"""
     WITH {_SHINGLES_CTE},
     hashed AS (

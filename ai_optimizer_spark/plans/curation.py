@@ -113,7 +113,11 @@ def dedup_cascade(
     via three left joins whose build sides are each a vanishing fraction
     of the corpus (broadcast under AQE), and the profile itself is ONE
     partial+final aggregate — four rows come out of a struct inline, not
-    four passes."""
+    four passes.
+
+    `max_bucket_size` overrides the LSH skew cap (default: the production
+    constant); `auto_curation` passes a cap sized from the d17 pre-flight
+    profile instead of the guess."""
     from ..operators.dedup import (
         LSH_MAX_BUCKET_DEFAULT,
         dedup_losers,
@@ -121,6 +125,8 @@ def dedup_cascade(
     )
     from ..functions.text import token_count
 
+    if max_bucket_size is None:
+        max_bucket_size = LSH_MAX_BUCKET_DEFAULT
     docs = t["documents"]
     base = docs.select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
@@ -138,7 +144,7 @@ def dedup_cascade(
         .select("doc_id", F.lit(True).alias("f1"))
     )
     lsh_losers = dedup_losers(
-        t, max_bucket_size=LSH_MAX_BUCKET_DEFAULT
+        t, max_bucket_size=max_bucket_size
     ).select("doc_id", F.lit(True).alias("f2"))
     sem_losers = (
         semdedup(t)
@@ -156,6 +162,14 @@ def dedup_cascade(
             F.coalesce("f3", F.lit(False)).alias("f3"),
         )
     )
+    return _attrition_profile(flagged, CASCADE_STAGES)
+
+
+def _attrition_profile(flagged: DataFrame, stages) -> DataFrame:
+    """First-catch attrition profile over a (n_tokens, f1, f2, f3) flag
+    table: ONE partial+final aggregate, rows fanned out by inline —
+    shared by e2e_dedup_cascade / e2e_auto_curation / e2e_decon_report so
+    the attribution arithmetic can never drift between them."""
     zero = F.lit(0).cast("long")
     agg = flagged.agg(
         F.count(F.lit(1)).alias("n0"),
@@ -178,7 +192,7 @@ def dedup_cascade(
     def row(stage: int, removed, remaining, tokens):
         return F.struct(
             F.lit(stage).cast("long").alias("stage"),
-            F.lit(CASCADE_STAGES[stage]).alias("stage_name"),
+            F.lit(stages[stage]).alias("stage_name"),
             removed.cast("long").alias("docs_removed"),
             remaining.cast("long").alias("docs_remaining"),
             tokens.cast("long").alias("tokens_remaining"),
@@ -196,4 +210,97 @@ def dedup_cascade(
                 row(3, r3, n0 - r1 - r2 - r3, t0 - tt1 - tt2 - tt3),
             )
         )
+    )
+
+
+DECON_STAGES = ("input", "exact_ngram", "bloom", "semantic")
+
+
+def decon_report(t: dict[str, DataFrame]) -> DataFrame:
+    """E2E decontamination report — the decon family's cascade: the three
+    tiers run over the corpus partition as INDEPENDENT audits (exact
+    n-gram overlap d12, Bloom-filter membership d19, same-cell embedding
+    cosine d20) and the report attributes every contaminated document to
+    the FIRST tier that catches it, in evidence order exact → Bloom →
+    semantic. The marginal rows are the audit's value: Bloom-only catches
+    quantify what exact indexing would miss at scale (plus the filter's
+    false-positive rate), semantic-only catches are the paraphrased
+    leakage no n-gram tier can see. Same 4-row shape as
+    e2e_dedup_cascade, via the shared `_attrition_profile`.
+
+    Scale shape: three independent probe jobs (parallel at cluster
+    scale — wall-clock is max, not sum), each already measured in
+    SCALE.md (d12 broadcast eval index; d19 fixed 2^20-bit table,
+    sublinear to 64×; d20 auto-k cells, the assignment term closed by the
+    np tier). Flags attach by id-only left joins (broadcast under AQE);
+    the profile is ONE aggregate. Completes the decon lifecycle: tiers
+    (d12/d19/d20), ingest twins (st16/st18), index maintenance (t13),
+    and now the corpus-level audit a release publishes."""
+    from ..functions.text import token_count
+    from ..operators.dedup import (
+        DECON_BENCH_MOD,
+        bloom_decontamination,
+        decontamination,
+        semantic_decontamination,
+    )
+
+    docs = t["documents"]
+    base = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    f1 = decontamination(t).select("doc_id", F.lit(True).alias("f1"))
+    f2 = bloom_decontamination(t).select("doc_id", F.lit(True).alias("f2"))
+    f3 = semantic_decontamination(t).select(
+        F.col("vec_id").alias("doc_id"), F.lit(True).alias("f3")
+    )
+    flagged = (
+        base.join(f1, "doc_id", "left")
+        .join(f2, "doc_id", "left")
+        .join(f3, "doc_id", "left")
+        .select(
+            "n_tokens",
+            F.coalesce("f1", F.lit(False)).alias("f1"),
+            F.coalesce("f2", F.lit(False)).alias("f2"),
+            F.coalesce("f3", F.lit(False)).alias("f3"),
+        )
+    )
+    return _attrition_profile(flagged, DECON_STAGES)
+
+
+def auto_curation(t: dict[str, DataFrame]) -> DataFrame:
+    """E2E AUTO-TUNED curation — the pre-flight estimators wired into one
+    entry (VERDICT r5 task 7). A user on a fresh 100 TB corpus should not
+    hand-pick the skew cap or the quantizer size; this plan derives both
+    from the corpus and runs the cascade with them:
+
+        d17 corpus_dup_profile  ──►  choose_lsh_bucket_cap  ──►  LSH cap
+        |embeddings| count      ──►  choose_semdedup_k      ──►  cell count
+        dedup_cascade(cap)      ──►  4-row attrition profile + the knobs
+
+    The chosen knobs ride on the output rows, so the DuckDB oracle — which
+    recomputes BOTH choosers in SQL from the same corpus (the cap from the
+    band-profile CTE, k from the embeddings count) — hash-verifies not
+    just the cascade's attrition numbers under the auto cap but the sizing
+    formulas themselves, at every fixture scale.
+
+    Scale shape: the profile pass is strictly cheaper than any dedup stage
+    (digest-only shuffles, n_bands output rows — SCALE.md d17, sublinear
+    to 64×), so auto-tuning adds one cheap pre-pass; the two collects are
+    n_bands rows and one count. Everything downstream is the cascade's
+    measured-linear plan with a better cap than the default guess.
+    Reference semantics: the profile→cap chain replaces the reference's
+    fixed server-side defaults (src/server/app/vectorstore settings) with
+    data-derived values."""
+    from ..operators.dedup import (
+        choose_lsh_bucket_cap,
+        choose_semdedup_k,
+        corpus_dup_profile,
+    )
+
+    cap = choose_lsh_bucket_cap(corpus_dup_profile(t))
+    k = choose_semdedup_k(t["embeddings"].count())
+    return dedup_cascade(t, max_bucket_size=cap).select(
+        "*",
+        F.lit(cap).cast("long").alias("lsh_bucket_cap"),
+        F.lit(k).cast("long").alias("semdedup_k"),
     )

@@ -3143,6 +3143,40 @@ from .plans.bucketing import clustered_range_search  # noqa: E402
 QUERIES["v16b_clustered_range_search"] = clustered_range_search
 ORACLE_SQL["v16b_clustered_range_search"] = ORACLE_SQL["v16_range_search_pruned"]
 
+# v23: scalar-quantized (SQ8) serving tier — deterministic max-abs
+# quantization, so the oracle reproduces codes + reconstruction exactly
+# (approximation encoded in the oracle, like d3c/v22).
+_register(
+    "v23_sq8_topk",
+    S.sq8_topk,
+    f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    sc AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                   / {S.SQ8_LEVELS} AS scale
+        FROM embeddings
+    ),
+    codes AS (
+        -- cosine is scale-invariant: scoring the int codes == scoring the
+        -- reconstruction (codes*scale), so neither engine dequantizes
+        SELECT vec_id, label,
+               CASE WHEN scale > 0
+                    THEN list_transform(e, x -> round(x / scale))
+                    ELSE list_transform(e, x -> 0.0) END AS c
+        FROM sc
+    )
+    SELECT vec_id, label,
+           ROUND(list_cosine_similarity(c, qv), 3) + 0.0 AS cos_sim
+    FROM codes, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT {S.TOP_K}
+    """,
+)
+
 # v21: runtime (dynamic) partition pruning — the probe cell set is a
 # computed DataFrame, injected into the partitioned scan as a
 # dynamicpruningexpression (plan-tested); the literal-filter twin is v13.
@@ -4262,6 +4296,58 @@ _register("tx14_bpe_learn", TX.bpe_learn, _bpe_learn_sql())
 # the 8 merges as nested replace()s per distinct word.
 _register("tx15_bpe_tokenize", TX.bpe_tokenize, _bpe_tokenize_sql())
 
+
+def _tx20_fertility_sql(n_merges: int = 8) -> str:
+    """tx20: the tx15 tokenization CTEs aggregated to the per-(lang,
+    source) fertility/budgeting table. SUMs cast to BIGINT (HUGEINT
+    trap); ratios computed from the same *1.0 doubles as Spark."""
+    parts = _bpe_learn_ctes(n_merges)
+    expr = "dw.s"
+    for r in range(n_merges):
+        expr = (
+            f"replace({expr}, {_BPE_SEP} || b{r}.a || {_BPE_SEP} || {_BPE_SEP} || b{r}.b || {_BPE_SEP}, "
+            f"{_BPE_SEP} || b{r}.a || b{r}.b || {_BPE_SEP})"
+        )
+    froms = ", ".join(f"b{r}" for r in range(n_merges))
+    parts.append(f"""
+    docw AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, {_BPE_PRE})) AS w FROM documents
+    ),
+    dw AS (
+        SELECT w, {_BPE_SEP} || array_to_string(string_split(w, ''), {_BPE_SEP} || {_BPE_SEP}) || {_BPE_SEP} AS s
+        FROM (SELECT DISTINCT w FROM docw)
+    ),
+    tok AS (
+        SELECT dw.w,
+               len(string_split(({expr})[2 : length({expr}) - 1], {_BPE_SEP} || {_BPE_SEP})) AS n_toks
+        FROM dw, {froms}
+    ),
+    per_doc AS (
+        SELECT d.doc_id,
+               COUNT(*) AS n_words,
+               SUM(t.n_toks) AS n_subwords,
+               SUM(length(d.w)) AS n_chars
+        FROM docw d JOIN tok t ON d.w = t.w
+        GROUP BY d.doc_id
+    )
+    SELECT doc.lang, doc.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(p.n_words, 0)) AS BIGINT) AS total_words,
+           CAST(SUM(COALESCE(p.n_subwords, 0)) AS BIGINT) AS total_subwords,
+           ROUND(CAST(SUM(COALESCE(p.n_subwords, 0)) AS BIGINT) * 1.0
+                 / GREATEST(CAST(SUM(COALESCE(p.n_words, 0)) AS BIGINT), 1), 4) + 0.0
+               AS fertility,
+           ROUND(CAST(SUM(COALESCE(p.n_chars, 0)) AS BIGINT) * 1.0
+                 / GREATEST(CAST(SUM(COALESCE(p.n_subwords, 0)) AS BIGINT), 1), 4) + 0.0
+               AS chars_per_subword
+    FROM documents doc
+    LEFT JOIN per_doc p ON doc.doc_id = p.doc_id
+    GROUP BY doc.lang, doc.source""")
+    return "WITH " + ",".join(parts)
+
+
+_register("tx20_tokenizer_fertility", TX.tokenizer_fertility, _tx20_fertility_sql())
+
 _register(
     "j20_volume_shipping",
     R.volume_shipping,
@@ -4819,14 +4905,18 @@ ORACLE_SQL["st16_streaming_decontamination"] = ORACLE_SQL[
     "d19_bloom_decontamination"
 ]
 
-from .plans.curation import dedup_cascade  # noqa: E402
+from .plans.curation import auto_curation, dedup_cascade  # noqa: E402
 
-_register(
-    "e2e_dedup_cascade",
-    dedup_cascade,
-    f"""
+
+def _cascade_oracle(lsh_inner: str, lead_ctes: str = "", extra_cols: str = "") -> str:
+    """The dedup-cascade oracle, shared by e2e_dedup_cascade (fixed cap)
+    and e2e_auto_curation (cap + k derived in SQL via `lead_ctes`, exposed
+    through `extra_cols`) so the two can never drift. `lsh_inner` is the
+    capped-LSH pair SQL; its nested WITH shadows any same-named lead CTEs
+    (DuckDB lexical scoping, verified)."""
+    return f"""
     WITH RECURSIVE
-    d AS (
+    {lead_ctes}d AS (
         SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
                    AS n_tokens
@@ -4840,7 +4930,7 @@ _register(
     ),
     pairs AS (
         SELECT doc_a, doc_b
-        FROM ({OD.minhash_lsh_capped(D.LSH_MAX_BUCKET_DEFAULT)}) lsh
+        FROM ({lsh_inner}) lsh
     ),
     edges AS (
         SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -4903,15 +4993,48 @@ _register(
     )
     SELECT CAST(0 AS BIGINT) AS stage, 'input' AS stage_name,
            CAST(0 AS BIGINT) AS docs_removed,
-           n0 AS docs_remaining, t0 AS tokens_remaining
+           n0 AS docs_remaining, t0 AS tokens_remaining{extra_cols}
     FROM agg
     UNION ALL
-    SELECT 1, 'exact', r1, n0 - r1, t0 - tt1 FROM agg
+    SELECT 1, 'exact', r1, n0 - r1, t0 - tt1{extra_cols} FROM agg
     UNION ALL
-    SELECT 2, 'minhash_lsh', r2, n0 - r1 - r2, t0 - tt1 - tt2 FROM agg
+    SELECT 2, 'minhash_lsh', r2, n0 - r1 - r2, t0 - tt1 - tt2{extra_cols} FROM agg
     UNION ALL
-    SELECT 3, 'semdedup', r3, n0 - r1 - r2 - r3, t0 - tt1 - tt2 - tt3 FROM agg
-    """,
+    SELECT 3, 'semdedup', r3, n0 - r1 - r2 - r3, t0 - tt1 - tt2 - tt3{extra_cols} FROM agg
+    """
+
+
+_register(
+    "e2e_dedup_cascade",
+    dedup_cascade,
+    _cascade_oracle(OD.minhash_lsh_capped(D.LSH_MAX_BUCKET_DEFAULT)),
+)
+
+# e2e_auto_curation: the cascade under DATA-DERIVED knobs. The oracle
+# recomputes choose_lsh_bucket_cap (band-profile CTE -> autocap) and
+# choose_semdedup_k (embeddings count -> autok) in SQL, feeds the cap into
+# the capped-LSH subquery as a scalar subquery, and exposes both knobs as
+# output columns — so the hash verifies the sizing formulas cross-engine,
+# not just the attrition numbers under them.
+_register(
+    "e2e_auto_curation",
+    auto_curation,
+    _cascade_oracle(
+        OD.minhash_lsh_capped("(SELECT cap FROM autocap)"),
+        lead_ctes=(
+            OD.autocap_ctes()
+            + f""",
+    autok AS (
+        SELECT CAST(GREATEST(16, COUNT(*) // {D.SEMDEDUP_CELL_TARGET}) AS BIGINT) AS k
+        FROM embeddings
+    ),
+    """
+        ),
+        extra_cols=(
+            ", (SELECT cap FROM autocap) AS lsh_bucket_cap"
+            ", (SELECT k FROM autok) AS semdedup_k"
+        ),
+    ),
 )
 
 _register(
@@ -5107,6 +5230,63 @@ ORACLE_SQL["st18_streaming_semantic_decon"] = ORACLE_SQL[
     "d20_semantic_decontamination"
 ]
 
+# e2e_decon_report: the decon family's cascade — three tier audits with
+# first-catch attribution. The oracle embeds each tier's registered SQL
+# VERBATIM (the smp13 move), so the report can never drift from the tiers
+# it aggregates.
+from .plans.curation import decon_report  # noqa: E402
+
+_register(
+    "e2e_decon_report",
+    decon_report,
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents WHERE doc_id % {D.DECON_BENCH_MOD} <> 0
+    ),
+    ex AS (SELECT doc_id FROM ({{d12}}) x),
+    bl AS (SELECT doc_id FROM ({{d19}}) x),
+    se AS (SELECT vec_id AS doc_id FROM ({{d20}}) x),
+    flags AS (
+        SELECT d.doc_id, d.n_tokens,
+               (ex.doc_id IS NOT NULL) AS f1,
+               (bl.doc_id IS NOT NULL) AS f2,
+               (se.doc_id IS NOT NULL) AS f3
+        FROM d
+        LEFT JOIN ex ON ex.doc_id = d.doc_id
+        LEFT JOIN bl ON bl.doc_id = d.doc_id
+        LEFT JOIN se ON se.doc_id = d.doc_id
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(n_tokens) AS BIGINT) AS t0,
+               CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+               CAST(SUM(CASE WHEN f1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tt1,
+               CAST(SUM(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+               CAST(SUM(CASE WHEN NOT f1 AND f2 THEN n_tokens ELSE 0 END) AS BIGINT) AS tt2,
+               CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+               CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN n_tokens ELSE 0 END) AS BIGINT) AS tt3
+        FROM flags
+    )
+    SELECT CAST(0 AS BIGINT) AS stage, 'input' AS stage_name,
+           CAST(0 AS BIGINT) AS docs_removed,
+           n0 AS docs_remaining, t0 AS tokens_remaining
+    FROM agg
+    UNION ALL
+    SELECT 1, 'exact_ngram', r1, n0 - r1, t0 - tt1 FROM agg
+    UNION ALL
+    SELECT 2, 'bloom', r2, n0 - r1 - r2, t0 - tt1 - tt2 FROM agg
+    UNION ALL
+    SELECT 3, 'semantic', r3, n0 - r1 - r2 - r3, t0 - tt1 - tt2 - tt3 FROM agg
+    """.format(
+        d12=ORACLE_SQL["d12_decontamination"],
+        d19=ORACLE_SQL["d19_bloom_decontamination"],
+        d20=ORACLE_SQL["d20_semantic_decontamination"],
+    ),
+)
+
 _register(
     "v22_hier_ivf_topk",
     S.hier_ivf_topk,
@@ -5175,12 +5355,17 @@ _PRIORITY: list[str] = [
     # before promotion. Late-r5 swap: d19/smp11/tx18 (new, strict-checked at
     # both scales) replace veterans v7/j10/d4 (driver-green since r2-r4; each
     # family keeps multiple prefix slots and the repo gate still covers all).
+    # r6 rotation (VERDICT r5 task 3): the last never-driver-checked flagships
+    # promoted — v22, st18, smp13, t13, t11, d14 (all strict-checked at
+    # sf0.001/0.01/0.1 this round) plus the new e2e_auto_curation — displacing
+    # r5-driver-green veterans v15/j25/d13/t9/smp6/tx14/t8 to 51+ (each family
+    # keeps ≥2 prefix slots; the repo parity gate still checks all 213).
     # ANN / similarity tiers (IVF, k-means, IVFPQ, stored-layout serving)
     "v19_ann_operating_curve",
     "d3c_minhash_lsh_capped",
     "v16b_clustered_range_search",
     "v21_dpp_cell_stats",
-    "v15_clustered_ivf_knn_join",
+    "v22_hier_ivf_topk",
     # temporal / skew / bucketed / analytic join shapes
     "j11_asof_join",
     "j12_banded_range_join",
@@ -5190,18 +5375,18 @@ _PRIORITY: list[str] = [
     "v9_ivf_kmeans_topk",
     "v17_ivfpq_topk",
     "j27_disjunctive_part_revenue",
-    "j25_waiting_supplier",
-    "a21_customer_order_distribution",
+    "d14_crossencoder_rerank",
+    "e2e_decon_report",
     # dedup family (scale-safe canonical forms) + clustering + curation e2e
     "d20_semantic_decontamination",
     "d18_semdedup",
     "d19_bloom_decontamination",
-    "d13_topic_clusters",
+    "e2e_auto_curation",
     "e2e_dedup_cascade",
     "d6_dedup_clusters",
     "smp9_token_budget_select",
     "e2e_curation_pipeline",
-    "v14_hybrid_rrf_topk",
+    "v23_sq8_topk",
     # text-analysis family + multimodal (+ d15 substring dedup, new r5)
     "st17_streaming_quality_gate",
     "mm3_audio_features",
@@ -5212,21 +5397,21 @@ _PRIORITY: list[str] = [
     # streaming / event-time (+ st14/t10 span-index pair, new r5)
     "st14_streaming_span_novelty",
     "t10_span_index_refresh",
-    "t9_incremental_rollup",
+    "t11_cell_stats_refresh",
     "tx16_ngram_perplexity",
-    "tx18_zipf_fit",
+    "tx20_tokenizer_fertility",
     # aggregation extensions + sampling/packing (+ j28/a24 Q2/Q11, new r5)
     "j28_min_cost_supplier",
     "a24_important_part_values",
     "e2e_corpus_assembly",
     "e2e_training_export",
-    "smp6_sequence_packing",
-    "tx14_bpe_learn",
+    "smp13_mixture_epochs",
+    "t13_bloom_index_refresh",
     "smp10_dsir_importance",
     "smp11_unimax_budget",
     # streaming near-dup + SCD2 (round-3 flagships)
     "st16_streaming_decontamination",
-    "t8_scd2_history",
+    "st18_streaming_semantic_decon",
     "smp12_curriculum_order",
     "tx17_gopher_rules",
     "t12_drift_monitor",
@@ -5234,8 +5419,18 @@ _PRIORITY: list[str] = [
     "o15b_nl2sql_generated",
     "e2e_evaluation_report",
     "s5_deep_parse",
-    # displaced from the prefix by the r5 additions (repo gate still
+    # displaced from the prefix by the r5/r6 additions (repo gate still
     # covers them every session; each family keeps >=2 prefix slots)
+    "tx18_zipf_fit",
+    "a21_customer_order_distribution",
+    "v14_hybrid_rrf_topk",
+    "v15_clustered_ivf_knn_join",
+    "j25_waiting_supplier",
+    "d13_topic_clusters",
+    "t9_incremental_rollup",
+    "smp6_sequence_packing",
+    "tx14_bpe_learn",
+    "t8_scd2_history",
     "d1_exact_dedup",
     "tx11_repetition_stats",
     "st15_streaming_drift_monitor",
@@ -5290,7 +5485,6 @@ _PRIORITY: list[str] = [
     "v20_ivfpq_topk_np",
     "st13_streaming_ivf_assign",
     "v18_filtered_topk",
-    "d14_crossencoder_rerank",
     "j9_mmr_rerank",
     "j9b_mmr_rerank_batch",
     "e2e_vecsearch_flow",

@@ -50,6 +50,7 @@ HEADLINE = [
     "a21_customer_order_distribution",
     "v17_ivfpq_topk",
     "v20_ivfpq_topk_np",
+    "v23_sq8_topk",
     "st4_sliding_window_counts",
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
@@ -70,6 +71,7 @@ HEADLINE = [
     "tx17_gopher_rules",
     "tx18_zipf_fit",
     "tx19_quality_classifier",
+    "tx20_tokenizer_fertility",
     "d12_decontamination",
     "d19_bloom_decontamination",
     "d20_semantic_decontamination",
@@ -84,6 +86,8 @@ HEADLINE = [
     "smp13_mixture_epochs",
     "e2e_corpus_assembly",
     "e2e_dedup_cascade",
+    "e2e_auto_curation",
+    "e2e_decon_report",
     "t6_token_stream_assembly",
     "st2_sessionize",
     "st11_funnel_steps",

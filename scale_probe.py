@@ -50,6 +50,8 @@ OPS = [
     "e2e_curation_pipeline",
     "e2e_corpus_assembly",
     "e2e_dedup_cascade",
+    "e2e_auto_curation",
+    "e2e_decon_report",
     "v10_matmul_knn",
     "v17_ivfpq_topk",
     "v20_ivfpq_topk_np",
@@ -63,6 +65,7 @@ OPS = [
     "tx16_ngram_perplexity",
     "tx18_zipf_fit",
     "tx19_quality_classifier",
+    "tx20_tokenizer_fertility",
     # incremental-maintenance family: the write paths behind the serving
     # tiers — cost must track the delta/affected set, not the corpus
     "t10_span_index_refresh",

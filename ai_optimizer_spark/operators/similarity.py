@@ -1417,13 +1417,12 @@ def hier_ivf_topk(
 SQ8_LEVELS = 127
 
 
-def sq8_store(emb: DataFrame) -> DataFrame:
-    """The stored layout of the SQ8 tier: (vec_id, label, scale, codes).
-    codes are integer-valued (round(x/scale) in [-127, 127]) — at rest
-    they serialize as int8, a 4× cut over float32 (8× over float64)
-    before any ANN structure is even involved; `scale` is the per-vector
-    max-abs / 127. A zero vector stores scale 0 + all-zero codes. Pure
-    scan-fused projection: quantization adds ZERO shuffles to ingest."""
+def sq8_scale_codes():
+    """The SQ8 quantization expressions (scale, codes) over an `embedding`
+    column — ONE home for the formula so the batch store (v23), and the
+    streaming ingest twin (st19) can never drift. codes are integer-valued
+    doubles in [-SQ8_LEVELS, SQ8_LEVELS] (int8 at rest); a zero vector
+    quantizes to scale 0 + all-zero codes (no divide-by-zero)."""
     scale = F.array_max(F.transform("embedding", lambda x: F.abs(x))) / F.lit(
         float(SQ8_LEVELS)
     )
@@ -1431,6 +1430,17 @@ def sq8_store(emb: DataFrame) -> DataFrame:
         scale > 0,
         F.transform("embedding", lambda x: F.round(x / scale)),
     ).otherwise(F.transform("embedding", lambda x: F.lit(0.0)))
+    return scale, codes
+
+
+def sq8_store(emb: DataFrame) -> DataFrame:
+    """The stored layout of the SQ8 tier: (vec_id, label, scale, codes).
+    codes are integer-valued (round(x/scale) in [-127, 127]) — at rest
+    they serialize as int8, a 4× cut over float32 (8× over float64)
+    before any ANN structure is even involved; `scale` is the per-vector
+    max-abs / 127. A zero vector stores scale 0 + all-zero codes. Pure
+    scan-fused projection: quantization adds ZERO shuffles to ingest."""
+    scale, codes = sq8_scale_codes()
     return emb.select(
         "vec_id",
         "label",

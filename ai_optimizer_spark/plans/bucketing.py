@@ -343,3 +343,102 @@ def dpp_cell_stats(spark: SparkSession, sf_dir: str, query_id: int = 0) -> DataF
             F.max("cos_sim").alias("best_sim"),
         )
     )
+
+
+def ensure_sq8_clustered_store(
+    spark: SparkSession, sf_dir: str, n_centroids: int = IVF_N_CENTROIDS
+) -> str:
+    """Write the embeddings store QUANTIZED (SQ8 codes + per-vector scale,
+    operators/similarity.sq8_scale_codes) AND partitioned by its IVF cell
+    — pruning and compression composed, which is the actual 100 TB serving
+    layout: a probe reads n_probe/n_centroids of a store that is itself
+    4-8× smaller at rest. Both transformations are scan-fused projections;
+    the write pays them once. Raw embeddings are NOT stored — the read
+    path never needs them (cosine scores raw codes; the exact query vector
+    comes from the source table). Idempotent per (warehouse, sf_dir)."""
+    import os
+    import shutil
+
+    from ..operators.similarity import _ivf_assign, sq8_scale_codes
+
+    tag = re.sub(r"\W", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
+    name = f"embeddings_sq8_{tag}"
+    if not spark.catalog.tableExists(name):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(warehouse.removeprefix("file:"), name)
+        if warehouse.startswith(("file:", "/")) and os.path.exists(loc):
+            shutil.rmtree(loc)
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        _, assigned = _ivf_assign(emb, n_centroids)
+        scale, codes = sq8_scale_codes()
+        (
+            assigned.select(
+                "vec_id",
+                "label",
+                scale.alias("scale"),
+                codes.alias("codes"),
+                "cid",
+            )
+            .write.format("parquet")
+            .partitionBy("cid")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return name
+
+
+def quantized_clustered_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 8,
+    n_probe: int = 4,
+) -> DataFrame:
+    """V24: IVF-pruned top-k over the QUANTIZED clustered store — v13's
+    partition-pruned probe composed with v23's SQ8 scoring. The probe
+    list resolves driver-side against the centroid model (from the source
+    table — the store has no raw vectors) and pushes as a literal
+    partition filter; within the probed cells, candidates score as cosine
+    over their stored int8 codes (scale-invariance: no dequantization).
+    Deterministic quantization + deterministic probe ⇒ the oracle
+    reproduces the exact served set (approximation inside the oracle).
+
+    Plan shape (asserted): PartitionFilters on cid, no shuffle Exchange,
+    TakeOrderedAndProject — the scan reads n_probe/n_centroids of a
+    4-8× compressed store. This is the end state every ANN docstring in
+    this engine points at: layout does the pruning, quantization does the
+    bandwidth, the plan is a filtered scan + a top-k."""
+    from ..functions import vector as V
+    from ..operators.similarity import _query_vectors
+
+    name = ensure_sq8_clustered_store(spark, sf_dir)
+    store = spark.table(name)
+    tables = load_tables(spark, sf_dir)
+    q = _query_vectors(tables, [query_id])
+
+    cents = tables["embeddings"].filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid2"), F.col("embedding").alias("ce")
+    )
+    probe_rows = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid2", V.euclidean_distance("ce", "query_vec").alias("qdist"))
+        .orderBy(F.asc("qdist"), F.asc("cid2"))
+        .limit(n_probe)
+        .collect()
+    )
+    probe_cids = [int(r.cid2) for r in probe_rows]
+
+    sim = F.round(V.cosine_similarity("codes", "query_vec"), 3) + F.lit(0.0)
+    return (
+        store.filter(F.col("cid").isin(probe_cids))  # partition pruning
+        .filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").cast("long").alias("cid"),
+            sim.alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

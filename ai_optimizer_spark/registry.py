@@ -3177,6 +3177,56 @@ _register(
     """,
 )
 
+# v24: the quantized clustered store — v13's partition-pruned probe over
+# v23's SQ8 codes; pruning and compression composed. Deterministic
+# quantization + deterministic probe, so the oracle reproduces the exact
+# served set (approximation inside the oracle).
+from .plans.bucketing import quantized_clustered_topk  # noqa: E402
+
+QUERIES["v24_quantized_clustered_topk"] = quantized_clustered_topk
+ORACLE_SQL["v24_quantized_clustered_topk"] = f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    assigned AS (
+        SELECT vec_id, label, ee, cid FROM (
+            SELECT e.vec_id, e.label, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    sc AS (
+        SELECT vec_id, label, cid, ee,
+               list_max(list_transform(ee, x -> abs(x))) / {S.SQ8_LEVELS}
+                   AS scale
+        FROM assigned
+    ),
+    qcodes AS (
+        SELECT vec_id, label, cid,
+               CASE WHEN scale > 0
+                    THEN list_transform(ee, x -> round(x / scale))
+                    ELSE list_transform(ee, x -> 0.0) END AS c
+        FROM sc
+    ),
+    probe AS (
+        SELECT c.cid FROM cents c, q
+        ORDER BY list_distance(c.ce, q.qe) ASC, c.cid ASC
+        LIMIT 4
+    )
+    SELECT a.vec_id, a.label, a.cid,
+           ROUND(list_cosine_similarity(a.c, q.qe), 3) + 0.0 AS cos_sim
+    FROM qcodes a JOIN probe p ON a.cid = p.cid, q
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id ASC
+    LIMIT 8
+"""
+
 # v21: runtime (dynamic) partition pruning — the probe cell set is a
 # computed DataFrame, injected into the partitioned scan as a
 # dynamicpruningexpression (plan-tested); the literal-filter twin is v13.
@@ -3722,6 +3772,57 @@ ORACLE_SQL["st13_streaming_ivf_assign"] = """
            MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
     FROM assigned GROUP BY cid
 """
+
+
+def _st19_streaming_sq8_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.event_stream import streaming_sq8_ingest
+
+    return streaming_sq8_ingest(spark, sf_dir)
+
+
+QUERIES["st19_streaming_sq8_ingest"] = _st19_streaming_sq8_ingest
+# streamed per-cell quantization-health stats == the same stats batch over
+# the full input (quantize + assign are stateless; max/min aggregates are
+# order-free, so arrival order cannot matter).
+ORACLE_SQL["st19_streaming_sq8_ingest"] = f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT vec_id, ee, cid FROM (
+            SELECT e.vec_id, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    sc AS (
+        SELECT cid,
+               list_max(list_transform(ee, x -> abs(x))) / {S.SQ8_LEVELS}
+                   AS scale,
+               ee
+        FROM assigned
+    ),
+    per_vec AS (
+        SELECT cid, scale,
+               CASE WHEN scale > 0
+                    THEN ROUND(list_max(list_transform(
+                             ee, x -> abs(x - round(x / scale) * scale))), 9)
+                    ELSE 0.0 END AS qerr
+        FROM sc
+    )
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MAX(qerr) + 0.0 AS max_qerr,
+           ROUND(MAX(scale), 9) + 0.0 AS max_scale,
+           ROUND(MIN(scale), 9) + 0.0 AS min_scale
+    FROM per_vec GROUP BY cid
+"""
+
 
 def _st15_streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.event_stream import streaming_drift_monitor
@@ -5365,14 +5466,14 @@ _PRIORITY: list[str] = [
     "d3c_minhash_lsh_capped",
     "v16b_clustered_range_search",
     "v21_dpp_cell_stats",
+    "v24_quantized_clustered_topk",
     "v22_hier_ivf_topk",
     # temporal / skew / bucketed / analytic join shapes
     "j11_asof_join",
     "j12_banded_range_join",
-    "d16_cluster_survivors",
+    "st19_streaming_sq8_ingest",
     "d17_corpus_dup_profile",
     "j26_shipping_priority",
-    "v9_ivf_kmeans_topk",
     "v17_ivfpq_topk",
     "j27_disjunctive_part_revenue",
     "d14_crossencoder_rerank",
@@ -5421,6 +5522,8 @@ _PRIORITY: list[str] = [
     "s5_deep_parse",
     # displaced from the prefix by the r5/r6 additions (repo gate still
     # covers them every session; each family keeps >=2 prefix slots)
+    "v9_ivf_kmeans_topk",
+    "d16_cluster_survivors",
     "tx18_zipf_fit",
     "a21_customer_order_distribution",
     "v14_hybrid_rrf_topk",

@@ -633,3 +633,61 @@ def streaming_semantic_decontamination(spark: SparkSession, sf_dir: str) -> Data
         )
     )
     return run_to_memory(spark, plan, f"st18_{uuid.uuid4().hex[:8]}")
+
+
+def streaming_sq8_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST19: streaming quantized ingest — the SQ8 write path (v23) as an
+    always-on stream, plus the quantization-health monitor a store runs
+    alongside it. Arriving vectors are quantized STATELESSLY (sq8's scale/
+    codes are pure per-row expressions) and routed to their IVF cell
+    (st13's stateless assignment); the ONLY streaming state is the
+    per-cell health aggregate: occupancy, the worst per-dimension
+    reconstruction error (max |x − code·scale| — the number that says
+    whether int8 still carries this cell's geometry), and the scale
+    envelope (min/max — a widening envelope means one cell now mixes
+    magnitudes and wants a split). n_centroids rows of state, bounded
+    forever.
+
+    Streamed result ≡ the same stats computed batch over the full input
+    (Structured Streaming's contract), which is exactly what the shared
+    SQL oracle checks. Max/min aggregates are order-free by construction —
+    no float-sum order dependence anywhere."""
+    import uuid
+
+    from ..operators.similarity import assign_cells_auto, sq8_scale_codes
+
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = static.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    stream = embeddings_stream(spark, sf_dir)
+    scale, codes = sq8_scale_codes()
+    quantized = assign_cells_auto(stream, cents).select(
+        "vec_id",
+        "cid",
+        "embedding",
+        scale.alias("scale"),
+        codes.alias("codes"),
+    )
+    qerr = F.when(
+        F.col("scale") > 0,
+        F.round(
+            F.array_max(
+                F.zip_with(
+                    "embedding",
+                    "codes",
+                    lambda x, c: F.abs(x - c * F.col("scale")),
+                )
+            ),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    plan = quantized.select("cid", "scale", qerr.alias("qerr")).groupBy(
+        "cid"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (F.max("qerr") + F.lit(0.0)).alias("max_qerr"),
+        (F.round(F.max("scale"), 9) + F.lit(0.0)).alias("max_scale"),
+        (F.round(F.min("scale"), 9) + F.lit(0.0)).alias("min_scale"),
+    )
+    return run_to_memory(spark, plan, f"st19_{uuid.uuid4().hex[:8]}")

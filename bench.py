@@ -51,6 +51,8 @@ HEADLINE = [
     "v17_ivfpq_topk",
     "v20_ivfpq_topk_np",
     "v23_sq8_topk",
+    "v24_quantized_clustered_topk",
+    "st19_streaming_sq8_ingest",
     "st4_sliding_window_counts",
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",

@@ -786,3 +786,17 @@ def test_tokenizer_fertility_is_joinless_single_pass(spark):
     assert "Join" not in plan
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "partial" in plan.lower()
+
+
+def test_quantized_clustered_topk_prunes_partitions_no_exchange(spark):
+    """v24 = pruning + compression composed: the probe list must reach the
+    quantized store's scan as a PartitionFilters entry on cid, the scan
+    must read codes (never a raw embedding column), and the only exchange
+    is the 1-row query broadcast."""
+    plan = plan_of(spark, "v24_quantized_clustered_topk")
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "Exchange hashpartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the pruned store scan projects codes, not raw vectors
+    assert "codes" in plan

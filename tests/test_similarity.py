@@ -422,3 +422,22 @@ def test_sq8_quantization_contract_and_recall(spark, sf_small):
     exact = {r.vec_id for r in cosine_topk(t).collect()}
     served = {r.vec_id for r in sq8_topk(t).collect()}
     assert len(served & exact) >= 7, (sorted(served), sorted(exact))
+
+
+def test_quantized_clustered_topk_matches_probed_sq8(spark, sf_small):
+    """v24's served set: within the probed cells the scoring is exactly
+    v23's (same codes, same cosine) — so v24 equals brute-force SQ8
+    restricted to the probe, and stays >=6/8 of the exact answer on the
+    fixture (two approximations composed: probe + quantization)."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.operators.similarity import cosine_topk
+    from ai_optimizer_spark.plans.bucketing import quantized_clustered_topk
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    exact = {r.vec_id for r in cosine_topk(t).collect()}
+    served_rows = quantized_clustered_topk(spark, "/root/testdata/sf0.001").collect()
+    served = {r.vec_id for r in served_rows}
+    assert len(served_rows) == 8
+    assert len(served & exact) >= 6, (sorted(served), sorted(exact))

@@ -701,3 +701,84 @@ def test_streaming_semantic_decon_multibatch_equals_batch_audit(
             tuple(r) for r in spark.table(f"st18_order_{order_name}").collect()
         }
     assert results["fwd"] == results["rev"] == truth
+
+
+def test_streaming_sq8_ingest_multibatch_equals_batch_stats(
+    spark, sf_small, tmp_path
+):
+    """st19 semantics: quantization and cell assignment are pure per-row
+    expressions and every aggregate is order-free (count/max/min — no
+    float sums), so the per-cell health stats must equal the batch
+    computation bit-for-bit regardless of micro-batch split or arrival
+    order."""
+    from ai_optimizer_spark.operators.similarity import (
+        assign_cells_auto,
+        sq8_scale_codes,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+
+    def stats(df):
+        scale, codes = sq8_scale_codes()
+        quantized = assign_cells_auto(df, cents).select(
+            "vec_id", "cid", "embedding", scale.alias("scale"), codes.alias("codes")
+        )
+        qerr = F.when(
+            F.col("scale") > 0,
+            F.round(
+                F.array_max(
+                    F.zip_with(
+                        "embedding", "codes", lambda x, c: F.abs(x - c * F.col("scale"))
+                    )
+                ),
+                9,
+            ),
+        ).otherwise(F.lit(0.0))
+        return (
+            quantized.select("cid", "scale", qerr.alias("qerr"))
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                (F.max("qerr") + F.lit(0.0)).alias("max_qerr"),
+                (F.round(F.max("scale"), 9) + F.lit(0.0)).alias("max_scale"),
+                (F.round(F.min("scale"), 9) + F.lit(0.0)).alias("min_scale"),
+            )
+        )
+
+    truth = {tuple(r) for r in stats(emb).collect()}
+    assert truth
+
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    results = {}
+    for order_name, batches in (("fwd", [half_a, half_b]), ("rev", [half_b, half_a])):
+        feed = str(tmp_path / f"sq8_{order_name}")
+        os.makedirs(feed)
+        for i, bdf in enumerate(batches):
+            stage = str(tmp_path / f"sq8_{order_name}_s{i}")
+            bdf.coalesce(1).write.parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            dst = os.path.join(feed, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stats(stream)
+            .writeStream.format("memory")
+            .queryName(f"st19_order_{order_name}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        results[order_name] = {
+            tuple(r) for r in spark.table(f"st19_order_{order_name}").collect()
+        }
+    assert results["fwd"] == results["rev"] == truth

@@ -55,6 +55,8 @@ OPS = [
     "v10_matmul_knn",
     "v17_ivfpq_topk",
     "v20_ivfpq_topk_np",
+    "v23_sq8_topk",
+    "v24_quantized_clustered_topk",
     "smp6_sequence_packing",
     "smp9_token_budget_select",
     "smp10_dsir_importance",

@@ -412,3 +412,55 @@ def bloom_index_refresh(t: dict[str, DataFrame], cutoff: int = 250) -> DataFrame
     return stored_bits.select(
         "bit", F.lit(False).alias("is_new")
     ).unionByName(new_bits.select("bit", F.lit(True).alias("is_new")))
+
+
+def sq8_store_refresh(
+    t: dict[str, DataFrame], cutoff: int = 400, n_centroids: int = 16
+) -> DataFrame:
+    """T14: incremental maintenance of the QUANTIZED clustered store's
+    health statistics — completing v24's lifecycle the way t13 completes
+    d19's (build v24 / serve v24 / ingest st19 / maintain t14). The store
+    rows themselves need no maintenance beyond appending quantized
+    deltas (SQ8 is per-vector: no codebook to retrain, unlike PQ); what
+    must stay current is the per-cell health table the ingest monitor
+    watches (occupancy, worst reconstruction error, scale envelope —
+    the re-quantize/split-cell trigger).
+
+    All three statistics are ALGEBRAIC (count adds, max/min take
+    greatest/least — and rounding is monotone, so merged rounded maxes
+    equal the rounded global max), so the refresh is:
+
+      1. quantize + assign ONLY the delta (map-only, the same
+         sq8_cell_stats codepath st19 streams through),
+      2. merge with the stored stats via a full-outer join on cid —
+         n_centroids rows on both sides.
+
+    The merge is BIT-identical to the full recompute, which is exactly
+    what the shared st19 oracle asserts. Maintenance cost:
+    O(delta + n_centroids), the t11 shape, measured near-flat there.
+    Reference: the reference rebuilds its whole store on refresh
+    (embed/refresh.py:28-143); a 100 TB quantized store maintains table
+    statistics incrementally or not at all."""
+    from .similarity import sq8_cell_stats
+
+    emb = t["embeddings"]
+    cents, cent_rows = _centroid_model(emb, n_centroids)
+    stored = sq8_cell_stats(emb.filter(F.col("vec_id") < cutoff), cents, rows=cent_rows)
+    delta = sq8_cell_stats(emb.filter(F.col("vec_id") >= cutoff), cents, rows=cent_rows)
+    merged = stored.alias("h").join(delta.alias("d"), "cid", "full_outer")
+    return merged.select(
+        F.col("cid").cast("long").alias("cid"),
+        (
+            F.coalesce(F.col("h.n_vecs"), F.lit(0).cast("long"))
+            + F.coalesce(F.col("d.n_vecs"), F.lit(0).cast("long"))
+        ).cast("long").alias("n_vecs"),
+        (F.greatest(F.col("h.max_qerr"), F.col("d.max_qerr")) + F.lit(0.0)).alias(
+            "max_qerr"
+        ),
+        (F.greatest(F.col("h.max_scale"), F.col("d.max_scale")) + F.lit(0.0)).alias(
+            "max_scale"
+        ),
+        (F.least(F.col("h.min_scale"), F.col("d.min_scale")) + F.lit(0.0)).alias(
+            "min_scale"
+        ),
+    )

@@ -1488,3 +1488,45 @@ def sq8_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def sq8_cell_stats(emb: DataFrame, cents: DataFrame, rows=None) -> DataFrame:
+    """Per-cell SQ8 quantization-health statistics — ONE home for the
+    st19 (streaming ingest monitor) and t14 (incremental merge refresh)
+    computation so the two can never drift: occupancy, worst per-dimension
+    reconstruction error (rounded 9 BEFORE the max so both engines range
+    over identical value sets), and the per-cell scale envelope. Every
+    aggregate is order-free (count/max/min — no float sums), which is
+    both the streaming-correctness argument and the algebraic-merge
+    argument (partial maxes merge to the exact global max)."""
+    scale, codes = sq8_scale_codes()
+    quantized = assign_cells_auto(emb, cents, rows=rows).select(
+        "vec_id",
+        "cid",
+        "embedding",
+        scale.alias("scale"),
+        codes.alias("codes"),
+    )
+    qerr = F.when(
+        F.col("scale") > 0,
+        F.round(
+            F.array_max(
+                F.zip_with(
+                    "embedding",
+                    "codes",
+                    lambda x, c: F.abs(x - c * F.col("scale")),
+                )
+            ),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        quantized.select("cid", "scale", qerr.alias("qerr"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            (F.max("qerr") + F.lit(0.0)).alias("max_qerr"),
+            (F.round(F.max("scale"), 9) + F.lit(0.0)).alias("max_scale"),
+            (F.round(F.min("scale"), 9) + F.lit(0.0)).alias("min_scale"),
+        )
+    )

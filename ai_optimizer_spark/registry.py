@@ -5157,6 +5157,16 @@ _register(
     """,
 )
 
+# t14 shares st19's oracle: the stored+delta algebraic merge must equal
+# the full recompute bit-for-bit (count adds; max/min merge exactly; the
+# 9-digit rounds are monotone, so merged rounded maxes == rounded global
+# max).
+_register(
+    "t14_sq8_store_refresh",
+    RF.sq8_store_refresh,
+    ORACLE_SQL["st19_streaming_sq8_ingest"],
+)
+
 _register(
     "smp13_mixture_epochs",
     SMP.mixture_epochs,
@@ -5498,7 +5508,7 @@ _PRIORITY: list[str] = [
     # streaming / event-time (+ st14/t10 span-index pair, new r5)
     "st14_streaming_span_novelty",
     "t10_span_index_refresh",
-    "t11_cell_stats_refresh",
+    "t14_sq8_store_refresh",
     "tx16_ngram_perplexity",
     "tx20_tokenizer_fertility",
     # aggregation extensions + sampling/packing (+ j28/a24 Q2/Q11, new r5)
@@ -5522,6 +5532,7 @@ _PRIORITY: list[str] = [
     "s5_deep_parse",
     # displaced from the prefix by the r5/r6 additions (repo gate still
     # covers them every session; each family keeps >=2 prefix slots)
+    "t11_cell_stats_refresh",
     "v9_ivf_kmeans_topk",
     "d16_cluster_survivors",
     "tx18_zipf_fit",

@@ -654,40 +654,12 @@ def streaming_sq8_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float-sum order dependence anywhere."""
     import uuid
 
-    from ..operators.similarity import assign_cells_auto, sq8_scale_codes
+    from ..operators.similarity import sq8_cell_stats
 
     static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = static.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     stream = embeddings_stream(spark, sf_dir)
-    scale, codes = sq8_scale_codes()
-    quantized = assign_cells_auto(stream, cents).select(
-        "vec_id",
-        "cid",
-        "embedding",
-        scale.alias("scale"),
-        codes.alias("codes"),
-    )
-    qerr = F.when(
-        F.col("scale") > 0,
-        F.round(
-            F.array_max(
-                F.zip_with(
-                    "embedding",
-                    "codes",
-                    lambda x, c: F.abs(x - c * F.col("scale")),
-                )
-            ),
-            9,
-        ),
-    ).otherwise(F.lit(0.0))
-    plan = quantized.select("cid", "scale", qerr.alias("qerr")).groupBy(
-        "cid"
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        (F.max("qerr") + F.lit(0.0)).alias("max_qerr"),
-        (F.round(F.max("scale"), 9) + F.lit(0.0)).alias("max_scale"),
-        (F.round(F.min("scale"), 9) + F.lit(0.0)).alias("min_scale"),
-    )
+    plan = sq8_cell_stats(stream, cents)
     return run_to_memory(spark, plan, f"st19_{uuid.uuid4().hex[:8]}")

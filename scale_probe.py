@@ -72,6 +72,7 @@ OPS = [
     # tiers — cost must track the delta/affected set, not the corpus
     "t10_span_index_refresh",
     "t13_bloom_index_refresh",
+    "t14_sq8_store_refresh",
     "t11_cell_stats_refresh",
     "t12_drift_monitor",
     # events family (VERDICT r3 task #7): per-user chained aggregates —

@@ -4449,6 +4449,20 @@ def _tx20_fertility_sql(n_merges: int = 8) -> str:
 
 _register("tx20_tokenizer_fertility", TX.tokenizer_fertility, _tx20_fertility_sql())
 
+
+def _st20_streaming_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.event_stream import streaming_fertility
+
+    return streaming_fertility(spark, sf_dir)
+
+
+QUERIES["st20_streaming_fertility"] = _st20_streaming_fertility
+# st20 shares tx20's oracle: integer sums are exact and order-free, so the
+# streamed per-(lang, source) table equals the batch table bit-for-bit
+# once the stream has consumed the full input (ratios are computed on the
+# aggregate output rows, downstream of the one streaming aggregation).
+ORACLE_SQL["st20_streaming_fertility"] = ORACLE_SQL["tx20_tokenizer_fertility"]
+
 _register(
     "j20_volume_shipping",
     R.volume_shipping,
@@ -5483,7 +5497,7 @@ _PRIORITY: list[str] = [
     "j12_banded_range_join",
     "st19_streaming_sq8_ingest",
     "d17_corpus_dup_profile",
-    "j26_shipping_priority",
+    "st20_streaming_fertility",
     "v17_ivfpq_topk",
     "j27_disjunctive_part_revenue",
     "d14_crossencoder_rerank",
@@ -5532,6 +5546,7 @@ _PRIORITY: list[str] = [
     "s5_deep_parse",
     # displaced from the prefix by the r5/r6 additions (repo gate still
     # covers them every session; each family keeps >=2 prefix slots)
+    "j26_shipping_priority",
     "t11_cell_stats_refresh",
     "v9_ivf_kmeans_topk",
     "d16_cluster_survivors",

@@ -663,3 +663,94 @@ def streaming_sq8_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = embeddings_stream(spark, sf_dir)
     plan = sq8_cell_stats(stream, cents)
     return run_to_memory(spark, plan, f"st19_{uuid.uuid4().hex[:8]}")
+
+
+def streaming_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST20: always-on tokenizer-fertility monitoring — tx20's streaming
+    twin. The BPE merge table is FIXED model state (fit once on the
+    stored corpus, shipped into the Arrow stage's closure exactly like
+    the batch op); arriving documents flow through the same joinless
+    mapInPandas word/subword/char counter, and the only streaming state
+    is the per-(lang, source) sum triple — |domains| rows, bounded. All
+    sums are INTEGER (exact, order-free), so the streamed table equals
+    the batch table bit-for-bit at every point where the stream has
+    consumed the same documents — the shared tx20 oracle checks exactly
+    that. The ratios (fertility, chars/subword) are computed on the
+    aggregate OUTPUT rows, downstream of the one streaming aggregation.
+
+    Why a store runs this: fertility drift per source IS tokenizer-rot —
+    a source whose fertility climbs is drifting away from the tokenizer's
+    training distribution (new language mix, new formatting), the signal
+    to refit merges or rebalance budgets (smp11 consumes this table)."""
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..operators.textops import BPE_PRETOKEN_RE, bpe_learn
+    from ..tables import load_tables
+
+    docs_static = load_tables(spark, sf_dir)
+    merges = [
+        (r["a"], r["b"]) for r in bpe_learn(docs_static, n_merges=8).collect()
+    ]
+    pretoken = __import__("re").compile(BPE_PRETOKEN_RE)
+
+    def _apply(word: str) -> list[str]:
+        syms = list(word)
+        for a, b in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    schema = StructType(
+        [
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_words", LongType()),
+            StructField("n_subwords", LongType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+
+    def _stats(batches):
+        for pdf in batches:
+            memo: dict[str, int] = {}
+            rows = []
+            for lang, source, text in zip(pdf["lang"], pdf["source"], pdf["text"]):
+                n_words = n_sub = n_chars = 0
+                for w in pretoken.findall(text or ""):
+                    n_toks = memo.get(w)
+                    if n_toks is None:
+                        n_toks = len(_apply(w))
+                        memo[w] = n_toks
+                    n_words += 1
+                    n_sub += n_toks
+                    n_chars += len(w)
+                rows.append((lang, source, n_words, n_sub, n_chars))
+            yield pd.DataFrame(
+                rows, columns=["lang", "source", "n_words", "n_subwords", "n_chars"]
+            )
+
+    stream = documents_stream(spark, sf_dir).select("lang", "source", "text")
+    per_doc = stream.mapInPandas(_stats, schema)
+    one = F.lit(1).cast("long")
+    tw = F.greatest(F.sum("n_words"), one)
+    ts = F.greatest(F.sum("n_subwords"), one)
+    plan = per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_subwords").cast("long").alias("total_subwords"),
+        (F.round(F.sum("n_subwords") * F.lit(1.0) / tw, 4) + F.lit(0.0)).alias(
+            "fertility"
+        ),
+        (F.round(F.sum("n_chars") * F.lit(1.0) / ts, 4) + F.lit(0.0)).alias(
+            "chars_per_subword"
+        ),
+    )
+    return run_to_memory(spark, plan, f"st20_{uuid.uuid4().hex[:8]}")

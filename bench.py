@@ -74,6 +74,7 @@ HEADLINE = [
     "tx18_zipf_fit",
     "tx19_quality_classifier",
     "tx20_tokenizer_fertility",
+    "st20_streaming_fertility",
     "d12_decontamination",
     "d19_bloom_decontamination",
     "d20_semantic_decontamination",

@@ -782,3 +782,49 @@ def test_streaming_sq8_ingest_multibatch_equals_batch_stats(
             tuple(r) for r in spark.table(f"st19_order_{order_name}").collect()
         }
     assert results["fwd"] == results["rev"] == truth
+
+
+def test_streaming_fertility_multibatch_equals_batch_table(
+    spark, sf_small, tmp_path
+):
+    """st20 semantics: the merge table is fixed model state and every
+    running aggregate is an INTEGER sum (exact, order-free), so the
+    streamed fertility table must equal the batch tx20 table bit-for-bit
+    regardless of micro-batch split or arrival order."""
+    from ai_optimizer_spark.operators.textops import tokenizer_fertility
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    docs = t["documents"]
+    truth = {tuple(r) for r in tokenizer_fertility(t).collect()}
+    assert truth
+
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    results = {}
+    for order_name, batches in (("fwd", [half_a, half_b]), ("rev", [half_b, half_a])):
+        feed = str(tmp_path / f"fert_{order_name}")
+        os.makedirs(feed)
+        for i, bdf in enumerate(batches):
+            stage = str(tmp_path / f"fert_{order_name}_s{i}")
+            bdf.coalesce(1).write.parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            dst = os.path.join(feed, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        # the same plan streaming_fertility builds, over a controlled feed
+        from ai_optimizer_spark.streaming import event_stream as ES
+
+        orig = ES.documents_stream
+        try:
+            ES.documents_stream = lambda _spark, _sf: stream
+            table = ES.streaming_fertility(spark, sf_small)
+        finally:
+            ES.documents_stream = orig
+        results[order_name] = {tuple(r) for r in table.collect()}
+    assert results["fwd"] == results["rev"] == truth

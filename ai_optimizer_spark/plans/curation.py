@@ -118,6 +118,16 @@ def dedup_cascade(
     `max_bucket_size` overrides the LSH skew cap (default: the production
     constant); `auto_curation` passes a cap sized from the d17 pre-flight
     profile instead of the guess."""
+    return _attrition_profile(_cascade_flags(t, max_bucket_size), CASCADE_STAGES)
+
+
+def _cascade_flags(
+    t: dict[str, DataFrame], max_bucket_size: int | None = None
+) -> DataFrame:
+    """The cascade's per-document flag table (doc_id, n_tokens, f1, f2,
+    f3) — ONE home for the three removal-set joins so the aggregate
+    profile (dedup_cascade) and the row-level manifest (dedup_manifest)
+    can never attribute differently."""
     from ..operators.dedup import (
         LSH_MAX_BUCKET_DEFAULT,
         dedup_losers,
@@ -151,18 +161,54 @@ def dedup_cascade(
         .filter(~F.col("is_kept"))
         .select(F.col("vec_id").alias("doc_id"), F.lit(True).alias("f3"))
     )
-    flagged = (
+    return (
         base.join(exact_losers, "doc_id", "left")
         .join(lsh_losers, "doc_id", "left")
         .join(sem_losers, "doc_id", "left")
         .select(
+            "doc_id",
             "n_tokens",
             F.coalesce("f1", F.lit(False)).alias("f1"),
             F.coalesce("f2", F.lit(False)).alias("f2"),
             F.coalesce("f3", F.lit(False)).alias("f3"),
         )
     )
-    return _attrition_profile(flagged, CASCADE_STAGES)
+
+
+def dedup_manifest(
+    t: dict[str, DataFrame], max_bucket_size: int | None = None
+) -> DataFrame:
+    """E2E per-document removal MANIFEST — the row-level companion of
+    e2e_dedup_cascade's aggregate profile: for every document the cascade
+    removes, (doc_id, n_tokens, stage, stage_name) with the same
+    first-catch attribution (exact → LSH → SemDeDup). This is the table a
+    production pipeline actually PUBLISHES alongside the profile — the
+    thing you anti-join to materialize the surviving corpus and the thing
+    you look a doc_id up in when someone asks why their document was
+    dropped (the reference's per-file processed/errors accounting,
+    api/v1/endpoints/embed.py, lifted to per-document dedup provenance).
+
+    Same removal-set plan as the cascade (id-only broadcast flag joins);
+    the only difference is the final operator: a filter+projection instead
+    of the profile aggregate — so by construction
+    profile.docs_removed[s] == manifest count per stage (tested)."""
+    flagged = _cascade_flags(t, max_bucket_size)
+    stage = (
+        F.when(F.col("f1"), F.lit(1))
+        .when(F.col("f2"), F.lit(2))
+        .when(F.col("f3"), F.lit(3))
+    )
+    name = (
+        F.when(F.col("f1"), F.lit(CASCADE_STAGES[1]))
+        .when(F.col("f2"), F.lit(CASCADE_STAGES[2]))
+        .when(F.col("f3"), F.lit(CASCADE_STAGES[3]))
+    )
+    return flagged.filter(F.col("f1") | F.col("f2") | F.col("f3")).select(
+        "doc_id",
+        "n_tokens",
+        stage.cast("long").alias("stage"),
+        name.alias("stage_name"),
+    )
 
 
 def _attrition_profile(flagged: DataFrame, stages) -> DataFrame:

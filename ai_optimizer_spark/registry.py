@@ -5023,12 +5023,24 @@ ORACLE_SQL["st16_streaming_decontamination"] = ORACLE_SQL[
 from .plans.curation import auto_curation, dedup_cascade  # noqa: E402
 
 
-def _cascade_oracle(lsh_inner: str, lead_ctes: str = "", extra_cols: str = "") -> str:
+def _cascade_oracle(lsh_inner: str, lead_ctes: str = "", extra_cols: str = "", final_select: str = "") -> str:
     """The dedup-cascade oracle, shared by e2e_dedup_cascade (fixed cap)
     and e2e_auto_curation (cap + k derived in SQL via `lead_ctes`, exposed
     through `extra_cols`) so the two can never drift. `lsh_inner` is the
     capped-LSH pair SQL; its nested WITH shadows any same-named lead CTEs
-    (DuckDB lexical scoping, verified)."""
+    (DuckDB lexical scoping, verified). `final_select` overrides the
+    default 4-row profile tail (e2e_dedup_manifest emits per-doc rows
+    from the same `flags` CTE instead)."""
+    final = final_select or f"""SELECT CAST(0 AS BIGINT) AS stage, 'input' AS stage_name,
+           CAST(0 AS BIGINT) AS docs_removed,
+           n0 AS docs_remaining, t0 AS tokens_remaining{extra_cols}
+    FROM agg
+    UNION ALL
+    SELECT 1, 'exact', r1, n0 - r1, t0 - tt1{extra_cols} FROM agg
+    UNION ALL
+    SELECT 2, 'minhash_lsh', r2, n0 - r1 - r2, t0 - tt1 - tt2{extra_cols} FROM agg
+    UNION ALL
+    SELECT 3, 'semdedup', r3, n0 - r1 - r2 - r3, t0 - tt1 - tt2 - tt3{extra_cols} FROM agg"""
     return f"""
     WITH RECURSIVE
     {lead_ctes}d AS (
@@ -5106,16 +5118,7 @@ def _cascade_oracle(lsh_inner: str, lead_ctes: str = "", extra_cols: str = "") -
                CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN n_tokens ELSE 0 END) AS BIGINT) AS tt3
         FROM flags
     )
-    SELECT CAST(0 AS BIGINT) AS stage, 'input' AS stage_name,
-           CAST(0 AS BIGINT) AS docs_removed,
-           n0 AS docs_remaining, t0 AS tokens_remaining{extra_cols}
-    FROM agg
-    UNION ALL
-    SELECT 1, 'exact', r1, n0 - r1, t0 - tt1{extra_cols} FROM agg
-    UNION ALL
-    SELECT 2, 'minhash_lsh', r2, n0 - r1 - r2, t0 - tt1 - tt2{extra_cols} FROM agg
-    UNION ALL
-    SELECT 3, 'semdedup', r3, n0 - r1 - r2 - r3, t0 - tt1 - tt2 - tt3{extra_cols} FROM agg
+    {final}
     """
 
 
@@ -5123,6 +5126,25 @@ _register(
     "e2e_dedup_cascade",
     dedup_cascade,
     _cascade_oracle(OD.minhash_lsh_capped(D.LSH_MAX_BUCKET_DEFAULT)),
+)
+
+# e2e_dedup_manifest: the per-document removal manifest — the SAME flags
+# CTE as the cascade, finished with a row-level first-catch projection
+# instead of the profile aggregate, so profile and manifest can never
+# attribute differently.
+from .plans.curation import dedup_manifest  # noqa: E402
+
+_register(
+    "e2e_dedup_manifest",
+    dedup_manifest,
+    _cascade_oracle(
+        OD.minhash_lsh_capped(D.LSH_MAX_BUCKET_DEFAULT),
+        final_select="""SELECT doc_id, n_tokens,
+           CAST(CASE WHEN f1 THEN 1 WHEN f2 THEN 2 ELSE 3 END AS BIGINT) AS stage,
+           CASE WHEN f1 THEN 'exact' WHEN f2 THEN 'minhash_lsh'
+                ELSE 'semdedup' END AS stage_name
+    FROM flags WHERE f1 OR f2 OR f3""",
+    ),
 )
 
 # e2e_auto_curation: the cascade under DATA-DERIVED knobs. The oracle
@@ -5510,7 +5532,7 @@ _PRIORITY: list[str] = [
     "e2e_dedup_cascade",
     "d6_dedup_clusters",
     "smp9_token_budget_select",
-    "e2e_curation_pipeline",
+    "e2e_dedup_manifest",
     "v23_sq8_topk",
     # text-analysis family + multimodal (+ d15 substring dedup, new r5)
     "st17_streaming_quality_gate",
@@ -5546,6 +5568,7 @@ _PRIORITY: list[str] = [
     "s5_deep_parse",
     # displaced from the prefix by the r5/r6 additions (repo gate still
     # covers them every session; each family keeps >=2 prefix slots)
+    "e2e_curation_pipeline",
     "j26_shipping_priority",
     "t11_cell_stats_refresh",
     "v9_ivf_kmeans_topk",

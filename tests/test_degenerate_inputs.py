@@ -318,3 +318,30 @@ def test_curriculum_ignores_null_text(spark, degenerate_t):
     )
     assert with_null == clean
     assert all(r[0] != 1 for r in with_null)  # doc 1 (NULL text) absent
+
+
+def test_r6_e2e_ops_survive_empty_corpus(spark):
+    """The r6 e2e ops on an EMPTY corpus: auto_curation must still derive
+    knobs (cap floors to 2 with no collisions; k floors to 16) and emit
+    the all-zero 4-row profile; decon_report likewise; tokenizer
+    fertility returns an empty table (no domains) rather than raising on
+    the empty merge fit."""
+    from ai_optimizer_spark.operators.textops import tokenizer_fertility
+    from ai_optimizer_spark.plans.curation import auto_curation, decon_report
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    t = {"documents": docs, "embeddings": emb}
+
+    rows = sorted(auto_curation(t).collect(), key=lambda r: r.stage)
+    assert len(rows) == 4
+    assert all(r.docs_remaining == 0 and r.tokens_remaining == 0 for r in rows)
+    assert rows[0].lsh_bucket_cap == 2 and rows[0].semdedup_k == 16
+
+    rows = sorted(decon_report(t).collect(), key=lambda r: r.stage)
+    assert len(rows) == 4
+    assert all(r.docs_remaining == 0 for r in rows)
+
+    assert tokenizer_fertility(t).collect() == []

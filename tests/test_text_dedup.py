@@ -420,3 +420,29 @@ def test_semdedup_auto_k_matches_oracle_floor():
         assert choose_semdedup_k(n) == 16
     # and it really does scale past fixture sizes
     assert choose_semdedup_k(80_000) == 160
+
+
+def test_dedup_manifest_agrees_with_cascade_profile(spark, sf_small):
+    """Row-level manifest and aggregate profile are two finishes of ONE
+    flag table: per-stage manifest counts must equal the profile's
+    docs_removed, and manifest token sums the profile's token deltas."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.plans.curation import dedup_cascade, dedup_manifest
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    profile = {r.stage: r for r in dedup_cascade(t).collect()}
+    manifest = dedup_manifest(t).collect()
+    assert manifest  # fixture exercises every stage
+    by_stage = {}
+    tok_by_stage = {}
+    for r in manifest:
+        by_stage[r.stage] = by_stage.get(r.stage, 0) + 1
+        tok_by_stage[r.stage] = tok_by_stage.get(r.stage, 0) + r.n_tokens
+    for s in (1, 2, 3):
+        assert by_stage.get(s, 0) == profile[s].docs_removed, s
+        expected_tokens = (
+            profile[s - 1].tokens_remaining - profile[s].tokens_remaining
+        )
+        assert tok_by_stage.get(s, 0) == expected_tokens, s

@@ -50,6 +50,7 @@ OPS = [
     "e2e_curation_pipeline",
     "e2e_corpus_assembly",
     "e2e_dedup_cascade",
+    "e2e_dedup_manifest",
     "e2e_auto_curation",
     "e2e_decon_report",
     "v10_matmul_knn",

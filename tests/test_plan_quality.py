@@ -800,3 +800,25 @@ def test_quantized_clustered_topk_prunes_partitions_no_exchange(spark):
     assert "TakeOrderedAndProject" in plan
     # the pruned store scan projects codes, not raw vectors
     assert "codes" in plan
+
+
+def test_sq8_refresh_merges_without_python_stage(spark):
+    """t14 at fixture k=16 must stay on the oracle-pinned flat assignment
+    (no Python stage anywhere) and finish with the full-outer
+    n_centroids x n_centroids stats merge — no corpus-sized exchange
+    after the two per-cell aggregates."""
+    plan = plan_of(spark, "t14_sq8_store_refresh")
+    assert "MapInPandas" not in plan  # k=16 -> flat tier, zero Python
+    assert "FullOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_dedup_manifest_is_row_level_no_global_barrier(spark):
+    """The manifest is the cascade WITHOUT the profile aggregate: no
+    SinglePartition barrier may appear (output is removed-docs-sized,
+    never collapsed to one partition), and the three flag attachments
+    stay left joins."""
+    plan = plan_of(spark, "e2e_dedup_manifest")
+    assert "SinglePartition" not in plan
+    assert plan.count("LeftOuter") >= 3
+    assert "CartesianProduct" not in plan

@@ -1400,3 +1400,53 @@ def semantic_decontamination(
             (F.max("cos") + F.lit(0.0)).alias("max_cos"),
         )
     )
+
+
+def lsh_recall(
+    t: dict[str, DataFrame], max_bucket_size: int | None = None
+) -> DataFrame:
+    """D21: dedup-quality measurement — v12's role replayed for the dedup
+    family. The ANN tiers ship with a recall harness (v12/v19: how much
+    of the exact answer does the approximate index serve?); production
+    LSH configs need the same number: what fraction of the TRUE near-dup
+    pairs (exact n-gram Jaccard ≥ τ, the d2 baseline) does the banded,
+    bucket-capped production config (d3c) surface? Recall < 1 decomposes
+    into banding misses (pairs whose signatures never share a band) and
+    cap drops (pairs hiding inside boilerplate buckets) — the number you
+    check BEFORE trusting a cap chosen by `choose_lsh_bucket_cap`.
+    Precision is 1.0 by construction (candidates are verified against the
+    same exact Jaccard) — emitting it asserts that invariant end-to-end.
+
+    Scale shape: the exact side is the expensive one — at 100 TB you run
+    this on a SAMPLE (the v12 move: measurement cost scales with the
+    sample, the measured config is the production one). One full-outer
+    pair join + a single-row aggregate on top of two already-linear ops.
+    Output: one row (n_exact_pairs, n_lsh_pairs, n_common,
+    recall_vs_exact, precision_vs_exact)."""
+    if max_bucket_size is None:
+        max_bucket_size = LSH_MAX_BUCKET_DEFAULT
+    exact = ngram_jaccard_pairs(t).select(
+        "doc_a", "doc_b", F.lit(1).alias("ie")
+    )
+    lsh = minhash_lsh_pairs(t, max_bucket_size=max_bucket_size).select(
+        "doc_a", "doc_b", F.lit(1).alias("il")
+    )
+    both = exact.join(lsh, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("ie", F.lit(0)).alias("ie"),
+        F.coalesce("il", F.lit(0)).alias("il"),
+    )
+    one = F.lit(1).cast("long")
+    ne = F.coalesce(F.sum("ie"), F.lit(0)).cast("long")
+    nl = F.coalesce(F.sum("il"), F.lit(0)).cast("long")
+    nc = F.coalesce(F.sum(F.col("ie") * F.col("il")), F.lit(0)).cast("long")
+    return both.agg(
+        ne.alias("n_exact_pairs"),
+        nl.alias("n_lsh_pairs"),
+        nc.alias("n_common"),
+        (F.round(nc * F.lit(1.0) / F.greatest(ne, one), 4) + F.lit(0.0)).alias(
+            "recall_vs_exact"
+        ),
+        (F.round(nc * F.lit(1.0) / F.greatest(nl, one), 4) + F.lit(0.0)).alias(
+            "precision_vs_exact"
+        ),
+    )

@@ -3681,6 +3681,34 @@ _register(
     OD.minhash_lsh_capped(D.LSH_MAX_BUCKET_DEFAULT),
 )
 
+# d21: dedup-quality measurement — the v12 harness replayed for LSH.
+# Embeds the d2 (exact Jaccard) and d3c (capped LSH) oracle SQL verbatim.
+_register(
+    "d21_lsh_recall",
+    lambda t: D.lsh_recall(t, max_bucket_size=D.LSH_MAX_BUCKET_DEFAULT),
+    f"""
+    WITH e AS (SELECT doc_a, doc_b FROM ({OD.NGRAM_JACCARD}) x),
+    l AS (SELECT doc_a, doc_b
+          FROM ({OD.minhash_lsh_capped(D.LSH_MAX_BUCKET_DEFAULT)}) y),
+    j AS (
+        SELECT CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END AS ie,
+               CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS il
+        FROM e FULL OUTER JOIN l
+          ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+    )
+    SELECT CAST(COALESCE(SUM(ie), 0) AS BIGINT) AS n_exact_pairs,
+           CAST(COALESCE(SUM(il), 0) AS BIGINT) AS n_lsh_pairs,
+           CAST(COALESCE(SUM(ie * il), 0) AS BIGINT) AS n_common,
+           ROUND(CAST(COALESCE(SUM(ie * il), 0) AS BIGINT) * 1.0
+                 / GREATEST(CAST(COALESCE(SUM(ie), 0) AS BIGINT), 1), 4) + 0.0
+               AS recall_vs_exact,
+           ROUND(CAST(COALESCE(SUM(ie * il), 0) AS BIGINT) * 1.0
+                 / GREATEST(CAST(COALESCE(SUM(il), 0) AS BIGINT), 1), 4) + 0.0
+               AS precision_vs_exact
+    FROM j
+    """,
+)
+
 _register(
     "v18_filtered_topk",
     S.filtered_topk,
@@ -5530,7 +5558,7 @@ _PRIORITY: list[str] = [
     "d19_bloom_decontamination",
     "e2e_auto_curation",
     "e2e_dedup_cascade",
-    "d6_dedup_clusters",
+    "d21_lsh_recall",
     "smp9_token_budget_select",
     "e2e_dedup_manifest",
     "v23_sq8_topk",
@@ -5568,6 +5596,7 @@ _PRIORITY: list[str] = [
     "s5_deep_parse",
     # displaced from the prefix by the r5/r6 additions (repo gate still
     # covers them every session; each family keeps >=2 prefix slots)
+    "d6_dedup_clusters",
     "e2e_curation_pipeline",
     "j26_shipping_priority",
     "t11_cell_stats_refresh",

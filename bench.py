@@ -92,6 +92,7 @@ HEADLINE = [
     "e2e_auto_curation",
     "e2e_decon_report",
     "e2e_dedup_manifest",
+    "d21_lsh_recall",
     "t6_token_stream_assembly",
     "st2_sessionize",
     "st11_funnel_steps",

@@ -1403,7 +1403,9 @@ def semantic_decontamination(
 
 
 def lsh_recall(
-    t: dict[str, DataFrame], max_bucket_size: int | None = None
+    t: dict[str, DataFrame],
+    max_bucket_size: int | None = None,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """D21: dedup-quality measurement — v12's role replayed for the dedup
     family. The ANN tiers ship with a recall harness (v12/v19: how much
@@ -1419,12 +1421,21 @@ def lsh_recall(
 
     Scale shape: the exact side is the expensive one — at 100 TB you run
     this on a SAMPLE (the v12 move: measurement cost scales with the
-    sample, the measured config is the production one). One full-outer
-    pair join + a single-row aggregate on top of two already-linear ops.
-    Output: one row (n_exact_pairs, n_lsh_pairs, n_common,
-    recall_vs_exact, precision_vs_exact)."""
+    sample, the measured config is the production one). `sample_mod`
+    makes that a real parameter, not a docstring promise (VERDICT r6
+    task 1): mod-m deterministic doc sampling (doc_id % m == 0), applied
+    to BOTH sides so recall is measured on one consistent sub-corpus —
+    deterministic so the SQL oracle reproduces the exact sample. One
+    full-outer pair join + a single-row aggregate on top of two
+    already-linear ops. Output: one row (n_exact_pairs, n_lsh_pairs,
+    n_common, recall_vs_exact, precision_vs_exact)."""
     if max_bucket_size is None:
         max_bucket_size = LSH_MAX_BUCKET_DEFAULT
+    if sample_mod > 1:
+        t = dict(t)
+        t["documents"] = t["documents"].filter(
+            F.col("doc_id") % sample_mod == 0
+        )
     exact = ngram_jaccard_pairs(t).select(
         "doc_a", "doc_b", F.lit(1).alias("ie")
     )
@@ -1450,3 +1461,162 @@ def lsh_recall(
             "precision_vs_exact"
         ),
     )
+
+
+# The recall floor a production cap must clear before "cheaper" counts:
+# choose_lsh_bucket_cap proves the auto cap cuts verification cost
+# (SCALE.md, e2e_auto_curation); the sweep proves what that cap COSTS in
+# missed true pairs. 0.95 mirrors the ANN family's serving bar (v19).
+LSH_RECALL_FLOOR_DEFAULT = 0.95
+
+
+def lsh_cap_recall_sweep(
+    t: dict[str, DataFrame],
+    headroom: float = 4.0,
+    recall_floor: float = LSH_RECALL_FLOOR_DEFAULT,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """D22: the recall-vs-cap CURVE for the LSH bucket cap, plus the
+    smallest swept cap that clears `recall_floor` — the measurement that
+    turns choose_lsh_bucket_cap from "cheaper" into "safe" (VERDICT r6
+    task 1). d21 measures ONE config; this sweeps a geometric ladder
+    around the auto cap {2, auto, 2·auto, 4·auto, max_bucket_n} in ONE
+    corpus pass: a true pair survives cap c iff the SMALLEST band bucket
+    it collides in has size ≤ c, so per-pair min bucket size is computed
+    once and every ladder level is just a threshold on it — no per-cap
+    LSH reruns. `n_candidate_pairs` rides along as the cost axis (the
+    verification workload the cap exists to bound).
+
+    The ladder derives from the same n_bands-row profile collect as
+    e2e_auto_curation (O(1) driver work); the oracle recomputes ladder,
+    curve, and chosen cap in SQL, so the tuning decision itself is
+    hash-verified. At 100 TB this runs on the mod-m sample (sample_mod,
+    the d21/v12 move) — measurement cost scales with the sample while the
+    swept caps are the production ones.
+
+    Output: one row per swept cap — (cap, n_true_pairs, n_caught_pairs,
+    n_candidate_pairs, recall_vs_exact, chosen) with chosen=1 on the
+    smallest cap meeting the floor (falls back to the largest swept cap
+    when none does; empty corpus -> single row cap=2, recall 0)."""
+    import math
+
+    docs = t["documents"]
+    if sample_mod > 1:
+        docs = docs.filter(F.col("doc_id") % sample_mod == 0)
+    ts = {"documents": docs}
+
+    # ladder from the band profile (driver-side: n_bands rows)
+    prof = [
+        r for r in corpus_dup_profile(ts).collect() if r.n_colliding_buckets
+    ]
+    if not prof:
+        caps = [2]
+    else:
+        mean = max(r.colliding_docs / r.n_colliding_buckets for r in prof)
+        max_seen = int(max(r.max_bucket_n for r in prof))
+        auto = max(2, min(math.ceil(headroom * mean), max_seen))
+        caps = sorted(
+            {2, auto, min(2 * auto, max_seen), min(4 * auto, max_seen), max_seen}
+        )
+    caps_df = docs.sparkSession.createDataFrame(
+        [(int(c),) for c in caps], "cap long"
+    )
+
+    # per-pair MIN colliding-bucket size, one bucket join (uncapped by
+    # design: the sweep must see the pairs every cap would drop)
+    bands = minhash_band_keys(docs)
+    sized = bands.join(
+        bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn")),
+        ["band", "key"],
+    )
+    x, y = sized.alias("x"), sized.alias("y")
+    pairbn = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.min(F.col("x.bn")).alias("min_bn"))
+    )
+    true_pairs = ngram_jaccard_pairs(ts).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
+    )
+    pairs = pairbn.join(true_pairs, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("is_true", F.lit(0)).alias("is_true"),
+        F.col("min_bn").cast("long").alias("min_bn"),
+    )
+    # sentinel row (is_true=0, min_bn=NULL) contributes 0 to every
+    # aggregate but keeps the cross join non-empty, so an empty corpus
+    # still yields one output row per swept cap (the oracle carries the
+    # same sentinel)
+    sentinel = docs.sparkSession.createDataFrame(
+        [(0, None)], "is_true int, min_bn long"
+    )
+    pairs = pairs.unionByName(sentinel)
+
+    survives = F.when(F.col("min_bn") <= F.col("cap"), 1).otherwise(0)
+    one = F.lit(1).cast("long")
+    curve = (
+        pairs.crossJoin(F.broadcast(caps_df))
+        .groupBy("cap")
+        .agg(
+            F.sum("is_true").cast("long").alias("n_true_pairs"),
+            F.sum(F.col("is_true") * survives).cast("long").alias(
+                "n_caught_pairs"
+            ),
+            F.sum(survives).cast("long").alias("n_candidate_pairs"),
+        )
+        .select(
+            "cap",
+            "n_true_pairs",
+            "n_caught_pairs",
+            "n_candidate_pairs",
+            (
+                F.round(
+                    F.col("n_caught_pairs")
+                    * F.lit(1.0)
+                    / F.greatest(F.col("n_true_pairs"), one),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("recall_vs_exact"),
+        )
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    chosen_cap = F.coalesce(
+        F.min(
+            F.when(F.col("recall_vs_exact") >= recall_floor, F.col("cap"))
+        ).over(w),
+        F.max("cap").over(w),
+    )
+    return (
+        curve.withColumn(
+            "chosen", (F.col("cap") == chosen_cap).cast("int")
+        )
+        .orderBy("cap")
+    )
+
+
+def choose_lsh_bucket_cap_safe(
+    t: dict[str, DataFrame],
+    headroom: float = 4.0,
+    recall_floor: float = LSH_RECALL_FLOOR_DEFAULT,
+    sample_mod: int = 1,
+) -> int:
+    """choose_lsh_bucket_cap with the recall floor WIRED IN (VERDICT r6
+    task 1 "wire the result back"): run the cap sweep, return the
+    smallest swept cap whose measured recall clears the floor (the
+    largest swept cap when none does — never worse than uncapped).
+    The collect is |ladder| <= 5 rows. This is the chooser a 100 TB run
+    uses when quality is part of the contract; the profile-only chooser
+    remains for cost-only tuning (e2e_auto_curation's oracle pins it)."""
+    rows = lsh_cap_recall_sweep(
+        t, headroom=headroom, recall_floor=recall_floor, sample_mod=sample_mod
+    ).collect()
+    return int(next(r.cap for r in rows if r.chosen))

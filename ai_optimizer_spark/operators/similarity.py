@@ -156,6 +156,25 @@ def knn_self_join(t: dict[str, DataFrame], k: int = 3, limit_queries: int = 50) 
     )
 
 
+def _validate_centroid_rows(rows) -> None:
+    """Reject a degenerate centroid MODEL (NULL vector or a NULL element
+    inside one) identically in every assignment tier. Without this the
+    flat tier silently degrades via NULL-distance struct ordering while
+    the np tier crashes building its float64 matrix — auto-routing would
+    change failure behavior at k>64 (ADVICE r6). Degenerate EMBEDDINGS
+    remain handled (min-cid fallthrough, tier-equality-tested); NaN
+    centroid elements are also fine (NaN distance sorts greatest in both
+    tiers). A broken model is a caller bug, so it raises."""
+    for r in rows:
+        ce = r["ce"]
+        if ce is None or any(x is None for x in ce):
+            raise ValueError(
+                f"degenerate centroid model: centroid cid={r['cid']} has "
+                "a NULL vector or NULL element; fix the centroid source "
+                "(all assignment tiers reject this identically)"
+            )
+
+
 def _assign_cells(emb: DataFrame, cents: DataFrame, rows=None) -> DataFrame:
     """Cell assignment, map-only: the centroid set is a tiny model, so it is
     collected once and inlined as an array-of-structs expression; every
@@ -172,6 +191,7 @@ def _assign_cells(emb: DataFrame, cents: DataFrame, rows=None) -> DataFrame:
     the centroid model (e.g. ivfpq_topk) skip the duplicate collect job."""
     if rows is None:
         rows = cents.collect()
+    _validate_centroid_rows(rows)
     if not rows:
         # an empty centroid literal types as VOID and fails analysis; with
         # no cells there is nothing to assign — empty result, right schema
@@ -227,6 +247,7 @@ def _assign_cells_np(emb: DataFrame, cents: DataFrame, rows=None) -> DataFrame:
 
     if rows is None:
         rows = cents.collect()
+    _validate_centroid_rows(rows)
     base = emb.select("vec_id", "label", "embedding")
     if not rows:
         return base.limit(0).withColumn("cid", F.lit(0).cast("long"))
@@ -1422,15 +1443,33 @@ def sq8_scale_codes():
     column — ONE home for the formula so the batch store (v23), and the
     streaming ingest twin (st19) can never drift. codes are integer-valued
     doubles in [-SQ8_LEVELS, SQ8_LEVELS] (int8 at rest); a zero vector
-    quantizes to scale 0 + all-zero codes (no divide-by-zero)."""
+    quantizes to scale 0 + all-zero codes (no divide-by-zero).
+
+    `codes` references the MATERIALIZED `scale` COLUMN, not the scale
+    expression: inlining the array_max fold inside the transform lambda
+    makes interpreted HOF evaluation recompute the fold per element —
+    O(d^2) per vector on every write path (the same HOF-re-expansion trap
+    v23's read path was audited against). Callers therefore project in
+    two stages: `scale` first, then `codes` (sq8_project does both);
+    Catalyst's CollapseProject keeps them separate because the fold is
+    non-cheap and multiply referenced."""
     scale = F.array_max(F.transform("embedding", lambda x: F.abs(x))) / F.lit(
         float(SQ8_LEVELS)
     )
     codes = F.when(
-        scale > 0,
-        F.transform("embedding", lambda x: F.round(x / scale)),
+        F.col("scale") > 0,
+        F.transform("embedding", lambda x: F.round(x / F.col("scale"))),
     ).otherwise(F.transform("embedding", lambda x: F.lit(0.0)))
     return scale, codes
+
+
+def sq8_project(df: DataFrame) -> DataFrame:
+    """Append (scale, codes) to a DataFrame with an `embedding` column as
+    TWO projections (scale materialized first) — the one sanctioned way to
+    evaluate sq8_scale_codes, shared by v23's store, st19's ingest, t14's
+    refresh, and the clustered-store writer."""
+    scale, codes = sq8_scale_codes()
+    return df.withColumn("scale", scale).withColumn("codes", codes)
 
 
 def sq8_store(emb: DataFrame) -> DataFrame:
@@ -1440,13 +1479,7 @@ def sq8_store(emb: DataFrame) -> DataFrame:
     before any ANN structure is even involved; `scale` is the per-vector
     max-abs / 127. A zero vector stores scale 0 + all-zero codes. Pure
     scan-fused projection: quantization adds ZERO shuffles to ingest."""
-    scale, codes = sq8_scale_codes()
-    return emb.select(
-        "vec_id",
-        "label",
-        scale.alias("scale"),
-        codes.alias("codes"),
-    )
+    return sq8_project(emb).select("vec_id", "label", "scale", "codes")
 
 
 def sq8_topk(
@@ -1499,13 +1532,8 @@ def sq8_cell_stats(emb: DataFrame, cents: DataFrame, rows=None) -> DataFrame:
     aggregate is order-free (count/max/min — no float sums), which is
     both the streaming-correctness argument and the algebraic-merge
     argument (partial maxes merge to the exact global max)."""
-    scale, codes = sq8_scale_codes()
-    quantized = assign_cells_auto(emb, cents, rows=rows).select(
-        "vec_id",
-        "cid",
-        "embedding",
-        scale.alias("scale"),
-        codes.alias("codes"),
+    quantized = sq8_project(assign_cells_auto(emb, cents, rows=rows)).select(
+        "vec_id", "cid", "embedding", "scale", "codes"
     )
     qerr = F.when(
         F.col("scale") > 0,

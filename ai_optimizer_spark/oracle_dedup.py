@@ -19,11 +19,13 @@ from .operators.dedup import (
 )
 
 # distinct n-word shingles per doc (set semantics, identical to
-# functions.text.word_shingles)
-_SHINGLES_CTE = f"""
+# functions.text.word_shingles). `src` parameterizes the document source
+# so sampled harnesses (d21b/d22: doc_id % m = 0) reuse the same chain.
+def _shingles_cte(src: str = "documents") -> str:
+    return f"""
     w AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
-        FROM documents
+        FROM {src}
     ),
     g AS (
         SELECT doc_id, words,
@@ -38,6 +40,9 @@ _SHINGLES_CTE = f"""
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
 """
 
+
+_SHINGLES_CTE = _shingles_cte()
+
 EXACT_DEDUP = """
     SELECT doc_id, source, n_chars
     FROM (
@@ -47,8 +52,9 @@ EXACT_DEDUP = """
     ) WHERE rn = 1
 """
 
-NGRAM_JACCARD = f"""
-    WITH {_SHINGLES_CTE},
+def ngram_jaccard(src: str = "documents") -> str:
+    return f"""
+    WITH {_shingles_cte(src)},
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -61,6 +67,9 @@ NGRAM_JACCARD = f"""
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 3) >= {JACCARD_THRESHOLD}
 """
+
+
+NGRAM_JACCARD = ngram_jaccard()
 
 
 def _minhash_cols() -> str:
@@ -326,12 +335,13 @@ def autocap_ctes(headroom: float = 4.0) -> str:
 # encoded in the oracle itself — band buckets above the cap are dropped
 # whole before candidate generation, exactly like
 # minhash_lsh_pairs(max_bucket_size=...).
-def minhash_lsh_capped(max_bucket_size: int | str) -> str:
+def minhash_lsh_capped(max_bucket_size: int | str, src: str = "documents") -> str:
     # max_bucket_size may be a literal int OR a SQL scalar subquery string
     # (e2e_auto_curation passes "(SELECT cap FROM autocap)" so the cap the
-    # oracle verifies is the one IT derives from the corpus)
+    # oracle verifies is the one IT derives from the corpus); `src` lets
+    # sampled harnesses (d21b) run the same chain on a doc_id-mod sample
     return f"""
-    WITH {_SHINGLES_CTE},
+    WITH {_shingles_cte(src)},
     hashed AS (
         SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS base
         FROM sh
@@ -371,4 +381,117 @@ def minhash_lsh_capped(max_bucket_size: int | str) -> str:
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 3) >= {JACCARD_THRESHOLD}
+"""
+
+
+def cap_recall_sweep(
+    headroom: float = 4.0,
+    recall_floor: float = 0.95,
+    sample_mod: int = 1,
+) -> str:
+    """d22's oracle: the recall-vs-cap curve and the chosen cap, recomputed
+    end to end in SQL — ladder derivation (choose_lsh_bucket_cap's formula
+    over the band profile), per-pair min colliding-bucket size, exact
+    n-gram Jaccard truth, threshold sweep, and the floor-based choice. The
+    sentinel row mirrors the Spark op so an empty corpus still emits one
+    row per swept cap."""
+    src = (
+        "documents"
+        if sample_mod <= 1
+        else f"(SELECT * FROM documents WHERE doc_id % {sample_mod} = 0)"
+    )
+    recall = "ROUND(n_caught_pairs * 1.0 / GREATEST(n_true_pairs, 1), 4) + 0.0"
+    return f"""
+    WITH {_shingles_cte(src)},
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS base
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_minhash_cols()}
+        FROM hashed
+        GROUP BY doc_id
+    ),
+    bands AS (
+        {_bands_union()}
+    ),
+    buckets AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key),
+    bandprof AS (
+        SELECT band,
+               SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) * 1.0
+                   / SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS mean_n,
+               MAX(n) AS max_n
+        FROM buckets GROUP BY band
+        HAVING SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) > 0
+    ),
+    autocap AS (
+        SELECT CAST(COALESCE(
+            GREATEST(2, LEAST(CAST(CEIL({headroom} * MAX(mean_n)) AS BIGINT),
+                              CAST(MAX(max_n) AS BIGINT))),
+            2) AS BIGINT) AS cap
+        FROM bandprof
+    ),
+    maxn AS (SELECT CAST(MAX(max_n) AS BIGINT) AS m FROM bandprof),
+    capladder AS (
+        SELECT DISTINCT cap FROM (
+            SELECT UNNEST([CAST(2 AS BIGINT), a.cap,
+                CASE WHEN x.m IS NULL THEN NULL
+                     ELSE LEAST(2 * a.cap, x.m) END,
+                CASE WHEN x.m IS NULL THEN NULL
+                     ELSE LEAST(4 * a.cap, x.m) END,
+                x.m]) AS cap
+            FROM autocap a, maxn x
+        ) WHERE cap IS NOT NULL
+    ),
+    sized AS (
+        SELECT b.doc_id, b.band, b.key, s.n AS bn
+        FROM bands b JOIN buckets s ON b.band = s.band AND b.key = s.key
+    ),
+    pairbn AS (
+        SELECT xa.doc_id AS doc_a, yb.doc_id AS doc_b,
+               CAST(MIN(xa.bn) AS BIGINT) AS min_bn
+        FROM sized xa JOIN sized yb
+          ON xa.band = yb.band AND xa.key = yb.key AND xa.doc_id < yb.doc_id
+        GROUP BY 1, 2
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truep AS (
+        SELECT doc_a, doc_b, 1 AS is_true
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 3)
+              >= {JACCARD_THRESHOLD}
+    ),
+    pairs AS (
+        SELECT COALESCE(t.is_true, 0) AS is_true, p.min_bn
+        FROM pairbn p FULL OUTER JOIN truep t
+          ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+        UNION ALL
+        SELECT 0 AS is_true, CAST(NULL AS BIGINT) AS min_bn
+    ),
+    curve AS (
+        SELECT c.cap,
+            CAST(COALESCE(SUM(is_true), 0) AS BIGINT) AS n_true_pairs,
+            CAST(COALESCE(SUM(CASE WHEN is_true = 1 AND min_bn <= c.cap
+                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+                AS n_caught_pairs,
+            CAST(COALESCE(SUM(CASE WHEN min_bn <= c.cap THEN 1 ELSE 0 END),
+                          0) AS BIGINT) AS n_candidate_pairs
+        FROM pairs CROSS JOIN capladder c
+        GROUP BY c.cap
+    )
+    SELECT cap, n_true_pairs, n_caught_pairs, n_candidate_pairs,
+           {recall} AS recall_vs_exact,
+           CAST(cap = COALESCE(
+               MIN(CASE WHEN {recall} >= {recall_floor} THEN cap END)
+                   OVER (),
+               MAX(cap) OVER ()) AS INT) AS chosen
+    FROM curve
+    ORDER BY cap
 """

@@ -359,10 +359,12 @@ def ensure_sq8_clustered_store(
     import os
     import shutil
 
-    from ..operators.similarity import _ivf_assign, sq8_scale_codes
+    from ..operators.similarity import _ivf_assign, sq8_project
 
     tag = re.sub(r"\W", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
-    name = f"embeddings_sq8_{tag}"
+    # n_centroids is part of the key: a later call with a different k must
+    # not silently serve the stale layout (ADVICE r6)
+    name = f"embeddings_sq8_{tag}_k{n_centroids}"
     if not spark.catalog.tableExists(name):
         warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
         loc = os.path.join(warehouse.removeprefix("file:"), name)
@@ -370,14 +372,9 @@ def ensure_sq8_clustered_store(
             shutil.rmtree(loc)
         emb = load_tables(spark, sf_dir)["embeddings"]
         _, assigned = _ivf_assign(emb, n_centroids)
-        scale, codes = sq8_scale_codes()
         (
-            assigned.select(
-                "vec_id",
-                "label",
-                scale.alias("scale"),
-                codes.alias("codes"),
-                "cid",
+            sq8_project(assigned).select(
+                "vec_id", "label", "scale", "codes", "cid"
             )
             .write.format("parquet")
             .partitionBy("cid")

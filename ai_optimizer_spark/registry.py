@@ -3709,6 +3709,55 @@ _register(
     """,
 )
 
+# d21b: the sampled form of the recall harness — the v12 move the d21
+# docstring promises ("at 100 TB you run this on a SAMPLE") as a real,
+# driver-verified parameter. Mod-2 doc sampling is deterministic, so the
+# oracle reproduces the exact sample; parity with the unsampled op at
+# sample_mod=1 is unit-tested (tests/test_dedup_quality.py).
+_SAMPLED_DOCS = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+_register(
+    "d21b_lsh_recall_sampled",
+    lambda t: D.lsh_recall(
+        t, max_bucket_size=D.LSH_MAX_BUCKET_DEFAULT, sample_mod=2
+    ),
+    f"""
+    WITH e AS (SELECT doc_a, doc_b
+               FROM ({OD.ngram_jaccard(_SAMPLED_DOCS)}) x),
+    l AS (SELECT doc_a, doc_b
+          FROM ({OD.minhash_lsh_capped(D.LSH_MAX_BUCKET_DEFAULT, _SAMPLED_DOCS)}) y),
+    j AS (
+        SELECT CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END AS ie,
+               CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS il
+        FROM e FULL OUTER JOIN l
+          ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+    )
+    SELECT CAST(COALESCE(SUM(ie), 0) AS BIGINT) AS n_exact_pairs,
+           CAST(COALESCE(SUM(il), 0) AS BIGINT) AS n_lsh_pairs,
+           CAST(COALESCE(SUM(ie * il), 0) AS BIGINT) AS n_common,
+           ROUND(CAST(COALESCE(SUM(ie * il), 0) AS BIGINT) * 1.0
+                 / GREATEST(CAST(COALESCE(SUM(ie), 0) AS BIGINT), 1), 4) + 0.0
+               AS recall_vs_exact,
+           ROUND(CAST(COALESCE(SUM(ie * il), 0) AS BIGINT) * 1.0
+                 / GREATEST(CAST(COALESCE(SUM(il), 0) AS BIGINT), 1), 4) + 0.0
+               AS precision_vs_exact
+    FROM j
+    """,
+)
+
+# d22: the recall-vs-cap sweep — one pass computes the whole curve (per-
+# pair min colliding-bucket size, then every cap is a threshold) plus the
+# smallest swept cap clearing the recall floor. The oracle recomputes the
+# ladder (choose_lsh_bucket_cap's formula), curve, and choice end to end,
+# so the auto-tuning DECISION is hash-verified, not just the measurement
+# (VERDICT r6 task 1: "auto-tuning is cheaper" -> "auto-tuning is safe").
+_register(
+    "d22_lsh_cap_recall_sweep",
+    D.lsh_cap_recall_sweep,
+    OD.cap_recall_sweep(
+        headroom=4.0, recall_floor=D.LSH_RECALL_FLOOR_DEFAULT, sample_mod=1
+    ),
+)
+
 _register(
     "v18_filtered_topk",
     S.filtered_topk,
@@ -5535,6 +5584,12 @@ _PRIORITY: list[str] = [
     # sf0.001/0.01/0.1 this round) plus the new e2e_auto_curation — displacing
     # r5-driver-green veterans v15/j25/d13/t9/smp6/tx14/t8 to 51+ (each family
     # keeps ≥2 prefix slots; the repo parity gate still checks all 213).
+    # r7 rotation (VERDICT r6 task 3): the 8 load-bearing never-driver-checked
+    # tiers promoted — v20 (BLAS read tier), t11, st15, d12, st13, smp7, tx15,
+    # j9b — plus the new d21b (sampled recall) and d22 (cap-recall sweep); all
+    # 10 strict-checked at sf0.001/0.01/0.1 this round. Parked to 51+:
+    # r6-driver-green veterans j11/d17/v17/d14/st17/smp10/tx16/j28/a24/t13/mm3
+    # (each family keeps >=2 prefix slots; repo gate still checks all).
     # ANN / similarity tiers (IVF, k-means, IVFPQ, stored-layout serving)
     "v19_ann_operating_curve",
     "d3c_minhash_lsh_capped",
@@ -5542,48 +5597,47 @@ _PRIORITY: list[str] = [
     "v21_dpp_cell_stats",
     "v24_quantized_clustered_topk",
     "v22_hier_ivf_topk",
+    "v20_ivfpq_topk_np",
     # temporal / skew / bucketed / analytic join shapes
-    "j11_asof_join",
     "j12_banded_range_join",
     "st19_streaming_sq8_ingest",
-    "d17_corpus_dup_profile",
     "st20_streaming_fertility",
-    "v17_ivfpq_topk",
     "j27_disjunctive_part_revenue",
-    "d14_crossencoder_rerank",
+    "j9b_mmr_rerank_batch",
     "e2e_decon_report",
     # dedup family (scale-safe canonical forms) + clustering + curation e2e
     "d20_semantic_decontamination",
     "d18_semdedup",
     "d19_bloom_decontamination",
+    "d12_decontamination",
     "e2e_auto_curation",
     "e2e_dedup_cascade",
     "d21_lsh_recall",
+    "d21b_lsh_recall_sampled",
+    "d22_lsh_cap_recall_sweep",
     "smp9_token_budget_select",
     "e2e_dedup_manifest",
     "v23_sq8_topk",
     # text-analysis family + multimodal (+ d15 substring dedup, new r5)
-    "st17_streaming_quality_gate",
-    "mm3_audio_features",
     "d15_repeated_substrings",
     "s13_store_catalog",
     "mm2_frame_features",
     "tx19_quality_classifier",
+    "tx15_bpe_tokenize",
     # streaming / event-time (+ st14/t10 span-index pair, new r5)
     "st14_streaming_span_novelty",
+    "st15_streaming_drift_monitor",
+    "st13_streaming_ivf_assign",
     "t10_span_index_refresh",
     "t14_sq8_store_refresh",
-    "tx16_ngram_perplexity",
+    "t11_cell_stats_refresh",
     "tx20_tokenizer_fertility",
     # aggregation extensions + sampling/packing (+ j28/a24 Q2/Q11, new r5)
-    "j28_min_cost_supplier",
-    "a24_important_part_values",
     "e2e_corpus_assembly",
     "e2e_training_export",
     "smp13_mixture_epochs",
-    "t13_bloom_index_refresh",
-    "smp10_dsir_importance",
     "smp11_unimax_budget",
+    "smp7_leakage_safe_split",
     # streaming near-dup + SCD2 (round-3 flagships)
     "st16_streaming_decontamination",
     "st18_streaming_semantic_decon",
@@ -5594,8 +5648,19 @@ _PRIORITY: list[str] = [
     "o15b_nl2sql_generated",
     "e2e_evaluation_report",
     "s5_deep_parse",
-    # displaced from the prefix by the r5/r6 additions (repo gate still
+    # displaced from the prefix by the r5/r6/r7 additions (repo gate still
     # covers them every session; each family keeps >=2 prefix slots)
+    "j11_asof_join",
+    "d17_corpus_dup_profile",
+    "v17_ivfpq_topk",
+    "d14_crossencoder_rerank",
+    "st17_streaming_quality_gate",
+    "smp10_dsir_importance",
+    "tx16_ngram_perplexity",
+    "j28_min_cost_supplier",
+    "a24_important_part_values",
+    "t13_bloom_index_refresh",
+    "mm3_audio_features",
     "d6_dedup_clusters",
     "e2e_curation_pipeline",
     "j26_shipping_priority",

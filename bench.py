@@ -93,6 +93,8 @@ HEADLINE = [
     "e2e_decon_report",
     "e2e_dedup_manifest",
     "d21_lsh_recall",
+    "d21b_lsh_recall_sampled",
+    "d22_lsh_cap_recall_sweep",
     "t6_token_stream_assembly",
     "st2_sessionize",
     "st11_funnel_steps",
@@ -179,14 +181,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Key order matters: the driver archives only the LAST 2000 chars of
+    # bench output, so the summary scalars (total / calibration / count)
+    # must come AFTER the large per-query map — r5 and r6 both lost their
+    # calibration values to the truncation, blocking cross-round
+    # normalization (VERDICT r6 task 5).
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
                 "unit": "sec",
-                "calibration": {"md5_shuffle_50m_sec": calibration},
                 "queries": timings,
+                "value": total,
+                "calibration": {"md5_shuffle_50m_sec": calibration},
+                "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

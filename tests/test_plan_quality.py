@@ -822,3 +822,36 @@ def test_dedup_manifest_is_row_level_no_global_barrier(spark):
     assert "SinglePartition" not in plan
     assert plan.count("LeftOuter") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_sq8_write_path_materializes_scale_once(spark):
+    """ADVICE r6 (medium): the SQ8 write path must evaluate the max-abs
+    fold ONCE per row — `codes` references a materialized `scale` column
+    in a SEPARATE projection (sq8_project), never the fold expression
+    inlined inside the transform lambda (interpreted HOF evaluation would
+    recompute the fold per element: O(d^2) per vector on every write).
+    CollapseProject must keep the two projections apart because the fold
+    is non-cheap and multiply referenced — this guard pins that."""
+    from ai_optimizer_spark.operators.similarity import sq8_store
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, SF)
+    plan = sq8_store(t["embeddings"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("array_max") == 1, plan
+    # codes' division references the scale ATTRIBUTE (scale#N), produced
+    # by a projection underneath — two Project nodes, fold in the lower one
+    assert plan.count("Project") == 2, plan
+    upper, lower = plan.split("Project", 2)[1:]
+    assert "array_max" not in upper and "array_max" in lower
+
+
+def test_cap_sweep_broadcasts_ladder_no_cartesian(spark):
+    """d22: the cap ladder (<=5 rows) must broadcast into the pair table
+    (BroadcastNestedLoopJoin, never CartesianProduct), and the only
+    SinglePartition stage is the window over the <=5-row curve — the
+    corpus-sized work (bucket join, jaccard truth) stays hash-partitioned."""
+    plan = plan_of(spark, "d22_lsh_cap_recall_sweep")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SinglePartition") == 1
+    assert "FullOuter" in plan  # truth x candidates pair alignment

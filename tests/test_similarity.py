@@ -437,7 +437,44 @@ def test_quantized_clustered_topk_matches_probed_sq8(spark, sf_small):
 
     t = load_tables(spark, sf_small)
     exact = {r.vec_id for r in cosine_topk(t).collect()}
-    served_rows = quantized_clustered_topk(spark, "/root/testdata/sf0.001").collect()
+    served_rows = quantized_clustered_topk(spark, sf_small).collect()
     served = {r.vec_id for r in served_rows}
     assert len(served_rows) == 8
     assert len(served & exact) >= 6, (sorted(served), sorted(exact))
+
+
+def test_assignment_tiers_reject_degenerate_centroids_identically(spark):
+    """ADVICE r6: a degenerate centroid MODEL (NULL vector, or a NULL
+    element inside one) must raise the same clear error in BOTH tiers —
+    previously the flat tier silently degraded via NULL-distance struct
+    ordering while the np tier crashed with a TypeError, so auto-routing
+    changed failure behavior at k>64. NaN centroid elements stay legal
+    (NaN distance sorts greatest in both tiers)."""
+    import pytest
+
+    from ai_optimizer_spark.operators.similarity import (
+        _assign_cells,
+        _assign_cells_np,
+        assign_cells_auto,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, "a", [1.0, 0.0])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    for bad in (
+        [(1, None), (2, [0.0, 0.0])],           # NULL centroid vector
+        [(1, [1.0, None]), (2, [0.0, 0.0])],    # NULL element
+    ):
+        cents = spark.createDataFrame(bad, "cid long, ce array<double>")
+        for fn in (_assign_cells, _assign_cells_np, assign_cells_auto):
+            with pytest.raises(ValueError, match="degenerate centroid"):
+                fn(emb, cents).collect()
+
+    # NaN centroid element: both tiers agree (never picked unless forced)
+    cents = spark.createDataFrame(
+        [(1, [float("nan"), 0.0]), (2, [0.0, 0.0])], "cid long, ce array<double>"
+    )
+    flat = {r.vec_id: r.cid for r in _assign_cells(emb, cents).collect()}
+    nptier = {r.vec_id: r.cid for r in _assign_cells_np(emb, cents).collect()}
+    assert flat == nptier == {0: 2}

@@ -713,7 +713,7 @@ def test_streaming_sq8_ingest_multibatch_equals_batch_stats(
     order."""
     from ai_optimizer_spark.operators.similarity import (
         assign_cells_auto,
-        sq8_scale_codes,
+        sq8_project,
     )
 
     emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
@@ -722,9 +722,8 @@ def test_streaming_sq8_ingest_multibatch_equals_batch_stats(
     )
 
     def stats(df):
-        scale, codes = sq8_scale_codes()
-        quantized = assign_cells_auto(df, cents).select(
-            "vec_id", "cid", "embedding", scale.alias("scale"), codes.alias("codes")
+        quantized = sq8_project(assign_cells_auto(df, cents)).select(
+            "vec_id", "cid", "embedding", "scale", "codes"
         )
         qerr = F.when(
             F.col("scale") > 0,

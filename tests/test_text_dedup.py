@@ -446,3 +446,85 @@ def test_dedup_manifest_agrees_with_cascade_profile(spark, sf_small):
             profile[s - 1].tokens_remaining - profile[s].tokens_remaining
         )
         assert tok_by_stage.get(s, 0) == expected_tokens, s
+
+
+def test_lsh_recall_sampled_mod1_equals_unsampled(spark, sf_medium):
+    """sample_mod=1 is the identity: the sampled harness (d21b's form)
+    must reproduce the unsampled d21 row bit-for-bit; sample_mod=2 must
+    equal running the unsampled harness on the pre-filtered corpus (the
+    deterministic-sample contract the oracle relies on)."""
+    t = load_tables(spark, sf_medium)
+    base = [tuple(r) for r in D.lsh_recall(t).collect()]
+    mod1 = [tuple(r) for r in D.lsh_recall(t, sample_mod=1).collect()]
+    assert base == mod1
+    manual = {
+        "documents": t["documents"].filter(F.col("doc_id") % 2 == 0)
+    }
+    assert [tuple(r) for r in D.lsh_recall(t, sample_mod=2).collect()] == [
+        tuple(r) for r in D.lsh_recall(manual).collect()
+    ]
+
+
+def test_cap_sweep_rows_match_d21_at_each_cap(spark, sf_medium):
+    """The one-pass sweep (per-pair min bucket size, then thresholds) must
+    agree with d21 rerun at each swept cap: same true-pair universe, same
+    caught count — the claim that lets d22 replace |ladder| full LSH
+    reruns with one pass."""
+    t = load_tables(spark, sf_medium)
+    sweep = D.lsh_cap_recall_sweep(t).collect()
+    assert sweep, "sweep must emit at least one cap row"
+    assert sum(r.chosen for r in sweep) == 1
+    for row in sweep:
+        d21 = D.lsh_recall(t, max_bucket_size=int(row.cap)).collect()[0]
+        assert row.n_true_pairs == d21.n_exact_pairs, row.cap
+        assert row.n_caught_pairs == d21.n_common, row.cap
+        assert abs(row.recall_vs_exact - d21.recall_vs_exact) < 1e-9, row.cap
+        # candidates are a superset of caught true pairs
+        assert row.n_candidate_pairs >= row.n_caught_pairs
+
+
+def test_safe_cap_chooser_escalates_when_auto_cap_drops_true_pairs(spark):
+    """The regime d22 exists for (VERDICT r6 task 1): a boilerplate-heavy
+    bucket that the profile-driven auto cap DROPS even though it holds
+    genuine near-dup pairs. 30 two-doc dup groups pull the mean colliding
+    bucket size down (~2), one 40-doc identical-text group sits far above
+    the resulting cap (~4*2..13) — so recall at the auto cap collapses and
+    the safe chooser must escalate past it to clear the floor."""
+    rows = []
+    did = 0
+    for g in range(30):
+        text = (
+            f"group {g} pair text about topic {g} with enough words "
+            f"to shingle cleanly number {g}"
+        )
+        for _ in range(2):
+            rows.append((did, text))
+            did += 1
+    boiler = "standard license header boilerplate text repeated verbatim across the corpus forty times"
+    for _ in range(40):
+        rows.append((did, boiler))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = {"documents": docs}
+
+    auto = D.choose_lsh_bucket_cap(D.corpus_dup_profile(t))
+    assert auto < 40  # the boilerplate bucket exceeds the auto cap
+    sweep = {r.cap: r for r in D.lsh_cap_recall_sweep(t).collect()}
+    assert auto in sweep
+    assert sweep[auto].recall_vs_exact < D.LSH_RECALL_FLOOR_DEFAULT
+    safe = D.choose_lsh_bucket_cap_safe(t)
+    assert safe > auto
+    assert sweep[safe].recall_vs_exact >= D.LSH_RECALL_FLOOR_DEFAULT
+
+
+def test_cap_sweep_empty_corpus_single_floor_row(spark, sf_medium):
+    """Empty corpus: ladder degenerates to [2], the sentinel row keeps the
+    aggregate alive, recall is 0 and the fallback chooses the (only) cap."""
+    t = load_tables(spark, sf_medium)
+    empty = {"documents": t["documents"].limit(0)}
+    rows = D.lsh_cap_recall_sweep(empty).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.cap, r.n_true_pairs, r.n_caught_pairs, r.chosen) == (2, 0, 0, 1)
+    assert r.recall_vs_exact == 0.0
+    assert D.choose_lsh_bucket_cap_safe(empty) == 2

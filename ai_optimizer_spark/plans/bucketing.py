@@ -439,3 +439,126 @@ def quantized_clustered_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ensure_sq8_cell_radii(
+    spark: SparkSession, sf_dir: str, n_centroids: int = IVF_N_CENTROIDS
+) -> str:
+    """Per-cell max raw distance to seed centroid (r_cell), the stored
+    pruning statistic for the QUANTIZED store family — computed from the
+    source vectors at write time (they are in flight during ingest; only
+    the n_centroids-row statistic is kept, so the at-rest story stays
+    codes-only). Values are ROUNDed to 9 digits so the boundary compare in
+    the live-cell filter is bit-aligned with the SQL oracle (the sq8
+    qerr/max_scale move). Depends only on the SOURCE table — never
+    materializes a raw clustered store. Idempotent per (warehouse, sf_dir,
+    n_centroids)."""
+    import os
+    import shutil
+
+    from ..functions import vector as V
+    from ..operators.similarity import _ivf_assign
+
+    tag = re.sub(r"\W", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
+    name = f"sq8_cell_radii_{tag}_k{n_centroids}"
+    if not spark.catalog.tableExists(name):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(warehouse.removeprefix("file:"), name)
+        if warehouse.startswith(("file:", "/")) and os.path.exists(loc):
+            shutil.rmtree(loc)
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        cents, assigned = _ivf_assign(emb, n_centroids)
+        radii = (
+            assigned.join(
+                F.broadcast(cents.select(F.col("cid").alias("cid2"), "ce")),
+                F.col("cid") == F.col("cid2"),
+            )
+            .select(
+                "cid", V.euclidean_distance("embedding", "ce").alias("dc")
+            )
+            .groupBy("cid")
+            .agg((F.round(F.max("dc"), 9) + F.lit(0.0)).alias("r_cell"))
+        )
+        radii.write.format("parquet").mode("overwrite").saveAsTable(name)
+    return name
+
+
+def quantized_range_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    radius: float | None = None,
+) -> DataFrame:
+    """V25: range search over the QUANTIZED clustered store with STORED
+    per-cell radii — the serving family's last uncomposed pair (v16b ×
+    v24, VERDICT r6 task 4): layout does the pruning (triangle-inequality
+    bound off the n_centroids-row radii table resolves to a literal
+    partition filter), quantization does the bandwidth (surviving cells
+    stream int8 codes, never raw vectors). Distances are computed on the
+    RECONSTRUCTION (codes · scale) in ONE zip_with fold — `scale` is a
+    materialized column reference, so nothing re-expands (the sq8_project
+    discipline). Two composed approximations, both deterministic: the
+    oracle recomputes radii, live set, codes, and reconstructed distances
+    end to end, so the served set is hash-verified WITH its approximation
+    (the d3c/v22/v24 move); recall vs the exact v16 answer is
+    unit-tested.
+
+    Scale shape: the radii/centroid side is n_centroids rows (broadcast +
+    driver-resolved literal, the v16b move); the data side reads only the
+    live cells of a 4-8× compressed store — a range query's cost is
+    bounded by the geometry around the query, not the corpus.
+    Reference semantics: threshold-bounded similarity retrieval
+    (vs_retriever.py:268-280) under the compressed clustered layout."""
+    from ..functions import vector as V
+    from ..operators.similarity import (
+        RANGE_PRUNE_EPS,
+        RANGE_RADIUS,
+        _query_vectors,
+    )
+
+    if radius is None:
+        radius = RANGE_RADIUS
+    store = spark.table(ensure_sq8_clustered_store(spark, sf_dir))
+    radii = spark.table(ensure_sq8_cell_radii(spark, sf_dir))
+    tables = load_tables(spark, sf_dir)
+    q = _query_vectors(tables, [query_id])
+
+    cents = tables["embeddings"].filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid2"), F.col("embedding").alias("ce")
+    )
+    live_rows = (
+        cents.join(F.broadcast(radii), F.col("cid2") == F.col("cid"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "cid2",
+            (
+                F.round(V.euclidean_distance("ce", "query_vec"), 9)
+                - F.col("r_cell")
+            ).alias("lb"),
+        )
+        .filter(F.col("lb") <= F.lit(radius + RANGE_PRUNE_EPS))
+        .select("cid2")
+        .collect()  # bounded by n_centroids: the literal partition filter
+    )
+    live_cids = [int(r.cid2) for r in live_rows]
+
+    # reconstructed euclidean distance in one fold; codes are exact stored
+    # integers, scale is a plain column reference (no HOF re-expansion)
+    d2 = F.aggregate(
+        F.zip_with(
+            "codes",
+            "query_vec",
+            lambda c, qv: (c.cast("double") * F.col("scale") - qv.cast("double"))
+            * (c.cast("double") * F.col("scale") - qv.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dist = F.round(F.sqrt(d2), 3) + F.lit(0.0)
+    return (
+        store.filter(F.col("cid").isin(live_cids))  # partition pruning
+        .filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", dist.alias("dist"))
+        .filter(F.col("dist") <= radius)
+    )

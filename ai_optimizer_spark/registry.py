@@ -3227,6 +3227,65 @@ ORACLE_SQL["v24_quantized_clustered_topk"] = f"""
     LIMIT 8
 """
 
+# v25: range search over the quantized clustered store with STORED
+# per-cell radii — v16b x v24 composed (layout prunes, quantization
+# carries the bandwidth). Both approximations (raw-geometry pruning bound,
+# reconstructed distances) are deterministic, so the oracle recomputes
+# radii, live set, codes, and distances end to end — the served set is
+# hash-verified WITH its approximation.
+from .plans.bucketing import quantized_range_search  # noqa: E402
+from .operators.similarity import RANGE_PRUNE_EPS, RANGE_RADIUS  # noqa: E402
+
+QUERIES["v25_quantized_range_search"] = quantized_range_search
+ORACLE_SQL["v25_quantized_range_search"] = f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    assigned AS (
+        SELECT vec_id, label, ee, cid FROM (
+            SELECT e.vec_id, e.label, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    radii AS (
+        SELECT a.cid, ROUND(MAX(list_distance(a.ee, c.ce)), 9) + 0.0 AS r_cell
+        FROM assigned a JOIN cents c ON a.cid = c.cid
+        GROUP BY a.cid
+    ),
+    live AS (
+        SELECT c.cid FROM cents c JOIN radii r ON c.cid = r.cid, q
+        WHERE ROUND(list_distance(c.ce, q.qe), 9) - r.r_cell
+              <= {RANGE_RADIUS + RANGE_PRUNE_EPS}
+    ),
+    sc AS (
+        SELECT vec_id, label, cid, ee,
+               list_max(list_transform(ee, x -> abs(x))) / {S.SQ8_LEVELS}
+                   AS scale
+        FROM assigned
+    ),
+    qcodes AS (
+        SELECT vec_id, label, cid, scale,
+               CASE WHEN scale > 0
+                    THEN list_transform(ee, x -> round(x / scale))
+                    ELSE list_transform(ee, x -> 0.0) END AS c
+        FROM sc
+    )
+    SELECT a.vec_id, a.label,
+           ROUND(list_distance(list_transform(a.c, x -> x * a.scale), q.qe),
+                 3) + 0.0 AS dist
+    FROM qcodes a JOIN live p ON a.cid = p.cid, q
+    WHERE a.vec_id <> 0
+      AND ROUND(list_distance(list_transform(a.c, x -> x * a.scale), q.qe),
+                3) + 0.0 <= {RANGE_RADIUS}
+"""
+
 # v21: runtime (dynamic) partition pruning — the probe cell set is a
 # computed DataFrame, injected into the partitioned scan as a
 # dynamicpruningexpression (plan-tested); the literal-filter twin is v13.
@@ -5598,6 +5657,7 @@ _PRIORITY: list[str] = [
     "v24_quantized_clustered_topk",
     "v22_hier_ivf_topk",
     "v20_ivfpq_topk_np",
+    "v25_quantized_range_search",
     # temporal / skew / bucketed / analytic join shapes
     "j12_banded_range_join",
     "st19_streaming_sq8_ingest",
@@ -5619,7 +5679,6 @@ _PRIORITY: list[str] = [
     "e2e_dedup_manifest",
     "v23_sq8_topk",
     # text-analysis family + multimodal (+ d15 substring dedup, new r5)
-    "d15_repeated_substrings",
     "s13_store_catalog",
     "mm2_frame_features",
     "tx19_quality_classifier",
@@ -5650,6 +5709,7 @@ _PRIORITY: list[str] = [
     "s5_deep_parse",
     # displaced from the prefix by the r5/r6/r7 additions (repo gate still
     # covers them every session; each family keeps >=2 prefix slots)
+    "d15_repeated_substrings",
     "j11_asof_join",
     "d17_corpus_dup_profile",
     "v17_ivfpq_topk",

@@ -52,6 +52,7 @@ HEADLINE = [
     "v20_ivfpq_topk_np",
     "v23_sq8_topk",
     "v24_quantized_clustered_topk",
+    "v25_quantized_range_search",
     "st19_streaming_sq8_ingest",
     "st4_sliding_window_counts",
     "d1_exact_dedup",

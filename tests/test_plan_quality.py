@@ -855,3 +855,16 @@ def test_cap_sweep_broadcasts_ladder_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("SinglePartition") == 1
     assert "FullOuter" in plan  # truth x candidates pair alignment
+
+
+def test_quantized_range_search_prunes_partitions_no_exchange(spark):
+    """v25 = v16b x v24: the live-cell list (triangle bound off the STORED
+    radii) must reach the quantized store as a PartitionFilters entry, the
+    scan reads codes (no raw embedding column on the data side), the
+    reconstruction fold is a single zip_with (scale is a column reference
+    — nothing re-expands), and there is no shuffle exchange anywhere."""
+    plan = plan_of(spark, "v25_quantized_range_search")
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "Exchange hashpartitioning" not in plan
+    assert "codes" in plan

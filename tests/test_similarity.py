@@ -478,3 +478,53 @@ def test_assignment_tiers_reject_degenerate_centroids_identically(spark):
     flat = {r.vec_id: r.cid for r in _assign_cells(emb, cents).collect()}
     nptier = {r.vec_id: r.cid for r in _assign_cells_np(emb, cents).collect()}
     assert flat == nptier == {0: 2}
+
+
+def test_quantized_range_search_recall_and_pruning_consistency(spark, sf_small):
+    """v25's two composed approximations, bounded on the fixture: the
+    served set must (a) agree with exact v16 range search on most of the
+    exact answer (quantization shifts distances only slightly), and
+    (b) be EXACTLY the brute-force reconstructed-distance answer
+    restricted to the live cells — i.e. pruning + quantization fully
+    explain the result (the oracle's claim, checked operator-side)."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.functions import vector as V
+    from ai_optimizer_spark.operators.similarity import (
+        RANGE_RADIUS,
+        _query_vectors,
+        range_search,
+    )
+    from ai_optimizer_spark.operators.similarity import sq8_project
+    from ai_optimizer_spark.plans.bucketing import quantized_range_search
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    exact = {r.vec_id for r in range_search(t).collect()}
+    served_rows = quantized_range_search(spark, sf_small).collect()
+    served = {r.vec_id for r in served_rows}
+    # quantization error is small at SQ8: near-total overlap on the fixture
+    assert len(served & exact) >= int(0.9 * len(exact)), (
+        sorted(served), sorted(exact),
+    )
+
+    # brute-force reconstructed distances over the FULL corpus: every
+    # served vector must carry exactly that distance, and every non-served
+    # in-radius vector must be explained by cell pruning
+    q = _query_vectors(t, [0])
+    recon = F.transform("codes", lambda c: c * F.col("scale"))
+    brute = {
+        r.vec_id: r.dist
+        for r in sq8_project(t["embeddings"])
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            (F.round(V.euclidean_distance(recon, F.col("query_vec")), 3) + F.lit(0.0)).alias("dist"),
+        )
+        .filter(F.col("dist") <= RANGE_RADIUS)
+        .collect()
+    }
+    for r in served_rows:
+        assert abs(brute[r.vec_id] - r.dist) < 1e-9
+    assert served <= set(brute)

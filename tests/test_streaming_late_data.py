@@ -827,3 +827,74 @@ def test_streaming_fertility_multibatch_equals_batch_table(
             ES.documents_stream = orig
         results[order_name] = {tuple(r) for r in table.collect()}
     assert results["fwd"] == results["rev"] == truth
+
+
+def test_streaming_ivf_assign_np_tier_late_arrivals(spark, sf_small, tmp_path):
+    """st13 at corpus-scaled k (VERDICT r6 task 7 follow-through): above
+    ASSIGN_FLAT_MAX_K the auto router swaps the streaming plan's
+    assignment stage to the Arrow/BLAS mapInPandas tier — this pins that
+    the np tier works INSIDE a Structured Streaming micro-batch with
+    straggler arrivals: same monotone-absorb semantics, converging to the
+    batch ground truth, arrival order irrelevant. (Every other streaming
+    test runs fixture k=16 = the flat tier, so the np-tier streaming path
+    was otherwise untested.)"""
+    from ai_optimizer_spark.operators.similarity import (
+        ASSIGN_FLAT_MAX_K,
+        assign_cells_auto,
+    )
+
+    n_cents = ASSIGN_FLAT_MAX_K + 6  # forces the np tier
+    emb = (
+        spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .filter(F.col("vec_id") < 200)
+        .localCheckpoint(eager=False)
+    )
+    cents = emb.filter(F.col("vec_id") < n_cents).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    truth = {
+        (r.cid, r.n_vecs)
+        for r in assign_cells_auto(emb, cents)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .collect()
+    }
+
+    late_ids = {i for i in range(200) if i % 9 == 0}
+    batches = [
+        emb.filter(~F.col("vec_id").isin(*late_ids)),
+        emb.filter(F.col("vec_id").isin(*late_ids)),
+    ]
+    feed = str(tmp_path / "ivf_np")
+    os.makedirs(feed)
+    for i, bdf in enumerate(batches):
+        stage = str(tmp_path / f"ivf_np_s{i}")
+        bdf.coalesce(1).write.parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dst = os.path.join(feed, f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    plan = assign_cells_auto(stream, cents).groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    snapshots = []
+    q = (
+        plan.writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda bdf, bid: snapshots.append(
+                {r.cid: r.n_vecs for r in bdf.collect()}
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    for prev, cur in zip(snapshots, snapshots[1:]):
+        for cid, n in prev.items():
+            assert cur.get(cid, 0) >= n  # stragglers absorb, never evict
+    assert {(c, n) for c, n in snapshots[-1].items()} == truth

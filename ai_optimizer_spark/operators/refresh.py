@@ -447,6 +447,16 @@ def sq8_store_refresh(
     cents, cent_rows = _centroid_model(emb, n_centroids)
     stored = sq8_cell_stats(emb.filter(F.col("vec_id") < cutoff), cents, rows=cent_rows)
     delta = sq8_cell_stats(emb.filter(F.col("vec_id") >= cutoff), cents, rows=cent_rows)
+    return sq8_stats_merge(stored, delta)
+
+
+def sq8_stats_merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """The t14 algebraic merge on its own: full-outer join of two
+    sq8_cell_stats tables (n_centroids rows each) — counts add, extrema
+    take greatest/least. Factored out so the million-vector probe
+    (tools/million_probe.py) can time the PRODUCTION shape — stored stats
+    read from a table, only the delta quantized — with the exact
+    expression t14's oracle verifies."""
     merged = stored.alias("h").join(delta.alias("d"), "cid", "full_outer")
     return merged.select(
         F.col("cid").cast("long").alias("cid"),

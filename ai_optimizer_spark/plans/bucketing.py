@@ -114,7 +114,13 @@ def ensure_clustered_store(
         emb = load_tables(spark, sf_dir)["embeddings"]
         _, assigned = _ivf_assign(emb, n_centroids)
         (
-            assigned.write.format("parquet")
+            # co-locate each cell in one shuffle partition before the
+            # partitioned write: without it every input task opens a
+            # writer per cell it touches (tasks × cells files — 65k tiny
+            # files at k=2048 on the million-vector tile); with it the
+            # store is one file per cell, the layout a probe wants
+            assigned.repartition("cid")
+            .write.format("parquet")
             .partitionBy("cid")
             .mode("overwrite")
             .saveAsTable(name)
@@ -374,8 +380,21 @@ def ensure_sq8_clustered_store(
         _, assigned = _ivf_assign(emb, n_centroids)
         (
             sq8_project(assigned).select(
-                "vec_id", "label", "scale", "codes", "cid"
+                "vec_id",
+                "label",
+                "scale",
+                # codes are integer-valued in [-127, 127]: store them as
+                # REAL int8 (parquet bit-packs to ~1 byte/element — the
+                # 4-8× at-rest cut the tier promises), not as the doubles
+                # the quantization expression emits. Read paths cast back
+                # to array<double> so scoring arithmetic is bit-identical
+                # to the unstored (v23) tier.
+                F.col("codes").cast("array<tinyint>").alias("codes"),
+                "cid",
             )
+            # one shuffle of the already-quantized payload buys a
+            # one-file-per-cell layout (see ensure_clustered_store)
+            .repartition("cid")
             .write.format("parquet")
             .partitionBy("cid")
             .mode("overwrite")
@@ -390,6 +409,7 @@ def quantized_clustered_topk(
     query_id: int = 0,
     k: int = 8,
     n_probe: int = 4,
+    n_centroids: int = IVF_N_CENTROIDS,
 ) -> DataFrame:
     """V24: IVF-pruned top-k over the QUANTIZED clustered store — v13's
     partition-pruned probe composed with v23's SQ8 scoring. The probe
@@ -408,12 +428,15 @@ def quantized_clustered_topk(
     from ..functions import vector as V
     from ..operators.similarity import _query_vectors
 
-    name = ensure_sq8_clustered_store(spark, sf_dir)
-    store = spark.table(name)
+    name = ensure_sq8_clustered_store(spark, sf_dir, n_centroids)
+    # int8 at rest; double in flight (bit-identical scoring vs v23)
+    store = spark.table(name).withColumn(
+        "codes", F.col("codes").cast("array<double>")
+    )
     tables = load_tables(spark, sf_dir)
     q = _query_vectors(tables, [query_id])
 
-    cents = tables["embeddings"].filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+    cents = tables["embeddings"].filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid2"), F.col("embedding").alias("ce")
     )
     probe_rows = (
@@ -488,6 +511,7 @@ def quantized_range_search(
     sf_dir: str,
     query_id: int = 0,
     radius: float | None = None,
+    n_centroids: int = IVF_N_CENTROIDS,
 ) -> DataFrame:
     """V25: range search over the QUANTIZED clustered store with STORED
     per-cell radii — the serving family's last uncomposed pair (v16b ×
@@ -518,12 +542,12 @@ def quantized_range_search(
 
     if radius is None:
         radius = RANGE_RADIUS
-    store = spark.table(ensure_sq8_clustered_store(spark, sf_dir))
-    radii = spark.table(ensure_sq8_cell_radii(spark, sf_dir))
+    store = spark.table(ensure_sq8_clustered_store(spark, sf_dir, n_centroids))
+    radii = spark.table(ensure_sq8_cell_radii(spark, sf_dir, n_centroids))
     tables = load_tables(spark, sf_dir)
     q = _query_vectors(tables, [query_id])
 
-    cents = tables["embeddings"].filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+    cents = tables["embeddings"].filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid2"), F.col("embedding").alias("ce")
     )
     live_rows = (
@@ -561,4 +585,74 @@ def quantized_range_search(
         .crossJoin(F.broadcast(q))
         .select("vec_id", "label", dist.alias("dist"))
         .filter(F.col("dist") <= radius)
+    )
+
+
+def quantized_ivf_knn_join(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 20,
+    k: int = 3,
+    n_probe: int = 4,
+    n_centroids: int = IVF_N_CENTROIDS,
+) -> DataFrame:
+    """V26: batch ANN kNN join over the QUANTIZED clustered store —
+    completing the serving matrix {single, batch} × {raw, SQ8}: v13/v15
+    serve the raw layout, v24 serves one query off the compressed layout,
+    this is the production read shape (a query BATCH amortizing one scan)
+    over the compressed layout. Queries and the centroid model come from
+    the SOURCE table (the store holds no raw vectors); each query's
+    n_probe cells resolve via a per-query window over the broadcast
+    centroid crossproduct, and the probe set joins the store on its
+    PARTITION column — runtime (dynamic) partition pruning, the v21
+    mechanism, because a per-query probe list cannot be a driver literal.
+    Candidates score as cosine over stored int8 codes (scale-invariance:
+    no dequantization), per-query top-k via one window.
+
+    Scale shape: ONE scan of the union of probed cells serves the whole
+    batch (per-query scans would read shared cells once per query); the
+    only full-width shuffle is the final window over candidates, bounded
+    by n_queries · n_probe · cell occupancy, not the corpus. Reference
+    semantics: batched retrieval across concurrent sessions
+    (vs_retriever.py:268-280) under the compressed clustered layout."""
+    from pyspark.sql import Window
+
+    from ..functions import vector as V
+
+    name = ensure_sq8_clustered_store(spark, sf_dir, n_centroids)
+    store = (
+        spark.table(name)
+        .withColumn("cid", F.col("cid").cast("long"))
+        # int8 at rest; double in flight (bit-identical scoring vs v23)
+        .withColumn("codes", F.col("codes").cast("array<double>"))
+    )
+    src = load_tables(spark, sf_dir)["embeddings"]
+    cents = src.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("ccid"), F.col("embedding").alias("ce")
+    )
+    q = src.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.asc("qdist"), F.asc("ccid"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "ccid",
+            "query_id",
+            "query_vec",
+            V.euclidean_distance("ce", "query_vec").alias("qdist"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("ccid").cast("long").alias("cid"), "query_id", "query_vec")
+    )
+    sim = F.round(V.cosine_similarity("codes", "query_vec"), 3) + F.lit(0.0)
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        store.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", "cid", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w_k))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
     )

@@ -3286,6 +3286,72 @@ ORACLE_SQL["v25_quantized_range_search"] = f"""
                 3) + 0.0 <= {RANGE_RADIUS}
 """
 
+# v26: batch kNN join over the QUANTIZED clustered store — the serving
+# matrix's last cell ({single,batch} × {raw,SQ8}): v15's batched probe
+# (per-query window over broadcast centroids, DPP into the partitioned
+# scan) composed with v23/v24's SQ8 scoring. Every approximation is
+# deterministic, so the oracle reproduces codes, per-query probes, and
+# the served per-query top-k end to end.
+from .plans.bucketing import quantized_ivf_knn_join  # noqa: E402
+
+QUERIES["v26_quantized_ivf_knn_join"] = quantized_ivf_knn_join
+ORACLE_SQL["v26_quantized_ivf_knn_join"] = f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 20
+    ),
+    assigned AS (
+        SELECT vec_id, label, ee, cid FROM (
+            SELECT e.vec_id, e.label, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    sc AS (
+        SELECT vec_id, label, cid, ee,
+               list_max(list_transform(ee, x -> abs(x))) / {S.SQ8_LEVELS}
+                   AS scale
+        FROM assigned
+    ),
+    qcodes AS (
+        SELECT vec_id, label, cid,
+               CASE WHEN scale > 0
+                    THEN list_transform(ee, x -> round(x / scale))
+                    ELSE list_transform(ee, x -> 0.0) END AS c
+        FROM sc
+    ),
+    probe AS (
+        SELECT cid, query_id, qe FROM (
+            SELECT c.cid, q.query_id, q.qe,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_distance(c.ce, q.qe) ASC, c.cid ASC
+                   ) AS rn
+            FROM cents c CROSS JOIN q
+        ) WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id, a.label, a.cid,
+               ROUND(list_cosine_similarity(a.c, p.qe), 3) + 0.0 AS cos_sim
+        FROM qcodes a JOIN probe p ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, label, cid, cos_sim FROM (
+        SELECT scored.*, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+        ) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+"""
+
 # v21: runtime (dynamic) partition pruning — the probe cell set is a
 # computed DataFrame, injected into the partitioned scan as a
 # dynamicpruningexpression (plan-tested); the literal-filter twin is v13.
@@ -5649,6 +5715,9 @@ _PRIORITY: list[str] = [
     # 10 strict-checked at sf0.001/0.01/0.1 this round. Parked to 51+:
     # r6-driver-green veterans j11/d17/v17/d14/st17/smp10/tx16/j28/a24/t13/mm3
     # (each family keeps >=2 prefix slots; repo gate still checks all).
+    # Late-r7: v26 (batch kNN over the quantized store, new this round,
+    # strict-checked at all 3 scales) enters the prefix; the slot-50 query
+    # shifts to 51+ (repo gate unchanged).
     # ANN / similarity tiers (IVF, k-means, IVFPQ, stored-layout serving)
     "v19_ann_operating_curve",
     "d3c_minhash_lsh_capped",
@@ -5658,6 +5727,7 @@ _PRIORITY: list[str] = [
     "v22_hier_ivf_topk",
     "v20_ivfpq_topk_np",
     "v25_quantized_range_search",
+    "v26_quantized_ivf_knn_join",
     # temporal / skew / bucketed / analytic join shapes
     "j12_banded_range_join",
     "st19_streaming_sq8_ingest",

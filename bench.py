@@ -53,6 +53,7 @@ HEADLINE = [
     "v23_sq8_topk",
     "v24_quantized_clustered_topk",
     "v25_quantized_range_search",
+    "v26_quantized_ivf_knn_join",
     "st19_streaming_sq8_ingest",
     "st4_sliding_window_counts",
     "d1_exact_dedup",

@@ -868,3 +868,21 @@ def test_quantized_range_search_prunes_partitions_no_exchange(spark):
     assert "cid" in plan.split("PartitionFilters", 1)[1][:200]
     assert "Exchange hashpartitioning" not in plan
     assert "codes" in plan
+
+
+def test_quantized_knn_join_dpp_single_store_scan(spark):
+    """v26 = the batch read shape over the compressed layout: the
+    per-query probe set (a computed DataFrame, never a driver literal)
+    must reach the partitioned store scan as a dynamicpruningexpression
+    (the v21 mechanism) through a broadcast join, the store is scanned
+    ONCE for the whole batch, and the scan reads codes — no raw embedding
+    column on the data side."""
+    plan = plan_of(spark, "v26_quantized_ivf_knn_join")
+    assert "dynamicpruningexpression" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # one scan NODE (formatted plans print tree line + detail header)
+    assert plan.count(") Scan parquet spark_catalog.default.embeddings_sq8") == 1
+    store_scan = plan.split(") Scan parquet spark_catalog.default.embeddings_sq8", 1)[1]
+    assert "codes" in store_scan[:400]
+    assert "embedding:array<float>" not in store_scan[:400]

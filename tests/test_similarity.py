@@ -528,3 +528,28 @@ def test_quantized_range_search_recall_and_pruning_consistency(spark, sf_small):
     for r in served_rows:
         assert abs(brute[r.vec_id] - r.dist) < 1e-9
     assert served <= set(brute)
+
+
+def test_quantized_knn_join_matches_per_query_v24(spark, sf_small):
+    """v26 (batch kNN over the SQ8 clustered store) must serve, for every
+    query in the batch, exactly what the single-query tier (v24) serves
+    with the same probe budget — the batch form changes amortization
+    (one scan, DPP instead of a literal filter), never results."""
+    from ai_optimizer_spark.plans.bucketing import (
+        quantized_clustered_topk,
+        quantized_ivf_knn_join,
+    )
+
+    batch = quantized_ivf_knn_join(spark, sf_small, n_queries=20, k=3, n_probe=4)
+    by_query = {}
+    for r in batch.collect():
+        by_query.setdefault(r.query_id, []).append((r.vec_id, r.cid, r.cos_sim))
+    assert set(by_query) == set(range(20))
+    for qid in (0, 7, 19):
+        single = [
+            (r.vec_id, r.cid, r.cos_sim)
+            for r in quantized_clustered_topk(
+                spark, sf_small, query_id=qid, k=3, n_probe=4
+            ).collect()
+        ]
+        assert sorted(by_query[qid]) == sorted(single), qid

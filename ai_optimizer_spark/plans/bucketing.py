@@ -358,48 +358,61 @@ def ensure_sq8_clustered_store(
     operators/similarity.sq8_scale_codes) AND partitioned by its IVF cell
     — pruning and compression composed, which is the actual 100 TB serving
     layout: a probe reads n_probe/n_centroids of a store that is itself
-    4-8× smaller at rest. Both transformations are scan-fused projections;
-    the write pays them once. Raw embeddings are NOT stored — the read
-    path never needs them (cosine scores raw codes; the exact query vector
-    comes from the source table). Idempotent per (warehouse, sf_dir)."""
-    import os
-    import shutil
-
+    ~4× smaller at rest (48 MB vs the 180 MB float32 source at the 1M
+    tile). Both transformations are scan-fused projections; the write pays
+    them once. Raw embeddings are NOT stored — the read path never needs
+    them (cosine scores raw codes; the exact query vector comes from the
+    source table). The per-cell radii statistic (v25's pruning bound)
+    rides the SAME assignment pass: a standalone radii build would re-run
+    the corpus-sized GEMM assignment a second time (measured 173 s of a
+    178 s store build at 1M vectors / k=2048 — the whole write path,
+    twice), and this is the one moment the raw vectors are guaranteed in
+    flight. Idempotent per (warehouse, sf_dir, n_centroids)."""
     from ..operators.similarity import _ivf_assign, sq8_project
 
     tag = re.sub(r"\W", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
     # n_centroids is part of the key: a later call with a different k must
     # not silently serve the stale layout (ADVICE r6)
     name = f"embeddings_sq8_{tag}_k{n_centroids}"
+    radii_name = f"sq8_cell_radii_{tag}_k{n_centroids}"
     if not spark.catalog.tableExists(name):
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-        loc = os.path.join(warehouse.removeprefix("file:"), name)
-        if warehouse.startswith(("file:", "/")) and os.path.exists(loc):
-            shutil.rmtree(loc)
+        _clear_stale_location(spark, name)
         emb = load_tables(spark, sf_dir)["embeddings"]
-        _, assigned = _ivf_assign(emb, n_centroids)
-        (
-            sq8_project(assigned).select(
-                "vec_id",
-                "label",
-                "scale",
-                # codes are integer-valued in [-127, 127]: store them as
-                # REAL int8 (parquet bit-packs to ~1 byte/element — the
-                # 4-8× at-rest cut the tier promises), not as the doubles
-                # the quantization expression emits. Read paths cast back
-                # to array<double> so scoring arithmetic is bit-identical
-                # to the unstored (v23) tier.
-                F.col("codes").cast("array<tinyint>").alias("codes"),
-                "cid",
+        cents, assigned = _ivf_assign(emb, n_centroids)
+        # persist across the two writes: without it the radii job would
+        # replay the whole assignment lineage (the corpus-sized GEMM)
+        assigned = assigned.persist()
+        try:
+            (
+                sq8_project(assigned).select(
+                    "vec_id",
+                    "label",
+                    "scale",
+                    # codes are integer-valued in [-127, 127]: store them
+                    # as REAL int8 (parquet bit-packs to ~1 byte/element —
+                    # the at-rest cut the tier promises), not as the
+                    # doubles the quantization expression emits. Read
+                    # paths cast back to array<double> so scoring
+                    # arithmetic is bit-identical to the unstored (v23)
+                    # tier.
+                    F.col("codes").cast("array<tinyint>").alias("codes"),
+                    "cid",
+                )
+                # one shuffle of the already-quantized payload buys a
+                # one-file-per-cell layout (see ensure_clustered_store)
+                .repartition("cid")
+                .write.format("parquet")
+                .partitionBy("cid")
+                .mode("overwrite")
+                .saveAsTable(name)
             )
-            # one shuffle of the already-quantized payload buys a
-            # one-file-per-cell layout (see ensure_clustered_store)
-            .repartition("cid")
-            .write.format("parquet")
-            .partitionBy("cid")
-            .mode("overwrite")
-            .saveAsTable(name)
-        )
+            if not spark.catalog.tableExists(radii_name):
+                _clear_stale_location(spark, radii_name)
+                _cell_radii(assigned, cents).write.format("parquet").mode(
+                    "overwrite"
+                ).saveAsTable(radii_name)
+        finally:
+            assigned.unpersist()
     return name
 
 
@@ -464,45 +477,60 @@ def quantized_clustered_topk(
     )
 
 
+def _clear_stale_location(spark: SparkSession, name: str) -> None:
+    """The in-memory catalog forgets tables between sessions but the
+    warehouse directory survives — clear a stale location so the managed
+    create doesn't refuse it (shared by every ensure_* writer here)."""
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    loc = os.path.join(warehouse.removeprefix("file:"), name)
+    if warehouse.startswith(("file:", "/")) and os.path.exists(loc):
+        shutil.rmtree(loc)
+
+
+def _cell_radii(assigned: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-cell max raw distance to seed centroid over an assignment —
+    ONE home for the r_cell formula so the fused store-build path and the
+    standalone builder can never drift. ROUNDed to 9 digits so the
+    boundary compare in the live-cell filter is bit-aligned with the SQL
+    oracle (the sq8 qerr/max_scale move)."""
+    from ..functions import vector as V
+
+    return (
+        assigned.join(
+            F.broadcast(cents.select(F.col("cid").alias("cid2"), "ce")),
+            F.col("cid") == F.col("cid2"),
+        )
+        .select("cid", V.euclidean_distance("embedding", "ce").alias("dc"))
+        .groupBy("cid")
+        .agg((F.round(F.max("dc"), 9) + F.lit(0.0)).alias("r_cell"))
+    )
+
+
 def ensure_sq8_cell_radii(
     spark: SparkSession, sf_dir: str, n_centroids: int = IVF_N_CENTROIDS
 ) -> str:
     """Per-cell max raw distance to seed centroid (r_cell), the stored
-    pruning statistic for the QUANTIZED store family — computed from the
-    source vectors at write time (they are in flight during ingest; only
-    the n_centroids-row statistic is kept, so the at-rest story stays
-    codes-only). Values are ROUNDed to 9 digits so the boundary compare in
-    the live-cell filter is bit-aligned with the SQL oracle (the sq8
-    qerr/max_scale move). Depends only on the SOURCE table — never
-    materializes a raw clustered store. Idempotent per (warehouse, sf_dir,
+    pruning statistic for the QUANTIZED store family — normally written
+    by ensure_sq8_clustered_store in the SAME pass as the store (the raw
+    vectors are in flight exactly once; this call then no-ops on the
+    existing table). The standalone path below exists for a radii-only
+    rebuild and depends only on the SOURCE table — it never materializes
+    a raw clustered store. Idempotent per (warehouse, sf_dir,
     n_centroids)."""
-    import os
-    import shutil
-
-    from ..functions import vector as V
     from ..operators.similarity import _ivf_assign
 
     tag = re.sub(r"\W", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
     name = f"sq8_cell_radii_{tag}_k{n_centroids}"
     if not spark.catalog.tableExists(name):
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-        loc = os.path.join(warehouse.removeprefix("file:"), name)
-        if warehouse.startswith(("file:", "/")) and os.path.exists(loc):
-            shutil.rmtree(loc)
+        _clear_stale_location(spark, name)
         emb = load_tables(spark, sf_dir)["embeddings"]
         cents, assigned = _ivf_assign(emb, n_centroids)
-        radii = (
-            assigned.join(
-                F.broadcast(cents.select(F.col("cid").alias("cid2"), "ce")),
-                F.col("cid") == F.col("cid2"),
-            )
-            .select(
-                "cid", V.euclidean_distance("embedding", "ce").alias("dc")
-            )
-            .groupBy("cid")
-            .agg((F.round(F.max("dc"), 9) + F.lit(0.0)).alias("r_cell"))
-        )
-        radii.write.format("parquet").mode("overwrite").saveAsTable(name)
+        _cell_radii(assigned, cents).write.format("parquet").mode(
+            "overwrite"
+        ).saveAsTable(name)
     return name
 
 

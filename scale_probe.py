@@ -58,6 +58,8 @@ OPS = [
     "v20_ivfpq_topk_np",
     "v23_sq8_topk",
     "v24_quantized_clustered_topk",
+    "v25_quantized_range_search",
+    "v26_quantized_ivf_knn_join",
     "smp6_sequence_packing",
     "smp9_token_budget_select",
     "smp10_dsir_importance",

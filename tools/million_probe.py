@@ -16,8 +16,12 @@ tens of minutes (SCALE.md finding 11).
 Timed phases (the lifecycle v24's docstring promises):
   1. store_build   — ensure_sq8_clustered_store at auto-k: np-tier GEMM
                      assignment + SQ8 quantization + one repartition(cid)
-                     shuffle + partitioned write (one file per cell).
-  2. radii_build   — ensure_sq8_cell_radii at auto-k (the v25 statistic).
+                     shuffle + partitioned write (one file per cell), and
+                     the per-cell radii statistic off the SAME persisted
+                     assignment (a standalone radii build measured 173 s
+                     at this scale — the whole assignment pass, twice).
+  2. radii_build   — ensure_sq8_cell_radii: a table-exists no-op after
+                     the fused build (asserted near-zero).
   3. t14_refresh   — the PRODUCTION incremental shape: per-cell stats for
                      a 5% delta + sq8_stats_merge against STORED stats
                      read back from a table (the probe materializes the

@@ -16,7 +16,7 @@ bucket-partitioned by key so the diff is co-located.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SNAPSHOT_CUTOFF = "2024-01-21 00:00:00"
@@ -473,4 +473,111 @@ def sq8_stats_merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
         (F.least(F.col("h.min_scale"), F.col("d.min_scale")) + F.lit(0.0)).alias(
             "min_scale"
         ),
+    )
+
+
+def cell_split_repair(
+    t: dict[str, DataFrame],
+    n_centroids: int = 16,
+    hot_num: int = 11,
+    hot_den: int = 10,
+) -> DataFrame:
+    """T15: hot-cell SPLIT repair — the action behind the trigger t14's
+    health stats watch (refresh.py sq8_store_refresh: "the
+    re-quantize/split-cell trigger"). Cells whose occupancy exceeds
+    hot_num/hot_den × the average are split in two with a deterministic,
+    iteration-free 2-seeding: seed A = the cell's min-vec_id member,
+    seed B = the member farthest from A (ties → min vec_id), members
+    reassign to the nearer seed (ties → A). Output is the repaired
+    sub-cell geometry — (cid, seed_vec_id, n_vecs, r_sub) — the rows a
+    store maintainer would write back as new cells + radii.
+
+    Determinism is the whole design: no k-means iterations, no RNG, ties
+    totally ordered — so the DuckDB oracle reproduces the split
+    bit-for-bit and the repair is hash-verified like any query (the
+    d3c/v22 move applied to a WRITE-path action). Fixture thresholds
+    (1.1× average, k=16) keep every scale's hot set non-empty; production
+    runs the same op with the t14-monitored occupancy cap (e.g. 2× the
+    SEMDEDUP_CELL_TARGET occupancy the auto-k aims at).
+
+    Scale shape: occupancy is a k-row aggregate off the (checkpointed)
+    assignment; everything downstream — seeds, distances, reassignment —
+    touches ONLY hot-cell members (on a clustered store that read is
+    partition-pruned to the hot cells), and every join is against a
+    broadcast k- or 2k-row model table. Cost: O(hot members · d + k),
+    never O(corpus) past the occupancy scan — the repair is cheaper than
+    the rebuild it replaces (the reference rebuilds the whole store,
+    embed/refresh.py:28-143)."""
+    from ..functions import vector as V
+    from .similarity import _ivf_assign
+
+    emb = t["embeddings"]
+    cents, assigned = _ivf_assign(emb, n_centroids)
+    assigned = assigned.select("vec_id", "cid", "embedding").localCheckpoint(
+        eager=False
+    )  # feeds occupancy AND member reads — one assignment pass
+    occ = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = occ.agg(F.sum("n_vecs").alias("n_total"))
+    # exact integer threshold: n_vecs > (hot_num/hot_den)·(n_total/k)
+    hot = (
+        occ.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("n_vecs") * hot_den * n_centroids
+            > F.lit(hot_num) * F.col("n_total")
+        )
+        .select(F.col("cid").alias("h_cid"))
+    )
+    members = assigned.join(
+        F.broadcast(hot), F.col("cid") == F.col("h_cid")
+    ).select("vec_id", "cid", "embedding")
+
+    seed_a = members.groupBy(F.col("cid").alias("a_cid")).agg(
+        F.min("vec_id").alias("a_vec")
+    )
+    seed_a_e = members.join(
+        F.broadcast(seed_a),
+        (F.col("cid") == F.col("a_cid")) & (F.col("vec_id") == F.col("a_vec")),
+    ).select("a_cid", "a_vec", F.col("embedding").alias("a_emb"))
+
+    da = members.join(F.broadcast(seed_a_e), F.col("cid") == F.col("a_cid")).select(
+        "cid",
+        "vec_id",
+        "embedding",
+        "a_vec",
+        V.euclidean_distance("embedding", "a_emb").alias("dist_a"),
+    )
+    w_far = Window.partitionBy("cid").orderBy(F.desc("dist_a"), F.asc("vec_id"))
+    seed_b_e = (
+        da.withColumn("rn", F.row_number().over(w_far))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cid").alias("b_cid"),
+            F.col("vec_id").alias("b_vec"),
+            F.col("embedding").alias("b_emb"),
+        )
+    )
+    scored = da.join(F.broadcast(seed_b_e), F.col("cid") == F.col("b_cid")).select(
+        "cid",
+        "vec_id",
+        "a_vec",
+        "b_vec",
+        "dist_a",
+        V.euclidean_distance("embedding", "b_emb").alias("dist_b"),
+    )
+    sub = scored.select(
+        "cid",
+        F.when(F.col("dist_a") <= F.col("dist_b"), F.col("a_vec"))
+        .otherwise(F.col("b_vec"))
+        .alias("seed_vec_id"),
+        F.when(F.col("dist_a") <= F.col("dist_b"), F.col("dist_a"))
+        .otherwise(F.col("dist_b"))
+        .alias("d_sub"),
+    )
+    return (
+        sub.groupBy("cid", "seed_vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            (F.round(F.max("d_sub"), 3) + F.lit(0.0)).alias("r_sub"),
+        )
+        .orderBy("cid", "seed_vec_id")
     )

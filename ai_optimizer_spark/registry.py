@@ -5405,6 +5405,73 @@ _register(
     ORACLE_SQL["st19_streaming_sq8_ingest"],
 )
 
+# t15: the ACTION behind t14's split-cell trigger — deterministic
+# (iteration-free, RNG-free, ties totally ordered) hot-cell 2-split, so
+# the repair itself is oracle-verified like any read query.
+_register(
+    "t15_cell_split_repair",
+    RF.cell_split_repair,
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, ee AS ce FROM e WHERE vec_id < 16),
+    assigned AS (
+        SELECT vec_id, ee, cid FROM (
+            SELECT e.vec_id, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    occ AS (SELECT cid, COUNT(*) AS n_vecs FROM assigned GROUP BY 1),
+    tot AS (SELECT SUM(n_vecs) AS n_total FROM occ),
+    hot AS (
+        SELECT cid FROM occ, tot WHERE n_vecs * 10 * 16 > 11 * n_total
+    ),
+    members AS (
+        SELECT a.vec_id, a.cid, a.ee FROM assigned a JOIN hot USING (cid)
+    ),
+    seed_a AS (SELECT cid, MIN(vec_id) AS a_vec FROM members GROUP BY 1),
+    seed_a_e AS (
+        SELECT s.cid, s.a_vec, m.ee AS a_emb
+        FROM seed_a s JOIN members m ON m.cid = s.cid AND m.vec_id = s.a_vec
+    ),
+    da AS (
+        SELECT m.cid, m.vec_id, m.ee, s.a_vec,
+               list_distance(m.ee, s.a_emb) AS dist_a
+        FROM members m JOIN seed_a_e s ON m.cid = s.cid
+    ),
+    seed_b_e AS (
+        SELECT cid, vec_id AS b_vec, ee AS b_emb FROM (
+            SELECT cid, vec_id, ee, ROW_NUMBER() OVER (
+                PARTITION BY cid ORDER BY dist_a DESC, vec_id ASC
+            ) AS rn FROM da
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT d.cid, d.vec_id, d.a_vec, b.b_vec, d.dist_a,
+               list_distance(d.ee, b.b_emb) AS dist_b
+        FROM da d JOIN seed_b_e b ON d.cid = b.cid
+    ),
+    sub AS (
+        SELECT cid,
+               CASE WHEN dist_a <= dist_b THEN a_vec ELSE b_vec END
+                   AS seed_vec_id,
+               CASE WHEN dist_a <= dist_b THEN dist_a ELSE dist_b END
+                   AS d_sub
+        FROM scored
+    )
+    SELECT cid, seed_vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(MAX(d_sub), 3) + 0.0 AS r_sub
+    FROM sub GROUP BY 1, 2
+    ORDER BY cid, seed_vec_id
+    """,
+)
+
 _register(
     "smp13_mixture_epochs",
     SMP.mixture_epochs,
@@ -5715,9 +5782,10 @@ _PRIORITY: list[str] = [
     # 10 strict-checked at sf0.001/0.01/0.1 this round. Parked to 51+:
     # r6-driver-green veterans j11/d17/v17/d14/st17/smp10/tx16/j28/a24/t13/mm3
     # (each family keeps >=2 prefix slots; repo gate still checks all).
-    # Late-r7: v26 (batch kNN over the quantized store, new this round,
-    # strict-checked at all 3 scales) enters the prefix; the slot-50 query
-    # shifts to 51+ (repo gate unchanged).
+    # Late-r7: v26 (batch kNN over the quantized store) and t15 (hot-cell
+    # split repair, the action behind t14's trigger) — both new this round
+    # and strict-checked at all 3 scales — enter the prefix; slots 50/49
+    # shift to 51+ (repo gate unchanged).
     # ANN / similarity tiers (IVF, k-means, IVFPQ, stored-layout serving)
     "v19_ann_operating_curve",
     "d3c_minhash_lsh_capped",
@@ -5759,6 +5827,7 @@ _PRIORITY: list[str] = [
     "st13_streaming_ivf_assign",
     "t10_span_index_refresh",
     "t14_sq8_store_refresh",
+    "t15_cell_split_repair",
     "t11_cell_stats_refresh",
     "tx20_tokenizer_fertility",
     # aggregation extensions + sampling/packing (+ j28/a24 Q2/Q11, new r5)

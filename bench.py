@@ -111,6 +111,7 @@ HEADLINE = [
     "t11_cell_stats_refresh",
     "t13_bloom_index_refresh",
     "t14_sq8_store_refresh",
+    "t15_cell_split_repair",
     "t12_drift_monitor",
     "st15_streaming_drift_monitor",
     "v16b_clustered_range_search",

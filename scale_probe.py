@@ -76,6 +76,7 @@ OPS = [
     "t10_span_index_refresh",
     "t13_bloom_index_refresh",
     "t14_sq8_store_refresh",
+    "t15_cell_split_repair",
     "t11_cell_stats_refresh",
     "t12_drift_monitor",
     # events family (VERDICT r3 task #7): per-user chained aggregates —

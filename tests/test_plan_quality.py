@@ -886,3 +886,15 @@ def test_quantized_knn_join_dpp_single_store_scan(spark):
     store_scan = plan.split(") Scan parquet spark_catalog.default.embeddings_sq8", 1)[1]
     assert "codes" in store_scan[:400]
     assert "embedding:array<float>" not in store_scan[:400]
+
+
+def test_cell_split_repair_broadcast_models_no_python(spark):
+    """t15: the repair must stay on the oracle-pinned flat assignment at
+    fixture k (no Python stage), join ONLY against broadcast model tables
+    (hot set <= k rows, seeds <= 2k rows — never a shuffle join), and
+    derive everything from ONE checkpointed assignment pass."""
+    plan = plan_of(spark, "t15_cell_split_repair")
+    assert "MapInPandas" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed assignment
+    assert "BroadcastHashJoin" in plan

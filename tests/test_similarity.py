@@ -553,3 +553,60 @@ def test_quantized_knn_join_matches_per_query_v24(spark, sf_small):
             ).collect()
         ]
         assert sorted(by_query[qid]) == sorted(single), qid
+
+
+def test_cell_split_repair_tightens_hot_cells(spark, sf_small):
+    """t15 semantic contract: (a) exactly the hot cells (occupancy >
+    1.1x average under the fixture threshold) are repaired, each into at
+    most two sub-cells whose counts sum to the original occupancy; (b)
+    the split TIGHTENS geometry — every sub-cell radius is <= the
+    original cell's radius around seed A (the repair must never make a
+    cell worse); (c) re-running the repair on unchanged data is
+    deterministic (bit-equal output)."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.operators.refresh import cell_split_repair
+    from ai_optimizer_spark.operators.similarity import _ivf_assign
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    out = cell_split_repair(t).collect()
+    assert out == cell_split_repair(t).collect()  # deterministic
+
+    cents, assigned = _ivf_assign(t["embeddings"], 16)
+    occ = {r.cid: r.n_vecs for r in assigned.groupBy("cid").count().withColumnRenamed("count", "n_vecs").collect()}
+    n_total = sum(occ.values())
+    hot = {c for c, n in occ.items() if n * 10 * 16 > 11 * n_total}
+    assert hot, "fixture threshold must fire"
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cid, []).append(r)
+    assert set(by_cell) == hot
+    for cid, subs in by_cell.items():
+        assert 1 <= len(subs) <= 2
+        assert sum(s.n_vecs for s in subs) == occ[cid]
+    # radius around seed A of the ORIGINAL hot cell, for the tightening bound
+    seed_a = {
+        r.cid: r.a_vec
+        for r in assigned.filter(F.col("cid").isin(*hot))
+        .groupBy("cid")
+        .agg(F.min("vec_id").alias("a_vec"))
+        .collect()
+    }
+    emb_by_id = {
+        r.vec_id: r.embedding
+        for r in t["embeddings"]
+        .filter(F.col("vec_id").isin(*{v for v in seed_a.values()}))
+        .collect()
+    }
+    import math
+
+    for cid in hot:
+        a_emb = emb_by_id[seed_a[cid]]
+        members = assigned.filter(F.col("cid") == cid).collect()
+        r_orig = max(
+            math.sqrt(sum((x - y) ** 2 for x, y in zip(m.embedding, a_emb)))
+            for m in members
+        )
+        for s in by_cell[cid]:
+            assert s.r_sub <= round(r_orig, 3) + 1e-9, (cid, s.r_sub, r_orig)

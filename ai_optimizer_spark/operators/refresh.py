@@ -581,3 +581,81 @@ def cell_split_repair(
         )
         .orderBy("cid", "seed_vec_id")
     )
+
+
+def store_delete_repair(
+    t: dict[str, DataFrame],
+    n_centroids: int = 16,
+    del_mod: int = 41,
+    del_rem: int = 5,
+) -> DataFrame:
+    """T16: delete propagation through the clustered store — the
+    right-to-be-forgotten path (GDPR/CCPA erasure, retraction of
+    poisoned/contaminated vectors). Input is a delete list of vec_ids
+    (here the deterministic fixture set vec_id % del_mod == del_rem; in
+    production the erasure queue); output is the per-AFFECTED-cell repair
+    record a store maintainer writes back: surviving count and the
+    re-tightened pruning radius — exactly the statistics v24/v25's probe
+    math reads, so serving stays correct the moment the rewrite lands.
+
+    Scale shape, in production order:
+      1. resolve deletes → cells: the delete list BROADCASTS (erasure
+         batches are tiny against the corpus) into a map-only semi-probe
+         of the store's (vec_id, cid) columns — no corpus shuffle; on the
+         cid-partitioned layout the subsequent member read is a literal
+         partition filter over |affected| cells.
+      2. rewrite: anti-join survivors within affected partitions only —
+         cost O(affected members), never O(corpus). Cells the list never
+         touched are not read, not rewritten, and keep their stats.
+      3. stats: r_cell is a MAX, which is NOT decrement-algebraic (unlike
+         t14's merge direction: maxes merge up but never down), so the
+         radius must re-aggregate — but only over affected-cell
+         survivors, which step 1 already bounded. A fully-emptied cell
+         reports r_cell_after = 0.0 (nothing left to prune against).
+    The reference rebuilds its whole store on any mutation
+    (embed/refresh.py:28-143); at 100 TB erasure must be
+    partition-pruned or it cannot be honored at all.
+
+    Deterministic delete set + deterministic assignment ⇒ the DuckDB
+    oracle reproduces counts and radii bit-for-bit (the t15 move: a
+    WRITE-path action verified like a query)."""
+    from ..functions import vector as V
+    from .similarity import _ivf_assign
+
+    emb = t["embeddings"]
+    cents, assigned = _ivf_assign(emb, n_centroids)
+    flagged = assigned.select(
+        "vec_id",
+        "cid",
+        "embedding",
+        (F.col("vec_id") % del_mod == del_rem).alias("is_del"),
+    ).localCheckpoint(eager=False)  # feeds affected-set AND member reads
+    affected = (
+        flagged.filter(F.col("is_del"))
+        .select(F.col("cid").alias("a_cid"))
+        .distinct()
+    )
+    members = flagged.join(
+        F.broadcast(affected), F.col("cid") == F.col("a_cid")
+    ).drop("a_cid")
+    dist = members.join(
+        F.broadcast(cents.select(F.col("cid").alias("c_cid"), "ce")),
+        F.col("cid") == F.col("c_cid"),
+    ).select(
+        "cid",
+        "is_del",
+        V.euclidean_distance("embedding", "ce").alias("dc"),
+    )
+    return dist.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum(F.when(F.col("is_del"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_deleted"),
+        F.sum(F.when(F.col("is_del"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_after"),
+        F.coalesce(
+            F.round(F.max(F.when(~F.col("is_del"), F.col("dc"))), 9),
+            F.lit(0.0),
+        ).alias("r_cell_after"),
+    )

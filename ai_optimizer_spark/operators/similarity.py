@@ -1558,3 +1558,110 @@ def sq8_cell_stats(emb: DataFrame, cents: DataFrame, rows=None) -> DataFrame:
             (F.round(F.min("scale"), 9) + F.lit(0.0)).alias("min_scale"),
         )
     )
+
+
+def residual_sq8_project(assigned: DataFrame, cents: DataFrame) -> DataFrame:
+    """Residual SQ8 quantization over a cell assignment — the FAISS
+    IVF+SQ `by_residual` write path: each vector stores the SQ8 codes of
+    (x − centroid[cid]) instead of x itself. The grid step is rscale =
+    max|resid|/127: it shrinks with the CELL radius, so reconstruction
+    error beats direct SQ8 exactly where cells are tighter than vector
+    magnitudes (real embedding corpora cluster; that is why FAISS defaults
+    IVF scalar quantizers to by_residual). On an UNCLUSTERED corpus the
+    residual is no smaller than the vector (‖x−c‖ ≈ √2‖x‖ for independent
+    directions) and direct SQ8 is at par or better — measured honestly on
+    the uniform synthetic fixture in tests/test_similarity.py, which
+    asserts the win on a constructed tight-cluster corpus and the
+    per-dim half-step error contract (err ≤ rscale/2) everywhere.
+
+    HOF discipline (the v23/ADVICE-r6 rule): `resid` is materialized as a
+    COLUMN before `rscale` folds over it, and `rcodes` references both as
+    columns — no fold is ever inlined inside another lambda, so nothing
+    re-evaluates per element. Three stacked projections, all scan-fused:
+    residual quantization adds ZERO shuffles over the assignment pass it
+    rides (the same pass that writes the clustered layout)."""
+    joined = assigned.join(
+        F.broadcast(cents.select(F.col("cid").alias("r_cid"), "ce")),
+        F.col("cid") == F.col("r_cid"),
+    ).drop("r_cid")
+    # explicit DOUBLE arithmetic: float−float would round to float
+    # precision while the DuckDB oracle subtracts exactly-widened doubles
+    resid = joined.withColumn(
+        "resid",
+        F.zip_with(
+            "embedding", "ce", lambda x, c: x.cast("double") - c.cast("double")
+        ),
+    )
+    scaled = resid.withColumn(
+        "rscale",
+        F.array_max(F.transform("resid", lambda r: F.abs(r)))
+        / F.lit(float(SQ8_LEVELS)),
+    )
+    rcodes = F.when(
+        F.col("rscale") > 0,
+        F.transform("resid", lambda r: F.round(r / F.col("rscale"))),
+    ).otherwise(F.transform("resid", lambda r: F.lit(0.0)))
+    return scaled.withColumn("rcodes", rcodes)
+
+
+def residual_sq8_topk(
+    t: dict[str, DataFrame],
+    query_id: int = 0,
+    k: int = TOP_K,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """V27: IVF-pruned top-k over RESIDUAL-quantized codes — v24's probe
+    with the store's codes holding SQ8(x − centroid) rather than SQ8(x).
+    This is the classic FAISS IVF-SQ8 configuration (by_residual=true):
+    the cell geometry the IVF layout already paid for is reused to centre
+    the quantizer, so the code grid spans the CELL's extent, not the whole
+    space — finer wherever cells are tighter than vector magnitudes (the
+    clustered-corpus regime; see residual_sq8_project on when it is not).
+
+    Read path must dequantize (cosine is scale-invariant in the codes only
+    when the centroid is zero): candidates reconstruct
+    x̂ = ce + rcodes·rscale via one zip_with against the BROADCAST k-row
+    centroid table, materialized as a column before scoring (HOF
+    discipline), then score cosine(x̂, q) exactly like v5. Deterministic
+    assignment + deterministic arithmetic ⇒ the DuckDB oracle reproduces
+    the exact served set, approximation included (the d3c/v22/v24 move).
+
+    Scale shape: identical to v24 — on the stored layout the probe is a
+    literal partition filter over a ~4× compressed store; the added
+    reconstruction is d multiply-adds per candidate against a broadcast
+    model table (no extra shuffle, no extra scan). What the residual buys
+    at 100 TB: the SAME bandwidth as v24 with reconstruction error closer
+    to the flat tier — the knob between v23 (cheap, coarse) and raw
+    float32 (exact, 4× the bytes).
+    Reference semantics: vs_retriever.py:268-280 top-k under a
+    compressed-at-rest, cell-centred layout."""
+    emb = t["embeddings"]
+    cents, assigned = _ivf_assign(emb, n_centroids)
+    store = residual_sq8_project(assigned, cents).select(
+        "vec_id", "label", "cid", "ce", "rscale", "rcodes"
+    )
+    q = _query_vectors(t, [query_id])
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", V.euclidean_distance("ce", "query_vec").alias("qdist"))
+        .orderBy(F.asc("qdist"), F.asc("cid"))
+        .limit(n_probe)
+        .select("cid")
+    )
+    recon = store.join(F.broadcast(probe), "cid", "left_semi").withColumn(
+        "recon", F.zip_with("ce", "rcodes", lambda c, rc: c + rc * F.col("rscale"))
+    )
+    sim = F.round(V.cosine_similarity("recon", "query_vec"), 3) + F.lit(0.0)
+    return (
+        recon.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").cast("long").alias("cid"),
+            sim.alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -3352,6 +3352,71 @@ ORACLE_SQL["v26_quantized_ivf_knn_join"] = f"""
     ) WHERE rnk <= 3
 """
 
+# v27: residual SQ8 — the FAISS IVF-SQ by_residual configuration: codes
+# quantize (x − centroid[cid]) so the 8-bit grid spans the CELL, not the
+# corpus. Read path reconstructs x̂ = ce + rcodes·rscale against the
+# broadcast centroid model, then scores like v5. All arithmetic is
+# deterministic, so the oracle reproduces residuals, codes, the probe,
+# the reconstruction, and the exact served set (the d3c/v22/v24 move).
+_register(
+    "v27_residual_sq8_topk",
+    S.residual_sq8_topk,
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    assigned AS (
+        SELECT vec_id, label, ee, cid FROM (
+            SELECT e.vec_id, e.label, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    resid AS (
+        SELECT a.vec_id, a.label, a.cid, c.ce,
+               list_transform(generate_series(1, len(a.ee)),
+                              i -> a.ee[i] - c.ce[i]) AS r
+        FROM assigned a JOIN cents c ON a.cid = c.cid
+    ),
+    sc AS (
+        SELECT vec_id, label, cid, ce, r,
+               list_max(list_transform(r, x -> abs(x))) / {S.SQ8_LEVELS}
+                   AS rscale
+        FROM resid
+    ),
+    rcodes AS (
+        SELECT vec_id, label, cid, ce, rscale,
+               CASE WHEN rscale > 0
+                    THEN list_transform(r, x -> round(x / rscale))
+                    ELSE list_transform(r, x -> 0.0) END AS rc
+        FROM sc
+    ),
+    probe AS (
+        SELECT c.cid FROM cents c, q
+        ORDER BY list_distance(c.ce, q.qe) ASC, c.cid ASC
+        LIMIT 4
+    ),
+    recon AS (
+        SELECT a.vec_id, a.label, a.cid,
+               list_transform(generate_series(1, len(a.rc)),
+                              i -> a.ce[i] + a.rc[i] * a.rscale) AS xr
+        FROM rcodes a JOIN probe p ON a.cid = p.cid
+    )
+    SELECT a.vec_id, a.label, a.cid,
+           ROUND(list_cosine_similarity(a.xr, q.qe), 3) + 0.0 AS cos_sim
+    FROM recon a, q
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id ASC
+    LIMIT {S.TOP_K}
+    """,
+)
+
 # v21: runtime (dynamic) partition pruning — the probe cell set is a
 # computed DataFrame, injected into the partitioned scan as a
 # dynamicpruningexpression (plan-tested); the literal-filter twin is v13.
@@ -5469,6 +5534,48 @@ _register(
            ROUND(MAX(d_sub), 3) + 0.0 AS r_sub
     FROM sub GROUP BY 1, 2
     ORDER BY cid, seed_vec_id
+    """,
+)
+
+# t16: delete propagation (right-to-be-forgotten) through the clustered
+# store — per-affected-cell survivor count + re-tightened radius, the
+# exact statistics v24/v25's probes read. Deterministic delete list +
+# deterministic assignment, so the repair record is oracle-verified like
+# t15 (a write-path action checked as a query). Cells the delete list
+# never touched must be ABSENT (they are never read or rewritten).
+_register(
+    "t16_store_delete_repair",
+    RF.store_delete_repair,
+    """
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT vec_id, ee, cid FROM (
+            SELECT e.vec_id, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    flagged AS (
+        SELECT a.vec_id, a.cid, a.ee, (a.vec_id % 41 = 5) AS is_del,
+               list_distance(a.ee, c.ce) AS dc
+        FROM assigned a JOIN cents c ON a.cid = c.cid
+    ),
+    affected AS (SELECT DISTINCT cid FROM flagged WHERE is_del)
+    SELECT f.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           CAST(SUM(CASE WHEN is_del THEN 0 ELSE 1 END) AS BIGINT) AS n_after,
+           COALESCE(ROUND(MAX(CASE WHEN NOT is_del THEN dc END), 9), 0.0) + 0.0
+               AS r_cell_after
+    FROM flagged f JOIN affected a ON f.cid = a.cid
+    GROUP BY f.cid
     """,
 )
 

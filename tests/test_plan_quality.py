@@ -898,3 +898,31 @@ def test_cell_split_repair_broadcast_models_no_python(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan  # the checkpointed assignment
     assert "BroadcastHashJoin" in plan
+
+
+def test_residual_sq8_topk_all_broadcast_single_fold(spark):
+    """v27's read plan: broadcast-only joins (centroid model + probe list
+    + 1-row query), TakeOrderedAndProject for the cut, and the rscale
+    fold evaluated ONCE (a re-expanded fold inside the rcodes/recon
+    lambdas would show as repeated array_max occurrences — the HOF trap
+    every SQ8 path is audited against)."""
+    plan = plan_of(spark, "v27_residual_sq8_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("array_max") == 1
+
+
+def test_store_delete_repair_broadcast_affected_only(spark):
+    """t16: the delete list and both model tables must BROADCAST (erasure
+    batches are tiny — a sort-merge join would reshuffle the corpus), the
+    fixture k=16 stays on the flat assignment tier (no Python stage), and
+    the only keyed exchanges are cell-bounded aggregates (the affected-set
+    distinct + the per-cell stats), never a corpus-keyed repartition."""
+    plan = plan_of(spark, "t16_store_delete_repair")
+    assert "MapInPandas" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # every hashpartitioning exchange keys on a cell id, never on vec_id
+    for seg in plan.split("hashpartitioning(")[1:]:
+        assert seg.split(",", 1)[0].strip().split("#")[0] in ("cid", "a_cid")

@@ -1620,3 +1620,121 @@ def choose_lsh_bucket_cap_safe(
         t, headroom=headroom, recall_floor=recall_floor, sample_mod=sample_mod
     ).collect()
     return int(next(r.cap for r in rows if r.chosen))
+
+
+DELTA_MOD = 8
+DELTA_REM = 7
+
+
+def incremental_lsh_dedup(
+    t: dict[str, DataFrame],
+    threshold: float = JACCARD_THRESHOLD,
+    delta_mod: int = DELTA_MOD,
+    delta_rem: int = DELTA_REM,
+    max_bucket_size: int = LSH_MAX_BUCKET_DEFAULT,
+) -> DataFrame:
+    """D24: incremental near-dup gate — dedup an INGEST BATCH against the
+    existing corpus without ever re-pairing the corpus with itself. This
+    is the production dedup shape: a crawl/snapshot pipeline runs the full
+    d3 cascade once, then every subsequent batch must answer "is this new
+    doc a near-dup of ANYTHING already kept?" — a delta×corpus question,
+    never corpus×corpus (which d3 already answered and which re-running
+    would cost O(corpus) per batch).
+
+    Fixture split: doc_id % delta_mod == delta_rem is the incoming batch
+    (~1/8 of the corpus), the rest is the stored side. In production the
+    stored side's (doc_id, band, key) rows are a PERSISTED table written
+    by the initial cascade and appended per accepted batch (the t13
+    narrative: simulation derives it, the artifact is exactly what this
+    op joins against) — so the per-batch cost is:
+
+      1. shingle+minhash the DELTA only (delta-sized text pass),
+      2. equi-join its band keys against the stored band table — with the
+         stored side bucket-capped (the d3c skew guard: boilerplate
+         buckets are capped AT REST, so a pathological batch cannot
+         trigger a quadratic wave),
+      3. verify candidates with exact Jaccard — both shingle probes are
+         candidate-bounded broadcasts, the corpus shingle index never
+         reshuffles.
+
+    Output is a per-delta-doc VERDICT (not pairs): n_dups, the earliest
+    matching kept doc, the best Jaccard, and is_new — the row an ingest
+    controller acts on (insert vs reject vs link-as-duplicate). Docs with
+    no candidate collisions appear with n_dups = 0 (left join): the gate
+    must answer for EVERY incoming doc, silence is not a verdict.
+    Reference: the vector store's per-batch seen-set dedup
+    (embed/vector_store.py:112-118) generalized from exact to near-dup."""
+    docs = t["documents"]
+    is_delta = (F.col("doc_id") % delta_mod) == delta_rem
+    delta_docs = docs.filter(is_delta)
+    corpus_docs = docs.filter(~is_delta)
+
+    # production: spark.table("lsh_band_index"); simulation: derive it
+    corpus_bands = minhash_band_keys(corpus_docs)
+    bucket_sizes = corpus_bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    corpus_bands = (
+        corpus_bands.join(bucket_sizes, ["band", "key"])
+        .filter(F.col("bucket_n") <= max_bucket_size)
+        .drop("bucket_n")
+    )
+    delta_bands = minhash_band_keys(delta_docs)
+
+    candidates = (
+        delta_bands.alias("db")
+        .join(
+            corpus_bands.alias("cb"),
+            (F.col("db.band") == F.col("cb.band"))
+            & (F.col("db.key") == F.col("cb.key")),
+        )
+        .select(
+            F.col("db.doc_id").alias("doc_id"),
+            F.col("cb.doc_id").alias("kept_doc"),
+        )
+        .distinct()
+    )
+
+    sh_delta = _shingle_sets(delta_docs)
+    sh_corpus = _shingle_sets(corpus_docs)
+    sizes_d = sh_delta.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    sizes_c = sh_corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    cand_kept = candidates.select("kept_doc").distinct()
+    b = sh_corpus.join(
+        F.broadcast(cand_kept),
+        sh_corpus["doc_id"] == cand_kept["kept_doc"],
+    ).select("kept_doc", "shingle")
+    inter = (
+        sh_delta.join(F.broadcast(candidates), "doc_id")
+        .join(b, ["kept_doc", "shingle"])
+        .groupBy("doc_id", "kept_doc")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 3
+    )
+    verified = (
+        inter.join(sizes_d, "doc_id")
+        .join(
+            sizes_c.withColumnRenamed("doc_id", "kept_doc"),
+            "kept_doc",
+        )
+        .select("doc_id", "kept_doc", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    per_doc = verified.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+        F.min("kept_doc").cast("long").alias("first_dup"),
+        (F.max("jaccard") + F.lit(0.0)).alias("best_jaccard"),
+    )
+    return (
+        delta_docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dups"), F.lit(0).cast("long")).alias("n_dups"),
+            "first_dup",
+            "best_jaccard",
+            (F.col("n_dups").isNull()).alias("is_new"),
+        )
+    )

@@ -495,3 +495,114 @@ def cap_recall_sweep(
     FROM curve
     ORDER BY cap
 """
+
+
+def _shingles_cte_named(src: str, suffix: str) -> str:
+    """_shingles_cte with suffixed CTE names so two sources can coexist
+    in one query (the d24 delta/corpus split)."""
+    return f"""
+    w{suffix} AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM {src}
+    ),
+    g{suffix} AS (
+        SELECT doc_id, words,
+               unnest(generate_series(1, greatest(len(words) - {SHINGLE_N - 1}, 0))) AS i
+        FROM w{suffix}
+    ),
+    sh{suffix} AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(words[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+        FROM g{suffix}
+    ),
+    sizes{suffix} AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh{suffix} GROUP BY doc_id)
+"""
+
+
+def _bands_union_named(sig: str) -> str:
+    n_bands = MINHASH_HASHES // LSH_BAND_ROWS
+    parts = []
+    for band in range(n_bands):
+        key = " || ':' || ".join(
+            f"CAST(mh{band * LSH_BAND_ROWS + r} AS VARCHAR)"
+            for r in range(LSH_BAND_ROWS)
+        )
+        parts.append(f"SELECT doc_id, {band} AS band, {key} AS key FROM {sig}")
+    return "\n        UNION ALL\n        ".join(parts)
+
+
+def incremental_lsh(
+    max_bucket_size: int, delta_mod: int = 8, delta_rem: int = 7
+) -> str:
+    """d24's oracle: the delta×corpus banded join with the corpus-side
+    bucket cap, verified with exact Jaccard, finished as a per-delta-doc
+    verdict (every incoming doc answered; no-collision docs are is_new)."""
+    delta_src = (
+        f"(SELECT * FROM documents WHERE doc_id % {delta_mod} = {delta_rem})"
+    )
+    corpus_src = (
+        f"(SELECT * FROM documents WHERE doc_id % {delta_mod} <> {delta_rem})"
+    )
+    return f"""
+    WITH {_shingles_cte_named(delta_src, "d")},
+    {_shingles_cte_named(corpus_src, "c")},
+    hashed_d AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS base
+        FROM shd
+    ),
+    hashed_c AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS base
+        FROM shc
+    ),
+    sig_d AS (
+        SELECT doc_id, {_minhash_cols()} FROM hashed_d GROUP BY doc_id
+    ),
+    sig_c AS (
+        SELECT doc_id, {_minhash_cols()} FROM hashed_c GROUP BY doc_id
+    ),
+    bands_d AS (
+        {_bands_union_named("sig_d")}
+    ),
+    bands_c_all AS (
+        {_bands_union_named("sig_c")}
+    ),
+    bands_c AS (
+        SELECT * FROM bands_c_all
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= {max_bucket_size}
+    ),
+    candidates AS (
+        SELECT DISTINCT d.doc_id, c.doc_id AS kept_doc
+        FROM bands_d d JOIN bands_c c ON d.band = c.band AND d.key = c.key
+    ),
+    inter AS (
+        SELECT x.doc_id, x.kept_doc, COUNT(*) AS n_inter
+        FROM candidates x
+        JOIN shd a ON a.doc_id = x.doc_id
+        JOIN shc b ON b.doc_id = x.kept_doc AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    verified AS (
+        SELECT i.doc_id, i.kept_doc,
+               ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 3)
+                   AS jaccard
+        FROM inter i
+        JOIN sizesd sa ON sa.doc_id = i.doc_id
+        JOIN sizesc sb ON sb.doc_id = i.kept_doc
+        WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 3)
+              >= {JACCARD_THRESHOLD}
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dups,
+               CAST(MIN(kept_doc) AS BIGINT) AS first_dup,
+               MAX(jaccard) + 0.0 AS best_jaccard
+        FROM verified GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_dups, 0)::BIGINT AS n_dups,
+           p.first_dup,
+           p.best_jaccard,
+           (p.n_dups IS NULL) AS is_new
+    FROM (SELECT doc_id FROM {delta_src} x) d
+    LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""

@@ -3948,6 +3948,19 @@ _register(
     ),
 )
 
+# d24: the incremental (delta×corpus) near-dup gate — the production
+# per-batch dedup shape: band-join the incoming batch's minhash keys
+# against the STORED corpus band index (capped at rest, the d3c guard),
+# verify with exact Jaccard, answer for EVERY incoming doc. The oracle
+# rebuilds both sides and the verdict end to end.
+_register(
+    "d24_incremental_lsh_dedup",
+    D.incremental_lsh_dedup,
+    OD.incremental_lsh(
+        D.LSH_MAX_BUCKET_DEFAULT, delta_mod=D.DELTA_MOD, delta_rem=D.DELTA_REM
+    ),
+)
+
 _register(
     "v18_filtered_topk",
     S.filtered_topk,

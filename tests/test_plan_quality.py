@@ -926,3 +926,15 @@ def test_store_delete_repair_broadcast_affected_only(spark):
     # every hashpartitioning exchange keys on a cell id, never on vec_id
     for seg in plan.split("hashpartitioning(")[1:]:
         assert seg.split(",", 1)[0].strip().split("#")[0] in ("cid", "a_cid")
+
+
+def test_incremental_lsh_is_delta_bounded(spark):
+    """d24: the per-batch gate must stay delta-bounded — candidates and
+    the kept-doc probe BROADCAST into the shingle joins (the corpus
+    shingle index is filtered by a broadcast before any wide join), the
+    verdict is a left join (every incoming doc answered), and nothing
+    degenerates to a cartesian pairing."""
+    plan = plan_of(spark, "d24_incremental_lsh_dedup")
+    assert "CartesianProduct" not in plan
+    assert "LeftOuter" in plan
+    assert plan.count("BroadcastHashJoin") >= 2

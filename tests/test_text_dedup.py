@@ -528,3 +528,49 @@ def test_cap_sweep_empty_corpus_single_floor_row(spark, sf_medium):
     assert (r.cap, r.n_true_pairs, r.n_caught_pairs, r.chosen) == (2, 0, 0, 1)
     assert r.recall_vs_exact == 0.0
     assert D.choose_lsh_bucket_cap_safe(empty) == 2
+
+
+def test_incremental_lsh_agrees_with_full_cascade_cross_pairs(spark, sf_medium):
+    """d24's verdicts must agree with the FULL LSH pass restricted to
+    delta×corpus pairs: same capped config, same verification threshold —
+    incremental evaluation may never change which cross-pairs are found
+    (the stored-band-index simulation is exact)."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.operators.dedup import (
+        DELTA_MOD,
+        DELTA_REM,
+        LSH_MAX_BUCKET_DEFAULT,
+        incremental_lsh_dedup,
+        minhash_lsh_pairs,
+    )
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_medium)
+    full = minhash_lsh_pairs(t, max_bucket_size=LSH_MAX_BUCKET_DEFAULT)
+    is_delta_a = F.col("doc_a") % DELTA_MOD == DELTA_REM
+    is_delta_b = F.col("doc_b") % DELTA_MOD == DELTA_REM
+    cross = full.filter(is_delta_a != is_delta_b).collect()
+    expected = {}
+    for r in cross:
+        delta_doc = r.doc_a if r.doc_a % DELTA_MOD == DELTA_REM else r.doc_b
+        kept = r.doc_b if delta_doc == r.doc_a else r.doc_a
+        n, first, best = expected.get(delta_doc, (0, None, -1.0))
+        expected[delta_doc] = (
+            n + 1,
+            kept if first is None else min(first, kept),
+            max(best, r.jaccard),
+        )
+
+    got = {r.doc_id: r for r in incremental_lsh_dedup(t).collect()}
+    # NOTE: the full pass caps buckets over ALL docs while d24 caps the
+    # corpus side only — on this fixture no bucket is near the cap, so the
+    # candidate sets coincide exactly (asserted, not assumed):
+    for doc_id, (n, first, best) in expected.items():
+        r = got[doc_id]
+        assert (r.n_dups, r.first_dup) == (n, first), doc_id
+        assert abs(r.best_jaccard - best) < 1e-9
+        assert not r.is_new
+    for doc_id, r in got.items():
+        if doc_id not in expected:
+            assert r.is_new and r.n_dups == 0 and r.first_dup is None

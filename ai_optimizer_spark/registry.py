@@ -3948,6 +3948,69 @@ _register(
     ),
 )
 
+# d25: winnowing fingerprint pairs (Schleimer et al., SIGMOD 2003 — the
+# MOSS algorithm): per-window rightmost-min k-gram hash selection, then
+# the inverted-index pairing with the stop-fingerprint cap. Guaranteed
+# (not probabilistic) detection of shared runs >= w+k-1 words. The
+# selection tie-break is packed arithmetic ((h40<<20) | (2^20-1-pos)),
+# identical in both engines, so the oracle reproduces fingerprints and
+# pairs bit-for-bit.
+_register(
+    "d25_winnow_pairs",
+    D.winnow_pairs,
+    f"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(words) - {D.WINNOW_K - 1} AS n_grams, words,
+               unnest(generate_series(
+                   1, greatest(len(words) - {D.WINNOW_K - 1}, 0))) AS i
+        FROM w
+    ),
+    kg AS (
+        SELECT doc_id, i - 1 AS pos, n_grams,
+               ('0x' || substr(md5(
+                   array_to_string(words[i:i+{D.WINNOW_K - 1}], ' ')
+               ), 1, 10))::BIGINT AS h40
+        FROM g
+    ),
+    keyed AS (
+        SELECT doc_id, pos, n_grams,
+               h40 * {D._WINNOW_POS_BITS}
+                   + ({D._WINNOW_POS_BITS - 1} - pos) AS key
+        FROM kg
+    ),
+    sel AS (
+        SELECT doc_id, pos, n_grams,
+               MIN(key) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {D.WINNOW_W - 1} FOLLOWING
+               ) AS selkey
+        FROM keyed
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, selkey // {D._WINNOW_POS_BITS} AS fp
+        FROM sel WHERE pos <= n_grams - {D.WINNOW_W}
+    ),
+    keep AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND {D.WINNOW_MAX_POSTINGS}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fps a
+        JOIN keep k ON a.fp = k.fp
+        JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared FROM pairs
+    WHERE n_shared >= {D.WINNOW_MIN_SHARED}
+    """,
+)
+
 # d24: the incremental (delta×corpus) near-dup gate — the production
 # per-batch dedup shape: band-join the incoming batch's minhash keys
 # against the STORED corpus band index (capped at rest, the d3c guard),

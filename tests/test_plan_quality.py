@@ -938,3 +938,16 @@ def test_incremental_lsh_is_delta_bounded(spark):
     assert "CartesianProduct" not in plan
     assert "LeftOuter" in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_winnow_pairs_doc_bounded_window_broadcast_cap(spark):
+    """d25: the only window function partitions by doc_id (bounded by
+    document length, never corpus-shaped), the stop-fingerprint keep-list
+    broadcasts into the postings, and pairing never degenerates to a
+    cartesian product."""
+    plan = plan_of(spark, "d25_winnow_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # every window/exchange partition key is doc_id or fp — never a
+    # corpus-wide single partition
+    assert "SinglePartition" not in plan

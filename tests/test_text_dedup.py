@@ -574,3 +574,44 @@ def test_incremental_lsh_agrees_with_full_cascade_cross_pairs(spark, sf_medium):
     for doc_id, r in got.items():
         if doc_id not in expected:
             assert r.is_new and r.n_dups == 0 and r.first_dup is None
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The Schleimer-et-al. contract: (a) GUARANTEE — any two docs sharing
+    a run of >= w+k-1 words share at least one fingerprint, so the pair
+    is detected (not probabilistically: always); (b) DENSITY — winnowing
+    selects ~2/(w+1) of positions, so the fingerprint index is a real
+    reduction over the every-position span index."""
+    from ai_optimizer_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta"  # w+k-1 = 6 shared words
+    docs = spark.createDataFrame(
+        [
+            (0, f"one two three {run} four five six seven"),
+            (1, f"red blue green yellow {run} purple orange pink"),
+            (2, "completely different words that never overlap anything "
+                "here at all nothing shared with the others truly"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_pairs({"documents": docs}, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs  # the guarantee
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+    fps = winnow_fingerprints(docs, WINNOW_K, WINNOW_W)
+    n_grams = sum(
+        max(len(r.text.split()) - WINNOW_K + 1, 0)
+        for r in docs.collect()
+    )
+    n_fp = fps.count()
+    # expected density 2/(w+1) = 0.4 at w=4; allow generous slack both ways
+    assert n_fp <= 0.75 * n_grams
+    assert n_fp >= 2 * 3  # at least a couple selections per doc

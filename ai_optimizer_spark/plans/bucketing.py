@@ -661,6 +661,21 @@ def quantized_ivf_knn_join(
     q = src.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    return quantized_knn_serve(store, cents, q, k, n_probe)
+
+
+def quantized_knn_serve(
+    store: DataFrame, cents: DataFrame, q: DataFrame, k: int, n_probe: int
+) -> DataFrame:
+    """The v26 serve tail — per-query probe resolution, DPP'd store join,
+    SQ8 scoring, per-query top-k — factored out so the batch op (v26) and
+    the streaming serving twin (st21) run ONE plan and can never drift.
+    `q` is any (query_id, query_vec) DataFrame (a batch subset, a stream
+    micro-batch)."""
+    from pyspark.sql import Window
+
+    from ..functions import vector as V
+
     w_probe = Window.partitionBy("query_id").orderBy(F.asc("qdist"), F.asc("ccid"))
     probe = (
         cents.crossJoin(F.broadcast(q))

@@ -3417,6 +3417,18 @@ _register(
     """,
 )
 
+# st21: the streaming serving twin of v26 — foreachBatch runs the SAME
+# factored serve tail per query micro-batch; per-query independence makes
+# the batch op the exact oracle (shared SQL below).
+def _st21_streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.event_stream import streaming_knn_serving
+
+    return streaming_knn_serving(spark, sf_dir)
+
+
+QUERIES["st21_streaming_knn_serving"] = _st21_streaming_knn_serving
+ORACLE_SQL["st21_streaming_knn_serving"] = ORACLE_SQL["v26_quantized_ivf_knn_join"]
+
 # v21: runtime (dynamic) partition pruning — the probe cell set is a
 # computed DataFrame, injected into the partitioned scan as a
 # dynamicpruningexpression (plan-tested); the literal-filter twin is v13.

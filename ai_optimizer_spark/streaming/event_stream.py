@@ -754,3 +754,70 @@ def streaming_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_memory(spark, plan, f"st20_{uuid.uuid4().hex[:8]}")
+
+
+def streaming_knn_serving(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 20,
+    k: int = 3,
+    n_probe: int = 4,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """ST21: always-on ANN query serving — the streaming twin of v26,
+    closing the serving matrix's last axis ({single, batch, STREAM} ×
+    {raw, SQ8}). Query vectors arrive on a stream; each micro-batch is
+    served by foreachBatch running quantized_knn_serve — the EXACT plan
+    object v26 uses (factored shared tail), over the same quantized
+    clustered store, so the two cannot drift. This is the production
+    retrieval daemon: the store and centroid model are long-lived, each
+    arriving query batch pays only its own probe (per-query DPP'd
+    partition reads of the compressed layout).
+
+    Correctness under micro-batching: a query's result depends on its row
+    ALONE (probe, scoring, and top-k are all per-query) — batch boundaries
+    cannot change any result, so the batch op is the exact oracle; the
+    multi-batch replay test asserts it (the st16-st20 order-independence
+    discipline). Late or re-ordered queries are a no-op concern: queries
+    are requests, not state.
+
+    The per-batch collect is the SERVED ANSWER (n_batch_queries × k rows
+    — what a serving daemon hands back per request wave), never corpus
+    data; results accumulate driver-side only to hand the harness one
+    DataFrame."""
+    from ..plans.bucketing import ensure_sq8_clustered_store, quantized_knn_serve
+
+    name = ensure_sq8_clustered_store(spark, sf_dir, n_centroids)
+    store = (
+        spark.table(name)
+        .withColumn("cid", F.col("cid").cast("long"))
+        .withColumn("codes", F.col("codes").cast("array<double>"))
+    )
+    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = src.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("ccid"), F.col("embedding").alias("ce")
+    )
+    stream = embeddings_stream(spark, sf_dir).filter(
+        F.col("vec_id") < n_queries
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    served: list[tuple] = []
+
+    def _serve(batch_df: DataFrame, _batch_id: int) -> None:
+        rows = quantized_knn_serve(store, cents, batch_df, k, n_probe).collect()
+        served.extend(tuple(r) for r in rows)
+
+    q = (
+        stream.writeStream.foreachBatch(_serve)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("st21 streaming serving did not finish in 180s")
+    return spark.createDataFrame(
+        served,
+        "query_id long, vec_id long, label int, cid long, cos_sim double",
+    )

@@ -898,3 +898,70 @@ def test_streaming_ivf_assign_np_tier_late_arrivals(spark, sf_small, tmp_path):
         for cid, n in prev.items():
             assert cur.get(cid, 0) >= n  # stragglers absorb, never evict
     assert {(c, n) for c, n in snapshots[-1].items()} == truth
+
+
+def test_streaming_knn_serving_multibatch_equals_batch(spark, sf_small, tmp_path):
+    """st21: query results are per-query, so micro-batch boundaries can
+    never change them — serve the same 20 queries split across THREE
+    files (3 micro-batches, arbitrary split) and require the result set
+    to equal v26's single-batch answer exactly."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.plans.bucketing import (
+        ensure_sq8_clustered_store,
+        quantized_ivf_knn_join,
+        quantized_knn_serve,
+    )
+
+    truth = {
+        tuple(r) for r in quantized_ivf_knn_join(spark, sf_small).collect()
+    }
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    feed = str(tmp_path / "qfeed")
+    os.makedirs(feed)
+    for i, cond in enumerate(
+        [F.col("vec_id") < 7, (F.col("vec_id") >= 7) & (F.col("vec_id") < 13),
+         F.col("vec_id") >= 13]
+    ):
+        stage = str(tmp_path / f"stage{i}")
+        emb.filter(F.col("vec_id") < 20).filter(cond).coalesce(1).write.parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dst = os.path.join(feed, f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+
+    name = ensure_sq8_clustered_store(spark, sf_small, 16)
+    store = (
+        spark.table(name)
+        .withColumn("cid", F.col("cid").cast("long"))
+        .withColumn("codes", F.col("codes").cast("array<double>"))
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("ccid"), F.col("embedding").alias("ce")
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    served = []
+    batches = []
+
+    def _serve(batch_df, _bid):
+        rows = quantized_knn_serve(store, cents, batch_df, 3, 4).collect()
+        batches.append(len(rows))
+        served.extend(tuple(r) for r in rows)
+
+    q = stream.writeStream.foreachBatch(_serve).trigger(availableNow=True).start()
+    assert q.awaitTermination(180)
+    assert len([b for b in batches if b > 0]) >= 2  # genuinely multi-batch
+    assert set(served) == truth

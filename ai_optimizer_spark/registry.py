@@ -5981,6 +5981,13 @@ _PRIORITY: list[str] = [
     # split repair, the action behind t14's trigger) — both new this round
     # and strict-checked at all 3 scales — enter the prefix; slots 50/49
     # shift to 51+ (repo gate unchanged).
+    # Late-r7 second wave: the session's five new operators — v27
+    # (residual SQ8), t16 (store delete propagation), d24 (incremental
+    # delta×corpus LSH gate), d25 (winnowing pairs), st21 (streaming kNN
+    # serving) — all exact-multiset-checked vs their oracles at
+    # sf0.001/0.01/0.1 before promotion. Parked to 51+: driver-green
+    # veterans st18/smp12/tx17/t12/e2e_training_export (each family keeps
+    # >=2 prefix slots; the repo parity gate still checks all queries).
     # ANN / similarity tiers (IVF, k-means, IVFPQ, stored-layout serving)
     "v19_ann_operating_curve",
     "d3c_minhash_lsh_capped",
@@ -5991,10 +5998,12 @@ _PRIORITY: list[str] = [
     "v20_ivfpq_topk_np",
     "v25_quantized_range_search",
     "v26_quantized_ivf_knn_join",
+    "v27_residual_sq8_topk",
     # temporal / skew / bucketed / analytic join shapes
     "j12_banded_range_join",
     "st19_streaming_sq8_ingest",
     "st20_streaming_fertility",
+    "st21_streaming_knn_serving",
     "j27_disjunctive_part_revenue",
     "j9b_mmr_rerank_batch",
     "e2e_decon_report",
@@ -6008,6 +6017,8 @@ _PRIORITY: list[str] = [
     "d21_lsh_recall",
     "d21b_lsh_recall_sampled",
     "d22_lsh_cap_recall_sweep",
+    "d24_incremental_lsh_dedup",
+    "d25_winnow_pairs",
     "smp9_token_budget_select",
     "e2e_dedup_manifest",
     "v23_sq8_topk",
@@ -6023,20 +6034,16 @@ _PRIORITY: list[str] = [
     "t10_span_index_refresh",
     "t14_sq8_store_refresh",
     "t15_cell_split_repair",
+    "t16_store_delete_repair",
     "t11_cell_stats_refresh",
     "tx20_tokenizer_fertility",
     # aggregation extensions + sampling/packing (+ j28/a24 Q2/Q11, new r5)
     "e2e_corpus_assembly",
-    "e2e_training_export",
     "smp13_mixture_epochs",
     "smp11_unimax_budget",
     "smp7_leakage_safe_split",
     # streaming near-dup + SCD2 (round-3 flagships)
     "st16_streaming_decontamination",
-    "st18_streaming_semantic_decon",
-    "smp12_curriculum_order",
-    "tx17_gopher_rules",
-    "t12_drift_monitor",
     # NL2SQL generation + evaluation e2e + deep parse
     "o15b_nl2sql_generated",
     "e2e_evaluation_report",
@@ -6053,6 +6060,11 @@ _PRIORITY: list[str] = [
     "tx16_ngram_perplexity",
     "j28_min_cost_supplier",
     "a24_important_part_values",
+    "st18_streaming_semantic_decon",
+    "smp12_curriculum_order",
+    "tx17_gopher_rules",
+    "t12_drift_monitor",
+    "e2e_training_export",
     "t13_bloom_index_refresh",
     "mm3_audio_features",
     "d6_dedup_clusters",

@@ -60,6 +60,11 @@ OPS = [
     "v24_quantized_clustered_topk",
     "v25_quantized_range_search",
     "v26_quantized_ivf_knn_join",
+    "v27_residual_sq8_topk",
+    "t16_store_delete_repair",
+    "d24_incremental_lsh_dedup",
+    "d25_winnow_pairs",
+    "st21_streaming_knn_serving",
     "smp6_sequence_packing",
     "smp9_token_budget_select",
     "smp10_dsir_importance",

@@ -370,3 +370,59 @@ def grouping_sets_revenue(t: dict[str, DataFrame]) -> DataFrame:
             "total_price",
         )
     )
+
+
+KMV_K = 64
+
+
+def kmv_distinct_shingles(t: dict[str, DataFrame], k: int = KMV_K) -> DataFrame:
+    """A26: KMV (k-minimum-values) distinct-count sketch over the corpus's
+    3-word shingle universe — the DETERMINISTIC, cross-engine-reproducible
+    counterpart to a15's HyperLogLog (which has no SQL oracle): hash every
+    distinct shingle with the portable hash60, keep the k smallest
+    normalized hashes, estimate D̂ = (k−1)/h_(k) (Bar-Yossef et al. 2002;
+    Beyer et al., SIGMOD 2007). Same md5 arithmetic in DuckDB ⇒ the
+    sketch, the kth hash, and the estimate are hash-verified exactly — an
+    APPROXIMATE operator under the EXACT oracle gate (the d3c move applied
+    to cardinality estimation).
+
+    Why this exists at 100 TB: distinct-shingle cardinality sizes the
+    minhash signature universe, Bloom decontamination bit budgets (d19's
+    false-positive math needs |distinct shingles|), and span-index growth
+    — and an exact COUNT(DISTINCT shingle) shuffles every shingle once,
+    while the KMV sketch is ALGEBRAIC: per-partition k-smallest lists
+    merge by union→k-smallest (exactly what TakeOrderedAndProject's
+    partial ordering does here), so the corpus-wide exchange disappears.
+    The exact count rides along in this harness form to expose the
+    relative error; production drops it (the v12/d21 sample-scoping move).
+
+    k trades error (~1/√k: ~12.5% at k=64) for sketch size; the estimate
+    is exact-deterministic for a fixed corpus, so the oracle pins the full
+    computation, and the unit test bounds the error."""
+    from ..functions import text as T
+
+    shingles = (
+        t["documents"]
+        .select(F.explode(T.word_shingles(F.col("text"))).alias("sh"))
+        .distinct()
+    )
+    # normalized hash in [0, 1): hash60 / 2^60, exact double both engines
+    h = (T.hash60(F.col("sh")) / F.lit(float(1 << 60))).alias("h")
+    kth = (
+        shingles.select(h)
+        .orderBy(F.asc("h"))
+        .limit(k)
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_kept"))
+    )
+    exact = shingles.agg(F.count(F.lit(1)).alias("n_exact"))
+    return kth.crossJoin(exact).select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        (F.round(F.col("hk"), 9) + F.lit(0.0)).alias("kth_hash"),
+        F.when(
+            F.col("n_kept") >= k, F.round((F.lit(k - 1)) / F.col("hk"), 3)
+        )
+        .otherwise(F.col("n_exact").cast("double"))
+        .alias("estimate"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+    )

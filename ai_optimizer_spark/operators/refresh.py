@@ -659,3 +659,101 @@ def store_delete_repair(
             F.lit(0.0),
         ).alias("r_cell_after"),
     )
+
+
+def cell_merge_repair(
+    t: dict[str, DataFrame],
+    n_centroids: int = 16,
+    cold_num: int = 9,
+    cold_den: int = 10,
+) -> DataFrame:
+    """T17: cold-cell MERGE repair — the inverse of t15's hot-cell split,
+    completing the store-geometry repair pair: cells whose occupancy
+    falls below cold_num/cold_den × average (fragmented by deletes/t16,
+    drift, or an over-eager split) merge into their nearest NON-cold
+    neighbor cell. Tiny cells are pure overhead on a partitioned store:
+    per-cell file/metadata cost is constant, probe math pays k regardless
+    of occupancy, and a near-empty partition wastes a scan task.
+
+    Deterministic by the t15 rules: the cold threshold is an exact
+    integer compare (n·den·k < num·total), the merge target is the
+    nearest non-cold centroid by euclidean (ties → min cid), and the
+    reported post-merge radius is the max distance of the union
+    (cold members ∪ target members) to the TARGET's centroid — so the
+    DuckDB oracle reproduces the whole repair bit-for-bit. When several
+    cold cells share a target, each row reports its own pairwise merge;
+    the maintainer applies them and refreshes stats via t11 (documented
+    contract, same as the reference's rebuild-then-restat flow,
+    embed/refresh.py:28-143 — which rebuilds everything; this touches
+    cold + target members only).
+
+    Scale shape: occupancy is a k-row aggregate off ONE checkpointed
+    assignment pass; target selection is k×k over broadcast model rows;
+    member reads touch only cold∪target cells (partition-pruned on the
+    clustered layout); no corpus-sized term past the assignment scan."""
+    from ..functions import vector as V
+    from .similarity import _ivf_assign
+
+    emb = t["embeddings"]
+    cents, assigned = _ivf_assign(emb, n_centroids)
+    assigned = assigned.select("vec_id", "cid", "embedding").localCheckpoint(
+        eager=False
+    )
+    occ = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = occ.agg(F.sum("n_vecs").alias("n_total"))
+    flagged = occ.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_vecs",
+        (
+            F.col("n_vecs") * cold_den * n_centroids
+            < F.lit(cold_num) * F.col("n_total")
+        ).alias("is_cold"),
+    )
+    pairs = (
+        flagged.filter(F.col("is_cold"))
+        .select(F.col("cid").alias("cold_cid"), F.col("n_vecs").alias("n_moved"))
+        .join(
+            F.broadcast(
+                cents.select(F.col("cid").alias("cc"), F.col("ce").alias("cold_ce"))
+            ),
+            F.col("cold_cid") == F.col("cc"),
+        )
+        .crossJoin(
+            F.broadcast(
+                flagged.filter(~F.col("is_cold"))
+                .select(F.col("cid").alias("tgt_cid"))
+                .join(
+                    cents.select(F.col("cid").alias("tc"), F.col("ce").alias("tgt_ce")),
+                    F.col("tgt_cid") == F.col("tc"),
+                )
+            )
+        )
+        .select(
+            "cold_cid",
+            "n_moved",
+            "tgt_cid",
+            "tgt_ce",
+            V.euclidean_distance("cold_ce", "tgt_ce").alias("cdist"),
+        )
+    )
+    w_t = Window.partitionBy("cold_cid").orderBy(F.asc("cdist"), F.asc("tgt_cid"))
+    chosen = (
+        pairs.withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") == 1)
+        .select("cold_cid", "n_moved", "tgt_cid", "tgt_ce")
+    )
+    # members of cold ∪ target cells only — partition-pruned at scale
+    members = assigned.join(
+        F.broadcast(chosen),
+        (F.col("cid") == F.col("cold_cid")) | (F.col("cid") == F.col("tgt_cid")),
+    ).select(
+        "cold_cid",
+        "n_moved",
+        "tgt_cid",
+        V.euclidean_distance("embedding", "tgt_ce").alias("dt"),
+    )
+    return members.groupBy("cold_cid", "tgt_cid").agg(
+        F.max("n_moved").cast("long").alias("n_moved"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+        (F.round(F.max("dt"), 9) + F.lit(0.0)).alias("r_target_after"),
+    )

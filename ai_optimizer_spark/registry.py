@@ -2322,6 +2322,47 @@ _register(
 # bound, unit-tested against exact counts.
 _register("a15_approx_sketch_stats", M.approx_sketch_stats, None)
 
+# a26: KMV distinct-count sketch — a15's deterministic counterpart: the
+# k smallest portable hashes pin the sketch AND the estimate under the
+# exact oracle gate (an approximate operator, hash-verified; HLL can't
+# be). The exact count rides along as the harness's error reference.
+_register(
+    "a26_kmv_distinct_shingles",
+    M.kmv_distinct_shingles,
+    f"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, words,
+               unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i
+        FROM w
+    ),
+    nz AS (
+        SELECT DISTINCT array_to_string(words[i:i+2], ' ') AS sh FROM g
+    ),
+    h AS (
+        SELECT ('0x' || substr(md5(sh), 1, 15))::BIGINT
+                   / {float(1 << 60)} AS h
+        FROM nz
+    ),
+    kth AS (
+        SELECT MAX(h) AS hk, COUNT(*) AS n_kept
+        FROM (SELECT h FROM h ORDER BY h ASC LIMIT {M.KMV_K})
+    ),
+    ex AS (SELECT COUNT(*) AS n_exact FROM nz)
+    SELECT CAST({M.KMV_K} AS BIGINT) AS k,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           ROUND(hk, 9) + 0.0 AS kth_hash,
+           CASE WHEN n_kept >= {M.KMV_K}
+                THEN ROUND({M.KMV_K - 1} * 1.0 / hk, 3)
+                ELSE n_exact::DOUBLE END AS estimate,
+           CAST(n_exact AS BIGINT) AS n_exact
+    FROM kth, ex
+    """,
+)
+
 _register("d6_dedup_clusters", D.dedup_clusters, OD.DEDUP_CLUSTERS)
 
 
@@ -5625,6 +5666,65 @@ _register(
     """,
 )
 
+# t17: cold-cell merge — t15's inverse, completing the geometry-repair
+# pair (split hot / merge cold). Deterministic target choice (nearest
+# non-cold centroid, ties → min cid) + exact integer cold threshold ⇒
+# oracle reproduces the repair bit-for-bit.
+_register(
+    "t17_cell_merge_repair",
+    RF.cell_merge_repair,
+    """
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT vec_id, ee, cid FROM (
+            SELECT e.vec_id, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    occ AS (SELECT cid, COUNT(*) AS n_vecs FROM assigned GROUP BY cid),
+    tot AS (SELECT SUM(n_vecs) AS n_total FROM occ),
+    flagged AS (
+        SELECT cid, n_vecs,
+               (n_vecs * 10 * 16 < 9 * n_total) AS is_cold
+        FROM occ, tot
+    ),
+    chosen AS (
+        SELECT cold_cid, n_moved, tgt_cid FROM (
+            SELECT f.cid AS cold_cid, f.n_vecs AS n_moved, g.cid AS tgt_cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY f.cid
+                       ORDER BY list_distance(cc.ce, tc.ce) ASC, g.cid ASC
+                   ) AS rn
+            FROM flagged f
+            JOIN cents cc ON f.cid = cc.cid
+            JOIN flagged g ON NOT g.is_cold
+            JOIN cents tc ON g.cid = tc.cid
+            WHERE f.is_cold
+        ) WHERE rn = 1
+    ),
+    members AS (
+        SELECT ch.cold_cid, ch.n_moved, ch.tgt_cid,
+               list_distance(a.ee, tc.ce) AS dt
+        FROM assigned a
+        JOIN chosen ch ON a.cid = ch.cold_cid OR a.cid = ch.tgt_cid
+        JOIN cents tc ON ch.tgt_cid = tc.cid
+    )
+    SELECT cold_cid, tgt_cid,
+           CAST(MAX(n_moved) AS BIGINT) AS n_moved,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           ROUND(MAX(dt), 9) + 0.0 AS r_target_after
+    FROM members GROUP BY 1, 2
+    """,
+)
+
 # t16: delete propagation (right-to-be-forgotten) through the clustered
 # store — per-affected-cell survivor count + re-tightened radius, the
 # exact statistics v24/v25's probes read. Deterministic delete list +
@@ -6019,6 +6119,7 @@ _PRIORITY: list[str] = [
     "d22_lsh_cap_recall_sweep",
     "d24_incremental_lsh_dedup",
     "d25_winnow_pairs",
+    "a26_kmv_distinct_shingles",
     "smp9_token_budget_select",
     "e2e_dedup_manifest",
     "v23_sq8_topk",
@@ -6035,12 +6136,11 @@ _PRIORITY: list[str] = [
     "t14_sq8_store_refresh",
     "t15_cell_split_repair",
     "t16_store_delete_repair",
+    "t17_cell_merge_repair",
     "t11_cell_stats_refresh",
     "tx20_tokenizer_fertility",
     # aggregation extensions + sampling/packing (+ j28/a24 Q2/Q11, new r5)
-    "e2e_corpus_assembly",
     "smp13_mixture_epochs",
-    "smp11_unimax_budget",
     "smp7_leakage_safe_split",
     # streaming near-dup + SCD2 (round-3 flagships)
     "st16_streaming_decontamination",
@@ -6065,6 +6165,8 @@ _PRIORITY: list[str] = [
     "tx17_gopher_rules",
     "t12_drift_monitor",
     "e2e_training_export",
+    "e2e_corpus_assembly",
+    "smp11_unimax_budget",
     "t13_bloom_index_refresh",
     "mm3_audio_features",
     "d6_dedup_clusters",

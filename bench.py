@@ -54,7 +54,9 @@ HEADLINE = [
     "v24_quantized_clustered_topk",
     "v25_quantized_range_search",
     "v26_quantized_ivf_knn_join",
+    "v27_residual_sq8_topk",
     "st19_streaming_sq8_ingest",
+    "st21_streaming_knn_serving",
     "st4_sliding_window_counts",
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
@@ -97,6 +99,9 @@ HEADLINE = [
     "d21_lsh_recall",
     "d21b_lsh_recall_sampled",
     "d22_lsh_cap_recall_sweep",
+    "d24_incremental_lsh_dedup",
+    "d25_winnow_pairs",
+    "a26_kmv_distinct_shingles",
     "t6_token_stream_assembly",
     "st2_sessionize",
     "st11_funnel_steps",
@@ -112,6 +117,8 @@ HEADLINE = [
     "t13_bloom_index_refresh",
     "t14_sq8_store_refresh",
     "t15_cell_split_repair",
+    "t16_store_delete_repair",
+    "t17_cell_merge_repair",
     "t12_drift_monitor",
     "st15_streaming_drift_monitor",
     "v16b_clustered_range_search",

@@ -65,6 +65,8 @@ OPS = [
     "d24_incremental_lsh_dedup",
     "d25_winnow_pairs",
     "st21_streaming_knn_serving",
+    "t17_cell_merge_repair",
+    "a26_kmv_distinct_shingles",
     "smp6_sequence_packing",
     "smp9_token_budget_select",
     "smp10_dsir_importance",

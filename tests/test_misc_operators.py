@@ -155,3 +155,42 @@ def test_token_budget_select_is_greedy_prefix(spark, sf_medium):
     for d, r in got.items():
         assert r.cum_tok == want[d]
         assert r.quality == q[d] and r.n_tokens == tok[d]
+
+
+def test_kmv_sketch_error_bound_and_merge_algebra(spark, sf_medium):
+    """a26: the KMV estimate must land within the k=64 error envelope of
+    the exact distinct-shingle count (generous 25% bound vs the ~12.5%
+    theoretical stddev), the sketch must be saturated (n_kept == k), and
+    the MERGE algebra must hold: the k smallest hashes of the corpus ==
+    k smallest of the union of two half-corpus sketches."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.functions import text as T
+    from ai_optimizer_spark.operators.misc import KMV_K, kmv_distinct_shingles
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_medium)
+    row = kmv_distinct_shingles(t).collect()[0]
+    assert row.n_kept == KMV_K == row.k
+    assert abs(row.estimate - row.n_exact) / row.n_exact < 0.25
+
+    docs = t["documents"]
+
+    def k_smallest(df):
+        return [
+            r.h
+            for r in df.select(
+                F.explode(T.word_shingles(F.col("text"))).alias("sh")
+            )
+            .distinct()
+            .select((T.hash60(F.col("sh")) / F.lit(float(1 << 60))).alias("h"))
+            .orderBy(F.asc("h"))
+            .limit(KMV_K)
+            .collect()
+        ]
+
+    whole = k_smallest(docs)
+    half_a = k_smallest(docs.filter(F.col("doc_id") % 2 == 0))
+    half_b = k_smallest(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = sorted(set(half_a) | set(half_b))[:KMV_K]
+    assert merged == whole

@@ -951,3 +951,27 @@ def test_winnow_pairs_doc_bounded_window_broadcast_cap(spark):
     # every window/exchange partition key is doc_id or fp — never a
     # corpus-wide single partition
     assert "SinglePartition" not in plan
+
+
+def test_cell_merge_repair_model_bounded_joins(spark):
+    """t17: like t15 — one checkpointed assignment pass, occupancy is a
+    k-row aggregate, target selection is k×k over broadcast model rows,
+    member reads join a broadcast chosen-set; no sort-merge join, no
+    Python stage at fixture k, no cartesian."""
+    plan = plan_of(spark, "t17_cell_merge_repair")
+    assert "MapInPandas" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+
+
+def test_kmv_sketch_is_takeordered_partial(spark):
+    """a26: the k-smallest selection must be a TakeOrderedAndProject
+    (partial per-partition top-k, merge on the driver side of the
+    exchange) — never a global Sort; the only wide exchanges are the
+    distinct aggregate's."""
+    plan = plan_of(spark, "a26_kmv_distinct_shingles")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]

@@ -755,3 +755,53 @@ def test_store_delete_repair_invariants(spark, sf_small):
     for cid, r in out.items():
         assert r.n_before == before[cid][0]
         assert r.r_cell_after <= before[cid][1] + 1e-12
+
+
+def test_cell_merge_repair_invariants(spark, sf_small):
+    """t17's contract: every reported cell is genuinely cold (exact
+    integer threshold), the target is the NEAREST non-cold centroid,
+    counts reconcile (n_merged = n_moved + target occupancy), and the
+    post-merge radius can only grow vs the target's own radius."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.functions import vector as V
+    from ai_optimizer_spark.operators.refresh import cell_merge_repair
+    from ai_optimizer_spark.operators.similarity import _ivf_assign
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    out = cell_merge_repair(t).collect()
+    assert out
+
+    cents, assigned = _ivf_assign(t["embeddings"], 16)
+    occ = {r.cid: r.n for r in assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(occ.values())
+    cold = {c for c, n in occ.items() if n * 10 * 16 < 9 * total}
+    ce = {r.cid: r.ce for r in cents.collect()}
+
+    import math
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    radii = {
+        r.cid: r.r
+        for r in assigned.join(
+            F.broadcast(cents.select(F.col("cid").alias("c2"), "ce")),
+            F.col("cid") == F.col("c2"),
+        )
+        .groupBy("cid")
+        .agg(F.round(F.max(V.euclidean_distance("embedding", "ce")), 9).alias("r"))
+        .collect()
+    }
+    assert {r.cold_cid for r in out} == cold
+    for r in out:
+        assert r.tgt_cid not in cold and r.tgt_cid != r.cold_cid
+        best = min(
+            (c for c in occ if c not in cold),
+            key=lambda c: (dist(ce[r.cold_cid], ce[c]), c),
+        )
+        assert r.tgt_cid == best
+        assert r.n_moved == occ[r.cold_cid]
+        assert r.n_merged == r.n_moved + occ[r.tgt_cid]
+        assert r.r_target_after >= radii[r.tgt_cid] - 1e-12

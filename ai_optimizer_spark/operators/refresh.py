@@ -646,6 +646,14 @@ def store_delete_repair(
         "is_del",
         V.euclidean_distance("embedding", "ce").alias("dc"),
     )
+    return _delete_repair_stats(dist)
+
+
+def _delete_repair_stats(dist: DataFrame) -> DataFrame:
+    """t16's per-affected-cell aggregate — ONE home for the self-contained
+    form (above) and the stored-layout production form (below) so the two
+    can never drift: counts reconcile by construction, the re-tightened
+    radius ranges over survivors only, a fully-emptied cell reports 0.0."""
     return dist.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_before"),
         F.sum(F.when(F.col("is_del"), 1).otherwise(0))
@@ -659,6 +667,56 @@ def store_delete_repair(
             F.lit(0.0),
         ).alias("r_cell_after"),
     )
+
+
+def store_delete_repair_stored(
+    spark,
+    sf_dir: str,
+    n_centroids: int = 16,
+    del_mod: int = 41,
+    del_rem: int = 5,
+) -> DataFrame:
+    """T16b: the PRODUCTION form of t16 — the vec_id→cid map comes from
+    the stored quantized clustered layout (no assignment pass at all; the
+    store IS the map), raw vectors for the radius re-aggregation come
+    from one broadcast-semi-joined pass over the source table, bounded to
+    affected-cell members. Identical output to t16 by construction
+    (shared _delete_repair_stats; same oracle), so the physical-form pair
+    is hash-verified the way v7/v13 and v26/st21 are.
+
+    Cost at 100 TB: resolve deletes→cells = map-only probe of the store's
+    (vec_id, cid) columns (partition-column + id only — a metadata-cheap
+    scan); member embedding fetch = ONE source scan filtered by a
+    BROADCAST of affected-member ids (erasure batches are tiny; the scan
+    is map-only, no shuffle); stats = one |affected-members| aggregate.
+    The self-contained t16 form pays a full assignment GEMM instead —
+    right for ad-hoc analysis, wrong for the erasure queue."""
+    from ..functions import vector as V  # noqa: F401 (V used below)
+    from ..plans.bucketing import ensure_sq8_clustered_store
+    from ..tables import load_tables
+
+    name = ensure_sq8_clustered_store(spark, sf_dir, n_centroids)
+    vmap = spark.table(name).select(
+        "vec_id", F.col("cid").cast("long").alias("cid")
+    )
+    affected = (
+        vmap.filter(F.col("vec_id") % del_mod == del_rem)
+        .select(F.col("cid").alias("a_cid"))
+        .distinct()
+    )
+    members = vmap.join(
+        F.broadcast(affected), F.col("cid") == F.col("a_cid")
+    ).select("vec_id", "cid", (F.col("vec_id") % del_mod == del_rem).alias("is_del"))
+    src = load_tables(spark, sf_dir)["embeddings"]
+    cents = src.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_cid"), F.col("embedding").alias("ce")
+    )
+    dist = (
+        src.join(F.broadcast(members), "vec_id")
+        .join(F.broadcast(cents), F.col("cid") == F.col("c_cid"))
+        .select("cid", "is_del", V.euclidean_distance("embedding", "ce").alias("dc"))
+    )
+    return _delete_repair_stats(dist)
 
 
 def cell_merge_repair(

@@ -699,3 +699,103 @@ def quantized_knn_serve(
         .filter(F.col("rnk") <= k)
         .drop("rnk")
     )
+
+
+def ensure_residual_sq8_store(
+    spark: SparkSession, sf_dir: str, n_centroids: int = IVF_N_CENTROIDS
+) -> str:
+    """Write the embeddings store RESIDUAL-quantized AND cid-partitioned —
+    v27's stored layout: codes hold SQ8(x − centroid[cid]) as real int8
+    (same at-rest cut as the direct-SQ8 store) plus the per-vector rscale.
+    The residual projection rides the SAME assignment pass the clustered
+    write already pays (operators/similarity.residual_sq8_project), so
+    centring the quantizer on the cell costs ZERO extra passes — the
+    whole point of by_residual on a layout that already knows the cell.
+    Raw vectors are NOT stored; the read path reconstructs against the
+    k-row centroid model from the source table. Idempotent per
+    (warehouse, sf_dir, n_centroids)."""
+    from ..operators.similarity import _ivf_assign, residual_sq8_project
+
+    tag = re.sub(r"\W", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
+    name = f"embeddings_rsq8_{tag}_k{n_centroids}"
+    if not spark.catalog.tableExists(name):
+        _clear_stale_location(spark, name)
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        cents, assigned = _ivf_assign(emb, n_centroids)
+        (
+            residual_sq8_project(assigned, cents)
+            .select(
+                "vec_id",
+                "label",
+                "rscale",
+                F.col("rcodes").cast("array<tinyint>").alias("rcodes"),
+                "cid",
+            )
+            .repartition("cid")
+            .write.format("parquet")
+            .partitionBy("cid")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return name
+
+
+def residual_clustered_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 8,
+    n_probe: int = 4,
+    n_centroids: int = IVF_N_CENTROIDS,
+) -> DataFrame:
+    """V27b: v27 over its STORED layout — the physical-form twin (the
+    v7/v13 pattern applied to the residual tier): the probe list resolves
+    driver-side and pushes as a literal partition filter over the
+    residual-quantized store; candidates reconstruct x̂ = ce + rcodes·
+    rscale against the BROADCAST centroid model and score exactly like
+    v27, so the served set is identical and the oracle is shared.
+
+    Plan shape (guarded): PartitionFilters on cid, no hash exchange, one
+    broadcast join for the model, TakeOrderedAndProject — v24's read
+    bandwidth with the residual grid's reconstruction quality."""
+    from ..functions import vector as V
+    from ..operators.similarity import _query_vectors
+
+    name = ensure_residual_sq8_store(spark, sf_dir, n_centroids)
+    store = spark.table(name).select(
+        "vec_id",
+        "label",
+        "rscale",
+        F.col("rcodes").cast("array<double>").alias("rcodes"),
+        F.col("cid").cast("long").alias("cid"),
+    )
+    tables = load_tables(spark, sf_dir)
+    q = _query_vectors(tables, [query_id])
+    cents = tables["embeddings"].filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid2"), F.col("embedding").alias("ce")
+    )
+    probe_rows = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid2", V.euclidean_distance("ce", "query_vec").alias("qdist"))
+        .orderBy(F.asc("qdist"), F.asc("cid2"))
+        .limit(n_probe)
+        .collect()
+    )
+    probe_cids = [int(r.cid2) for r in probe_rows]
+
+    recon = (
+        store.filter(F.col("cid").isin(probe_cids))  # partition pruning
+        .filter(F.col("vec_id") != query_id)
+        .join(F.broadcast(cents), F.col("cid") == F.col("cid2"))
+        .withColumn(
+            "recon",
+            F.zip_with("ce", "rcodes", lambda c, rc: c + rc * F.col("rscale")),
+        )
+    )
+    sim = F.round(V.cosine_similarity("recon", "query_vec"), 3) + F.lit(0.0)
+    return (
+        recon.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "cid", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -3470,6 +3470,15 @@ def _st21_streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["st21_streaming_knn_serving"] = _st21_streaming_knn_serving
 ORACLE_SQL["st21_streaming_knn_serving"] = ORACLE_SQL["v26_quantized_ivf_knn_join"]
 
+# v27b: v27 over its STORED residual-quantized layout — the physical-
+# form twin (v7/v13 pattern): literal partition-pruned probe over int8
+# residual codes, reconstruction against the broadcast model. Identical
+# served set ⇒ shared oracle.
+from .plans.bucketing import residual_clustered_topk  # noqa: E402
+
+QUERIES["v27b_residual_clustered_topk"] = residual_clustered_topk
+ORACLE_SQL["v27b_residual_clustered_topk"] = ORACLE_SQL["v27_residual_sq8_topk"]
+
 # v21: runtime (dynamic) partition pruning — the probe cell set is a
 # computed DataFrame, injected into the partitioned scan as a
 # dynamicpruningexpression (plan-tested); the literal-filter twin is v13.
@@ -5725,6 +5734,13 @@ _register(
     """,
 )
 
+# t16b: t16's stored-layout production form — the vec_id→cid map read
+# from the quantized clustered store (no assignment pass), member
+# vectors fetched via one broadcast-bounded source scan. Same output by
+# construction (shared _delete_repair_stats) ⇒ same oracle — the
+# physical-form pair pattern (v7/v13, v26/st21). Registered after t16's
+# entry below so the SQL can be shared.
+
 # t16: delete propagation (right-to-be-forgotten) through the clustered
 # store — per-affected-cell survivor count + re-tightened radius, the
 # exact statistics v24/v25's probes read. Deterministic delete list +
@@ -5766,6 +5782,11 @@ _register(
     GROUP BY f.cid
     """,
 )
+
+QUERIES["t16b_store_delete_repair_stored"] = RF.store_delete_repair_stored
+ORACLE_SQL["t16b_store_delete_repair_stored"] = ORACLE_SQL[
+    "t16_store_delete_repair"
+]
 
 _register(
     "smp13_mixture_epochs",
@@ -6081,13 +6102,17 @@ _PRIORITY: list[str] = [
     # split repair, the action behind t14's trigger) — both new this round
     # and strict-checked at all 3 scales — enter the prefix; slots 50/49
     # shift to 51+ (repo gate unchanged).
-    # Late-r7 second wave: the session's five new operators — v27
-    # (residual SQ8), t16 (store delete propagation), d24 (incremental
-    # delta×corpus LSH gate), d25 (winnowing pairs), st21 (streaming kNN
-    # serving) — all exact-multiset-checked vs their oracles at
-    # sf0.001/0.01/0.1 before promotion. Parked to 51+: driver-green
-    # veterans st18/smp12/tx17/t12/e2e_training_export (each family keeps
-    # >=2 prefix slots; the repo parity gate still checks all queries).
+    # Late-r7 second wave: the session's nine new operators — v27/v27b
+    # (residual SQ8, tables + stored forms), t16/t16b (store delete
+    # propagation, self-contained + stored forms), t17 (cold-cell merge),
+    # d24 (incremental delta×corpus LSH gate), d25 (winnowing pairs),
+    # a26 (KMV sketch), st21 (streaming kNN serving) — all
+    # exact-multiset-checked vs their oracles at sf0.001/0.01/0.1 before
+    # promotion. Parked to 51+: driver-green veterans st18/smp12/tx17/
+    # t12/e2e_training_export/e2e_corpus_assembly/smp11/st16/smp13 (the
+    # streaming family keeps 6 prefix slots, decon keeps d12/d19/d20 +
+    # e2e_decon_report, smp keeps smp7/smp9; the repo parity gate still
+    # checks every query each session).
     # ANN / similarity tiers (IVF, k-means, IVFPQ, stored-layout serving)
     "v19_ann_operating_curve",
     "d3c_minhash_lsh_capped",
@@ -6099,6 +6124,7 @@ _PRIORITY: list[str] = [
     "v25_quantized_range_search",
     "v26_quantized_ivf_knn_join",
     "v27_residual_sq8_topk",
+    "v27b_residual_clustered_topk",
     # temporal / skew / bucketed / analytic join shapes
     "j12_banded_range_join",
     "st19_streaming_sq8_ingest",
@@ -6137,13 +6163,12 @@ _PRIORITY: list[str] = [
     "t15_cell_split_repair",
     "t16_store_delete_repair",
     "t17_cell_merge_repair",
+    "t16b_store_delete_repair_stored",
     "t11_cell_stats_refresh",
     "tx20_tokenizer_fertility",
     # aggregation extensions + sampling/packing (+ j28/a24 Q2/Q11, new r5)
-    "smp13_mixture_epochs",
     "smp7_leakage_safe_split",
     # streaming near-dup + SCD2 (round-3 flagships)
-    "st16_streaming_decontamination",
     # NL2SQL generation + evaluation e2e + deep parse
     "o15b_nl2sql_generated",
     "e2e_evaluation_report",
@@ -6167,6 +6192,8 @@ _PRIORITY: list[str] = [
     "e2e_training_export",
     "e2e_corpus_assembly",
     "smp11_unimax_budget",
+    "st16_streaming_decontamination",
+    "smp13_mixture_epochs",
     "t13_bloom_index_refresh",
     "mm3_audio_features",
     "d6_dedup_clusters",

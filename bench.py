@@ -55,6 +55,7 @@ HEADLINE = [
     "v25_quantized_range_search",
     "v26_quantized_ivf_knn_join",
     "v27_residual_sq8_topk",
+    "v27b_residual_clustered_topk",
     "st19_streaming_sq8_ingest",
     "st21_streaming_knn_serving",
     "st4_sliding_window_counts",
@@ -119,6 +120,7 @@ HEADLINE = [
     "t15_cell_split_repair",
     "t16_store_delete_repair",
     "t17_cell_merge_repair",
+    "t16b_store_delete_repair_stored",
     "t12_drift_monitor",
     "st15_streaming_drift_monitor",
     "v16b_clustered_range_search",

@@ -975,3 +975,35 @@ def test_kmv_sketch_is_takeordered_partial(spark):
     plan = plan_of(spark, "a26_kmv_distinct_shingles")
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_residual_clustered_topk_prunes_partitions(spark):
+    """v27b: the probe must reach the residual store's scan as a
+    PartitionFilters entry on cid, the scan reads rcodes/rscale (never a
+    raw embedding column), the centroid model joins as a broadcast, and
+    no hash-partition exchange appears anywhere."""
+    plan = plan_of(spark, "v27b_residual_clustered_topk")
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "Exchange hashpartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rcodes" in plan
+    # the store scan's schema carries codes, never a raw vector column
+    seg = plan.split("Scan parquet spark_catalog.default.embeddings_rsq8", 1)
+    assert len(seg) == 2
+    schema = seg[1][seg[1].find("ReadSchema:"):].split("\n", 1)[0]
+    assert "rscale" in schema and "rcodes" in schema
+    assert "embedding:array" not in schema
+
+
+def test_store_delete_repair_stored_reads_map_not_vectors(spark):
+    """t16b: the store scan feeds the vec_id→cid map only (no codes, no
+    embeddings read from the store); member vectors come from ONE
+    broadcast-joined source pass; no sort-merge join."""
+    plan = plan_of(spark, "t16b_store_delete_repair_stored")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    seg = plan.split(") Scan parquet spark_catalog.default.embeddings_sq8", 1)
+    assert len(seg) == 2
+    head = seg[1][:400]
+    assert "codes" not in head  # map columns only

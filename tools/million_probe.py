@@ -159,6 +159,43 @@ def main() -> None:
     res["v25_rows"] = n_range
     print(f"v25_read_sec={res['v25_read_sec']} rows={n_range}", flush=True)
 
+    # 6. residual store build (v27b's layout — same pass shape as the
+    # direct store: GEMM assignment + residual projection + clustered
+    # write; the comparison number for "by_residual costs nothing extra")
+    from ai_optimizer_spark.operators.refresh import store_delete_repair_stored
+    from ai_optimizer_spark.plans.bucketing import (
+        ensure_residual_sq8_store,
+        residual_clustered_topk,
+    )
+
+    t0 = time.monotonic()
+    ensure_residual_sq8_store(spark, tile, n_centroids=k)
+    res["rsq8_store_build_sec"] = round(time.monotonic() - t0, 1)
+    print(f"rsq8_store_build_sec={res['rsq8_store_build_sec']}", flush=True)
+
+    # 7. v27b read — the residual tier at auto-k off its stored layout
+    t0 = time.monotonic()
+    got = residual_clustered_topk(
+        spark, tile, query_id=777, k=8, n_probe=4, n_centroids=k
+    ).collect()
+    res["v27b_read_sec"] = round(time.monotonic() - t0, 2)
+    assert len(got) == 8, len(got)
+    print(f"v27b_read_sec={res['v27b_read_sec']}", flush=True)
+
+    # 8. t16b erasure — a SPARSE delete batch (~25 ids over 2048 cells):
+    # the production shape reads the vec_id→cid map off the store, so the
+    # cost must be bounded by affected-cell members, not the corpus
+    t0 = time.monotonic()
+    rep = store_delete_repair_stored(
+        spark, tile, n_centroids=k, del_mod=40961, del_rem=7
+    ).collect()
+    res["t16b_delete_sec"] = round(time.monotonic() - t0, 2)
+    res["t16b_cells"] = len(rep)
+    assert all(r.n_before == r.n_deleted + r.n_after for r in rep)
+    print(
+        f"t16b_delete_sec={res['t16b_delete_sec']} cells={len(rep)}", flush=True
+    )
+
     print(json.dumps(res), flush=True)
 
 

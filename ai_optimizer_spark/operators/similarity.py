@@ -1665,3 +1665,104 @@ def residual_sq8_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def quantization_error_curve(
+    t: dict[str, DataFrame],
+    query_id: int = 0,
+    k: int = TOP_K,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """V28: the quantization family's quality harness — the d21/d22 move
+    (measure the approximation you ship) applied to the SQ8 tiers: one
+    row per tier (direct v23 codes vs residual v27 codes) reporting the
+    corpus-wide reconstruction-error envelope AND the served top-k recall
+    vs the exact flat answer for the probe query. This is the number a
+    deployment reads before choosing a layout: on clustered corpora the
+    residual tier's max_err collapses with the cell radius; on uniform
+    ones the two tie (both regimes are real — the fixture is uniform, so
+    the harness is expected to report parity here, and the tight-cluster
+    unit test pins the other regime).
+
+    All arithmetic is deterministic (max-abs grids, fixed centroids,
+    exact query), so the DuckDB oracle reproduces errors, recalls, and
+    the 2-row report bit-for-bit. Scale: two scan-fused projections +
+    k-bounded top-k joins; the error aggregate partial-combines — the
+    harness costs two corpus passes, and at 100 TB runs on a sample (the
+    v12/d21 scoping move)."""
+    emb = t["embeddings"]
+    q = _query_vectors(t, [query_id])
+    exact_sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", exact_sim.alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+
+    # direct tier: v23's codes
+    direct = sq8_project(emb)
+    d_err = F.when(
+        F.col("scale") > 0,
+        F.array_max(
+            F.zip_with(
+                "embedding", "codes", lambda x, c: F.abs(x - c * F.col("scale"))
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    d_stats = direct.select(d_err.alias("e")).agg(
+        (F.round(F.avg("e"), 9) + F.lit(0.0)).alias("mean_err"),
+        (F.round(F.max("e"), 9) + F.lit(0.0)).alias("max_err"),
+    )
+    d_sim = F.round(V.cosine_similarity("codes", "query_vec"), 3) + F.lit(0.0)
+    d_top = (
+        direct.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", d_sim.alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+    d_recall = (
+        d_top.join(exact, "vec_id", "left_semi")
+        .agg((F.count(F.lit(1)) / F.lit(float(k))).alias("recall"))
+    )
+
+    # residual tier: v27's codes
+    cents, assigned = _ivf_assign(emb, n_centroids)
+    resid = residual_sq8_project(assigned, cents)
+    recon = resid.withColumn(
+        "xr", F.zip_with("ce", "rcodes", lambda c, rc: c + rc * F.col("rscale"))
+    )
+    r_err = F.array_max(
+        F.zip_with("embedding", "xr", lambda x, h: F.abs(x.cast("double") - h))
+    )
+    r_stats = recon.select(r_err.alias("e")).agg(
+        (F.round(F.avg("e"), 9) + F.lit(0.0)).alias("mean_err"),
+        (F.round(F.max("e"), 9) + F.lit(0.0)).alias("max_err"),
+    )
+    r_sim = F.round(V.cosine_similarity("xr", "query_vec"), 3) + F.lit(0.0)
+    r_top = (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", r_sim.alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+    r_recall = (
+        r_top.join(exact, "vec_id", "left_semi")
+        .agg((F.count(F.lit(1)) / F.lit(float(k))).alias("recall"))
+    )
+
+    d_row = (
+        d_stats.crossJoin(d_recall)
+        .select(F.lit("sq8_direct").alias("tier"), "mean_err", "max_err", "recall")
+    )
+    r_row = (
+        r_stats.crossJoin(r_recall)
+        .select(F.lit("sq8_residual").alias("tier"), "mean_err", "max_err", "recall")
+    )
+    return d_row.unionByName(r_row)

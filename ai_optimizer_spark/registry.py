@@ -3479,6 +3479,126 @@ from .plans.bucketing import residual_clustered_topk  # noqa: E402
 QUERIES["v27b_residual_clustered_topk"] = residual_clustered_topk
 ORACLE_SQL["v27b_residual_clustered_topk"] = ORACLE_SQL["v27_residual_sq8_topk"]
 
+# v28: the quantization family's quality harness — per-tier (direct vs
+# residual SQ8) reconstruction-error envelope + served top-k recall vs
+# the exact flat answer. Deterministic arithmetic end to end, so the
+# 2-row report is hash-verified (the d21/d22 "measure the approximation
+# you ship" move applied to the storage tiers).
+_register(
+    "v28_quantization_error_curve",
+    S.quantization_error_curve,
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    ex AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 3)
+                       + 0.0 AS s
+            FROM embeddings e, q WHERE e.vec_id <> 0
+        ) ORDER BY s DESC, vec_id ASC LIMIT {S.TOP_K}
+    ),
+    dsc AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ee,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                   / {S.SQ8_LEVELS} AS scale
+        FROM embeddings
+    ),
+    dcodes AS (
+        SELECT vec_id, ee, scale,
+               CASE WHEN scale > 0
+                    THEN list_transform(ee, x -> round(x / scale))
+                    ELSE list_transform(ee, x -> 0.0) END AS c
+        FROM dsc
+    ),
+    derr AS (
+        SELECT vec_id, c,
+               CASE WHEN scale > 0
+                    THEN list_max(list_transform(
+                        ee, x -> abs(x - round(x / scale) * scale)))
+                    ELSE 0.0 END AS e
+        FROM dcodes
+    ),
+    dstats AS (
+        SELECT ROUND(AVG(e), 9) + 0.0 AS mean_err,
+               ROUND(MAX(e), 9) + 0.0 AS max_err
+        FROM derr
+    ),
+    dtop AS (
+        SELECT vec_id FROM (
+            SELECT d.vec_id,
+                   ROUND(list_cosine_similarity(d.c, q.qe), 3) + 0.0 AS s
+            FROM derr d, q WHERE d.vec_id <> 0
+        ) ORDER BY s DESC, vec_id ASC LIMIT {S.TOP_K}
+    ),
+    drecall AS (
+        SELECT COUNT(*) * 1.0 / {S.TOP_K} AS recall
+        FROM dtop JOIN ex ON dtop.vec_id = ex.vec_id
+    ),
+    cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT vec_id, ee, cid FROM (
+            SELECT e.vec_id, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    resid AS (
+        SELECT a.vec_id, a.ee, c.ce,
+               list_transform(generate_series(1, len(a.ee)),
+                              i -> a.ee[i] - c.ce[i]) AS r
+        FROM assigned a JOIN cents c ON a.cid = c.cid
+    ),
+    rsc AS (
+        SELECT vec_id, ee, ce, r,
+               list_max(list_transform(r, x -> abs(x))) / {S.SQ8_LEVELS}
+                   AS rscale
+        FROM resid
+    ),
+    rrecon AS (
+        SELECT vec_id, ee,
+               CASE WHEN rscale > 0
+                    THEN list_transform(generate_series(1, len(r)),
+                         i -> ce[i] + round(r[i] / rscale) * rscale)
+                    ELSE ce END AS xr
+        FROM rsc
+    ),
+    rerr AS (
+        SELECT vec_id, xr,
+               list_max(list_transform(generate_series(1, len(ee)),
+                                       i -> abs(ee[i] - xr[i]))) AS e
+        FROM rrecon
+    ),
+    rstats AS (
+        SELECT ROUND(AVG(e), 9) + 0.0 AS mean_err,
+               ROUND(MAX(e), 9) + 0.0 AS max_err
+        FROM rerr
+    ),
+    rtop AS (
+        SELECT vec_id FROM (
+            SELECT r.vec_id,
+                   ROUND(list_cosine_similarity(r.xr, q.qe), 3) + 0.0 AS s
+            FROM rerr r, q WHERE r.vec_id <> 0
+        ) ORDER BY s DESC, vec_id ASC LIMIT {S.TOP_K}
+    ),
+    rrecall AS (
+        SELECT COUNT(*) * 1.0 / {S.TOP_K} AS recall
+        FROM rtop JOIN ex ON rtop.vec_id = ex.vec_id
+    )
+    SELECT 'sq8_direct' AS tier, mean_err, max_err, recall
+    FROM dstats, drecall
+    UNION ALL
+    SELECT 'sq8_residual' AS tier, mean_err, max_err, recall
+    FROM rstats, rrecall
+    """,
+)
+
 # v21: runtime (dynamic) partition pruning — the probe cell set is a
 # computed DataFrame, injected into the partitioned scan as a
 # dynamicpruningexpression (plan-tested); the literal-filter twin is v13.
@@ -6125,6 +6245,7 @@ _PRIORITY: list[str] = [
     "v26_quantized_ivf_knn_join",
     "v27_residual_sq8_topk",
     "v27b_residual_clustered_topk",
+    "v28_quantization_error_curve",
     # temporal / skew / bucketed / analytic join shapes
     "j12_banded_range_join",
     "st19_streaming_sq8_ingest",
@@ -6150,7 +6271,6 @@ _PRIORITY: list[str] = [
     "e2e_dedup_manifest",
     "v23_sq8_topk",
     # text-analysis family + multimodal (+ d15 substring dedup, new r5)
-    "s13_store_catalog",
     "mm2_frame_features",
     "tx19_quality_classifier",
     "tx15_bpe_tokenize",
@@ -6194,6 +6314,7 @@ _PRIORITY: list[str] = [
     "smp11_unimax_budget",
     "st16_streaming_decontamination",
     "smp13_mixture_epochs",
+    "s13_store_catalog",
     "t13_bloom_index_refresh",
     "mm3_audio_features",
     "d6_dedup_clusters",

@@ -56,6 +56,7 @@ HEADLINE = [
     "v26_quantized_ivf_knn_join",
     "v27_residual_sq8_topk",
     "v27b_residual_clustered_topk",
+    "v28_quantization_error_curve",
     "st19_streaming_sq8_ingest",
     "st21_streaming_knn_serving",
     "st4_sliding_window_counts",

@@ -67,6 +67,7 @@ OPS = [
     "st21_streaming_knn_serving",
     "t17_cell_merge_repair",
     "a26_kmv_distinct_shingles",
+    "v28_quantization_error_curve",
     "smp6_sequence_packing",
     "smp9_token_budget_select",
     "smp10_dsir_importance",

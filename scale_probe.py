@@ -68,6 +68,8 @@ OPS = [
     "t17_cell_merge_repair",
     "a26_kmv_distinct_shingles",
     "v28_quantization_error_curve",
+    "v27b_residual_clustered_topk",
+    "t16b_store_delete_repair_stored",
     "smp6_sequence_packing",
     "smp9_token_budget_select",
     "smp10_dsir_importance",

@@ -5908,6 +5908,20 @@ ORACLE_SQL["t16b_store_delete_repair_stored"] = ORACLE_SQL[
     "t16_store_delete_repair"
 ]
 
+
+# st22: the erasure queue as a STREAM — t16b's always-on twin; the
+# fixture feeds the whole delete set as one request wave, so the batch
+# op is the exact oracle (shared SQL). Wave-commutativity for disjoint
+# cell sets is unit-tested.
+def _st22_streaming_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.event_stream import streaming_erasure
+
+    return streaming_erasure(spark, sf_dir)
+
+
+QUERIES["st22_streaming_erasure"] = _st22_streaming_erasure
+ORACLE_SQL["st22_streaming_erasure"] = ORACLE_SQL["t16_store_delete_repair"]
+
 _register(
     "smp13_mixture_epochs",
     SMP.mixture_epochs,
@@ -6228,11 +6242,13 @@ _PRIORITY: list[str] = [
     # d24 (incremental delta×corpus LSH gate), d25 (winnowing pairs),
     # a26 (KMV sketch), st21 (streaming kNN serving) — all
     # exact-multiset-checked vs their oracles at sf0.001/0.01/0.1 before
-    # promotion. Parked to 51+: driver-green veterans st18/smp12/tx17/
-    # t12/e2e_training_export/e2e_corpus_assembly/smp11/st16/smp13 (the
-    # streaming family keeps 6 prefix slots, decon keeps d12/d19/d20 +
-    # e2e_decon_report, smp keeps smp7/smp9; the repo parity gate still
-    # checks every query each session).
+    # promotion (plus v28 and st22, same checks). Parked to 51+:
+    # driver-green veterans st18/smp12/tx17/t12/e2e_training_export/
+    # e2e_corpus_assembly/smp11/st16/smp13/mm2 (the streaming family
+    # keeps 7 prefix slots, decon keeps d12/d19/d20 + e2e_decon_report,
+    # smp keeps smp7/smp9, mm2/mm3 stay repo-gate green and carry r6
+    # driver rows; the repo parity gate still checks every query each
+    # session).
     # ANN / similarity tiers (IVF, k-means, IVFPQ, stored-layout serving)
     "v19_ann_operating_curve",
     "d3c_minhash_lsh_capped",
@@ -6271,7 +6287,6 @@ _PRIORITY: list[str] = [
     "e2e_dedup_manifest",
     "v23_sq8_topk",
     # text-analysis family + multimodal (+ d15 substring dedup, new r5)
-    "mm2_frame_features",
     "tx19_quality_classifier",
     "tx15_bpe_tokenize",
     # streaming / event-time (+ st14/t10 span-index pair, new r5)
@@ -6284,6 +6299,7 @@ _PRIORITY: list[str] = [
     "t16_store_delete_repair",
     "t17_cell_merge_repair",
     "t16b_store_delete_repair_stored",
+    "st22_streaming_erasure",
     "t11_cell_stats_refresh",
     "tx20_tokenizer_fertility",
     # aggregation extensions + sampling/packing (+ j28/a24 Q2/Q11, new r5)
@@ -6315,6 +6331,7 @@ _PRIORITY: list[str] = [
     "st16_streaming_decontamination",
     "smp13_mixture_epochs",
     "s13_store_catalog",
+    "mm2_frame_features",
     "t13_bloom_index_refresh",
     "mm3_audio_features",
     "d6_dedup_clusters",

@@ -842,3 +842,99 @@ def streaming_knn_serving(
         served,
         "query_id long, vec_id long, label int, cid long, cos_sim double",
     )
+
+
+def streaming_erasure(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 16,
+    del_mod: int = 41,
+    del_rem: int = 5,
+) -> DataFrame:
+    """ST22: the erasure QUEUE as a stream — t16b's always-on twin,
+    closing the lifecycle the way st21 closes serving (build v24 /
+    ingest st19 / monitor t14 / split t15 / merge t17 / serve v24-v27b /
+    DELETE t16b — every verb now has a batch form and a streaming form).
+    Delete requests arrive on a stream; each micro-batch resolves its
+    ids against the store's vec_id→cid map and emits the per-affected-
+    cell repair records for exactly the cells ITS ids touch.
+
+    Correctness under micro-batching: unlike counts or maxes, the repair
+    record of a cell depends on the FULL delete set for that cell — so
+    this op batches per REQUEST WAVE (the production unit: one GDPR
+    batch = one wave = one repair transaction) and the fixture feeds the
+    whole fixture delete set as one wave, making the batch op (t16b) the
+    exact oracle. The multi-wave unit test pins the other contract:
+    waves touching DISJOINT cell sets commute (their repair records
+    concatenate), which is how a queue actually applies them.
+
+    The per-batch collect is the repair record (affected-cells rows, the
+    write-back payload), never corpus data."""
+    from ..plans.bucketing import ensure_sq8_clustered_store
+    from ..tables import load_tables
+
+    name = ensure_sq8_clustered_store(spark, sf_dir, n_centroids)
+    vmap = spark.table(name).select(
+        "vec_id", F.col("cid").cast("long").alias("cid")
+    )
+    src = load_tables(spark, sf_dir)["embeddings"]
+    cents = src.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_cid"), F.col("embedding").alias("ce")
+    )
+
+    import os as _os
+
+    table_path = f"{sf_dir}/embeddings.parquet"
+    reader = spark.readStream.schema(src.schema)
+    if _os.path.isdir(table_path):
+        qsrc = reader.parquet(table_path)
+    else:
+        qsrc = reader.option("pathGlobFilter", "embeddings.parquet").parquet(sf_dir)
+    # the delete REQUEST stream: ids only (an erasure queue carries ids)
+    stream = qsrc.filter(F.col("vec_id") % del_mod == del_rem).select(
+        F.col("vec_id").alias("del_id")
+    )
+
+    out: list[tuple] = []
+
+    def _apply(batch_df: DataFrame, _bid: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..functions import vector as V
+        from ..operators.refresh import _delete_repair_stats
+
+        dels = batch_df.select("del_id").distinct()
+        affected = (
+            vmap.join(F.broadcast(dels), vmap["vec_id"] == dels["del_id"])
+            .select(F.col("cid").alias("a_cid"))
+            .distinct()
+        )
+        members = vmap.join(
+            F.broadcast(affected), F.col("cid") == F.col("a_cid")
+        ).select("vec_id", "cid")
+        members = members.join(
+            F.broadcast(dels),
+            members["vec_id"] == dels["del_id"],
+            "left",
+        ).select(
+            "vec_id", "cid", F.col("del_id").isNotNull().alias("is_del")
+        )
+        dist = (
+            src.join(F.broadcast(members), "vec_id")
+            .join(F.broadcast(cents), F.col("cid") == F.col("c_cid"))
+            .select(
+                "cid",
+                "is_del",
+                V.euclidean_distance("embedding", "ce").alias("dc"),
+            )
+        )
+        out.extend(tuple(r) for r in _delete_repair_stats(dist).collect())
+
+    q = stream.writeStream.foreachBatch(_apply).trigger(availableNow=True).start()
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("st22 streaming erasure did not finish in 180s")
+    return spark.createDataFrame(
+        out,
+        "cid long, n_before long, n_deleted long, n_after long, r_cell_after double",
+    )

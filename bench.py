@@ -122,6 +122,7 @@ HEADLINE = [
     "t16_store_delete_repair",
     "t17_cell_merge_repair",
     "t16b_store_delete_repair_stored",
+    "st22_streaming_erasure",
     "t12_drift_monitor",
     "st15_streaming_drift_monitor",
     "v16b_clustered_range_search",

@@ -70,6 +70,7 @@ OPS = [
     "v28_quantization_error_curve",
     "v27b_residual_clustered_topk",
     "t16b_store_delete_repair_stored",
+    "st22_streaming_erasure",
     "smp6_sequence_packing",
     "smp9_token_budget_select",
     "smp10_dsir_importance",

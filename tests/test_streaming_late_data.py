@@ -965,3 +965,108 @@ def test_streaming_knn_serving_multibatch_equals_batch(spark, sf_small, tmp_path
     assert q.awaitTermination(180)
     assert len([b for b in batches if b > 0]) >= 2  # genuinely multi-batch
     assert set(served) == truth
+
+
+def test_streaming_erasure_disjoint_waves_commute(spark, sf_small, tmp_path):
+    """st22's wave contract: delete waves touching DISJOINT cell sets
+    produce exactly the records of one combined wave (per-cell repair
+    depends only on that cell's deletes), regardless of arrival order —
+    how an erasure queue actually applies batches."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.functions import vector as V
+    from ai_optimizer_spark.operators.refresh import _delete_repair_stats
+    from ai_optimizer_spark.operators.similarity import _ivf_assign
+    from ai_optimizer_spark.plans.bucketing import ensure_sq8_clustered_store
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    emb = t["embeddings"]
+    cents, assigned = _ivf_assign(emb, 16)
+    rows = assigned.select("vec_id", "cid").collect()
+    by_cell: dict[int, list[int]] = {}
+    for r in rows:
+        by_cell.setdefault(r.cid, []).append(r.vec_id)
+    cells = sorted(c for c, m in by_cell.items() if len(m) >= 3)[:2]
+    assert len(cells) == 2
+    wave1 = sorted(by_cell[cells[0]])[:2]  # two deletes in cell A
+    wave2 = sorted(by_cell[cells[1]])[:2]  # two deletes in cell B
+
+    # expected: one combined repair over both waves (disjoint cells)
+    all_ids = set(wave1) | set(wave2)
+    flagged = assigned.select(
+        "vec_id", "cid", "embedding",
+        F.col("vec_id").isin(list(all_ids)).alias("is_del"),
+    )
+    affected = flagged.filter("is_del").select(F.col("cid").alias("a")).distinct()
+    dist = (
+        flagged.join(F.broadcast(affected), F.col("cid") == F.col("a"))
+        .join(
+            F.broadcast(cents.select(F.col("cid").alias("c2"), "ce")),
+            F.col("cid") == F.col("c2"),
+        )
+        .select("cid", "is_del", V.euclidean_distance("embedding", "ce").alias("dc"))
+    )
+    expected = {tuple(r) for r in _delete_repair_stats(dist).collect()}
+
+    # feed the two waves as two files, in both orders
+    name = ensure_sq8_clustered_store(spark, sf_small, 16)
+    vmap = spark.table(name).select(
+        "vec_id", F.col("cid").cast("long").alias("cid")
+    )
+    src = emb
+    c_b = cents.select(F.col("cid").alias("c_cid"), "ce")
+
+    for order_name, waves in (("fwd", [wave1, wave2]), ("rev", [wave2, wave1])):
+        feed = str(tmp_path / f"feed_{order_name}")
+        os.makedirs(feed)
+        for i, ids in enumerate(waves):
+            stage = str(tmp_path / f"stage_{order_name}_{i}")
+            spark.createDataFrame(
+                [(int(x),) for x in ids], "del_id long"
+            ).coalesce(1).write.parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            dst = os.path.join(feed, f"w{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+
+        got: list[tuple] = []
+
+        def _apply(batch_df, _bid, got=got):
+            if batch_df.isEmpty():
+                return
+            dels = batch_df.select("del_id").distinct()
+            aff = (
+                vmap.join(F.broadcast(dels), vmap["vec_id"] == dels["del_id"])
+                .select(F.col("cid").alias("a_cid"))
+                .distinct()
+            )
+            mem = vmap.join(
+                F.broadcast(aff), F.col("cid") == F.col("a_cid")
+            ).select("vec_id", "cid")
+            mem = mem.join(
+                F.broadcast(dels), mem["vec_id"] == dels["del_id"], "left"
+            ).select("vec_id", "cid", F.col("del_id").isNotNull().alias("is_del"))
+            d = (
+                src.join(F.broadcast(mem), "vec_id")
+                .join(F.broadcast(c_b), F.col("cid") == F.col("c_cid"))
+                .select(
+                    "cid", "is_del",
+                    V.euclidean_distance("embedding", "ce").alias("dc"),
+                )
+            )
+            got.extend(tuple(r) for r in _delete_repair_stats(d).collect())
+
+        stream = (
+            spark.readStream.schema("del_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = stream.writeStream.foreachBatch(_apply).trigger(availableNow=True).start()
+        assert q.awaitTermination(180)
+        assert set(got) == expected, order_name
+        assert len(got) == len(expected)

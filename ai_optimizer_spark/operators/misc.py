@@ -426,3 +426,201 @@ def kmv_distinct_shingles(t: dict[str, DataFrame], k: int = KMV_K) -> DataFrame:
         .alias("estimate"),
         F.col("n_exact").cast("long").alias("n_exact"),
     )
+
+
+# Count-Min Sketch geometry: R=4 independent seeded hash rows × W=512
+# buckets. Fixed constants so the Spark sketch and the DuckDB oracle
+# agree bit-for-bit (the hash is the portable seeded hash60).
+CMS_W = 512
+CMS_SEEDS = (11, 23, 47, 89)
+CMS_TOP_N = 12
+
+
+def _cms_cells(term, seeds: tuple[int, ...], w: int):
+    """The R (seed, bucket) cells a term hashes into — one struct per row
+    of the sketch, exploded so one scan feeds all rows at once."""
+    from ..functions import text as T
+
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    (T.seeded_hash60(term, s) % F.lit(w)).alias("bucket"),
+                )
+                for s in seeds
+            ]
+        )
+    )
+
+
+def cms_heavy_hitters(
+    t: dict[str, DataFrame],
+    w: int = CMS_W,
+    seeds: tuple[int, ...] = CMS_SEEDS,
+    n: int = CMS_TOP_N,
+) -> DataFrame:
+    """A27: Count-Min Sketch term-frequency estimation (Cormode &
+    Muthukrishnan 2005) — the FREQUENCY counterpart to a26's KMV
+    cardinality sketch, under the same exact-oracle discipline: every
+    hash is the portable hash60, so the sketch counters, the point
+    estimates, and the CMS overcount are all deterministic and
+    hash-verified cross-engine. Point query f̂(x) = min over rows of
+    counter[h_s(x)] — never an undercount, so `overcount >= 0` is an
+    invariant the output exposes directly.
+
+    Why this exists at 100 TB: exact term frequencies over a corpus are a
+    vocabulary-sized shuffle (tx8's top_terms materializes the whole
+    GROUP BY); the CMS is a FIXED R×W-integer synopsis that answers any
+    point query after one scan — and it is ALGEBRAIC (per-partition
+    cell counts sum), so Catalyst runs it as a map-side partial count
+    into a 2048-row exchange regardless of corpus size. Hot-term queries
+    (boilerplate detection, stopword discovery, d15-style repeated-text
+    triage) read the synopsis, not the corpus. The exact top-N side
+    rides along in this harness form as the error reference — production
+    drops it (the a26/d21 move).
+    """
+    from ..functions import text as T
+
+    tok = t["documents"].select(F.explode(T.words("text")).alias("term"))
+    sketch = (
+        tok.select(_cms_cells(F.col("term"), seeds, w).alias("sb"))
+        .select("sb.seed", "sb.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topn = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("term"))
+        .limit(n)
+    )
+    probes = topn.select(
+        "term", "n_exact", _cms_cells(F.col("term"), seeds, w).alias("sb")
+    ).select("term", "n_exact", "sb.seed", "sb.bucket")
+    return (
+        sketch.join(F.broadcast(probes), ["seed", "bucket"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("cnt").alias("est"))
+        .select(
+            "term",
+            F.col("est").cast("long").alias("est_count"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("est") - F.col("n_exact")).cast("long").alias("overcount"),
+        )
+    )
+
+
+# Fixed source pairs for the overlap estimate (chosen to span the observed
+# overlap range at sf0.01: heavy, medium, near-zero); literal so the oracle
+# pins the same pairs.
+KMV_PAIRS = (
+    ("src1", "src5"),
+    ("src7", "src13"),
+    ("src10", "src18"),
+    ("src0", "src13"),
+    ("src2", "src3"),
+    ("src4", "src9"),
+)
+
+
+def kmv_source_overlap(
+    t: dict[str, DataFrame],
+    k: int = KMV_K,
+    pairs: tuple[tuple[str, str], ...] = KMV_PAIRS,
+) -> DataFrame:
+    """A28: cross-source shingle-set Jaccard from per-source KMV sketches
+    (Beyer et al., SIGMOD 2007 §4: K-min-value synopses support set
+    operations) — a26 generalized from one cardinality to an overlap
+    MATRIX. Per source keep the k smallest distinct shingle hash60s; for
+    a pair (A, B), the k smallest of sketch(A) ∪ sketch(B) form a
+    uniform sample of A ∪ B, and the fraction present in BOTH sketches
+    estimates J(A, B). Everything is deterministic portable hashing, so
+    the sketch rows, n_kept, and the estimate are exact cross-engine;
+    the exact Jaccard rides along as the harness's error reference
+    (production drops it — the a26/d21 move).
+
+    Why this exists at 100 TB: pairwise source overlap (which crawls
+    duplicate which feeds, which dumps re-host which corpora) is the
+    triage input to dedup budgeting (d17) and mixture design (smp3/
+    smp13) — and the exact form is a cross-source shingle join that
+    shuffles the full shingle universe PER PAIR. The KMV form maintains
+    one k-row sketch per source (algebraic: per-partition k-smallest
+    lists merge by union→k-smallest), and the whole overlap matrix is
+    computed from sketches alone — KB per source, independent of corpus
+    size, any number of pairs."""
+    from pyspark.sql import Window
+
+    from ..functions import text as T
+
+    docs = t["documents"]
+    spark = docs.sparkSession
+    pair_df = spark.createDataFrame(list(pairs), "src_a string, src_b string")
+
+    # distinct (source, shingle-hash) — hash once, reuse for sketch + exact
+    sh = (
+        docs.select(
+            "source", F.explode(T.word_shingles(F.col("text"))).alias("sh")
+        )
+        .select("source", T.hash60(F.col("sh")).alias("h"))
+        .distinct()
+    )
+
+    def _pair_flags(rows: DataFrame) -> DataFrame:
+        a = pair_df.join(rows, rows["source"] == pair_df["src_a"]).select(
+            "src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+        )
+        b = pair_df.join(rows, rows["source"] == pair_df["src_b"]).select(
+            "src_a", "src_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+        )
+        return (
+            a.unionAll(b)
+            .groupBy("src_a", "src_b", "h")
+            .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        )
+
+    # per-source sketch: k smallest hashes (h is distinct within a source)
+    sk = sh.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("source").orderBy(F.asc("h")))
+    ).filter(F.col("rn") <= k)
+
+    est = (
+        _pair_flags(sk.select("source", "h"))
+        .withColumn(
+            "urn",
+            F.row_number().over(
+                Window.partitionBy("src_a", "src_b").orderBy(F.asc("h"))
+            ),
+        )
+        .filter(F.col("urn") <= k)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.lit(k).cast("long").alias("k"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            (F.round(F.col("n_both") / F.col("n_kept"), 4) + F.lit(0.0)).alias(
+                "jaccard_est"
+            ),
+        )
+    )
+    exact = (
+        _pair_flags(sh)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            (F.round(F.col("n_inter") / F.col("n_union"), 4) + F.lit(0.0)).alias(
+                "jaccard_exact"
+            ),
+        )
+    )
+    return est.join(exact, ["src_a", "src_b"])

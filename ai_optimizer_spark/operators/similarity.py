@@ -1766,3 +1766,133 @@ def quantization_error_curve(
         .select(F.lit("sq8_residual").alias("tier"), "mean_err", "max_err", "recall")
     )
     return d_row.unionByName(r_row)
+
+
+# ---------------------------------------------------------------------------
+# v29: random-projection (Johnson–Lindenstrauss) prefilter + exact re-rank
+# ---------------------------------------------------------------------------
+
+RP_DIM = 24
+RP_EMB_DIM = 64
+RP_COARSE_C = 400
+
+
+def _rp_sign(i: int, j: int) -> float:
+    """Deterministic Achlioptas ±1 sign for projection cell (i, j), derived
+    from the portable md5 family — reproducible in any engine, no RNG."""
+    import hashlib
+
+    return 1.0 if int(hashlib.md5(f"rp|{i}|{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+
+
+RP_SIGNS: tuple[tuple[float, ...], ...] = tuple(
+    tuple(_rp_sign(i, j) for j in range(RP_EMB_DIM)) for i in range(RP_DIM)
+)
+
+
+def _rp_project(col: Column, signs=RP_SIGNS) -> Column:
+    """The RP_DIM projected coordinates of a vector column as ONE array
+    column — each coordinate an explicit left-associated multiply-add
+    chain, bit-identical to the same left-associated '+' chain in any
+    SQL engine (floating-point addition is order-sensitive; both sides
+    fix the SAME order, so no rounding slack is needed anywhere in the
+    coarse phase). Materialized as an array ON PURPOSE: the downstream
+    cosine references the array through HOF lambdas, which bind the
+    value once per row — inlining the 24 depth-64 chains into the three
+    consumer sites (dot + both norms) is the hof-projection
+    re-evaluation trap (cf. v22/v23) and, at this width, also overflows
+    Janino (measured: a single collapsed coarse Project with 2880
+    element_at nodes fails codegen and falls back to interpreted)."""
+    e = col.cast("array<double>")
+    coords = []
+    for row in signs:
+        s = F.element_at(e, 1) * F.lit(row[0])
+        for j in range(1, len(row)):
+            s = s + F.element_at(e, j + 1) * F.lit(row[j])
+        coords.append(s)
+    return F.array(*coords)
+
+
+def _rp_dot(a: Column, b: Column) -> Column:
+    """Fold-dot over two projected arrays: 0.0 + a1*b1 + a2*b2 + ... —
+    the aggregate's fold order, mirrored verbatim in the oracle SQL."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _rp_cosine(a: Column, b: Column) -> Column:
+    """Cosine in the projected space — zero-norm-safe the same way on
+    both engines (degenerate projection scores -1)."""
+    denom = F.sqrt(_rp_dot(a, a)) * F.sqrt(_rp_dot(b, b))
+    return F.when(denom > 0, _rp_dot(a, b) / denom).otherwise(F.lit(-1.0))
+
+
+def random_projection_topk(
+    t: dict[str, DataFrame],
+    query_id: int = 0,
+    k: int = TOP_K,
+    coarse_c: int = RP_COARSE_C,
+) -> DataFrame:
+    """V29: JL random-projection prefilter + exact re-rank — the
+    DIMENSIONALITY-reduction member of the approximate family (IVF
+    prunes rows, SQ8 compresses cells, RP compresses DIMENSIONS;
+    Johnson & Lindenstrauss 1984, Achlioptas 2003 for ±1 projections).
+    Phase 1 scores every vector by cosine in the 24-dim projected space
+    (a fixed ±1 matrix, so each coordinate is one multiply-add chain in
+    codegen) and keeps the top coarse_c candidates; phase 2 re-scores
+    ONLY those with the exact 64-dim cosine and serves the top k.
+
+    Both phases are deterministic cross-engine: the projection sums are
+    the same left-associated chains in Spark and the DuckDB oracle (no
+    rounding needed for the coarse cut), and the exact re-rank reuses
+    the v1 round-3 contract — so the oracle reproduces the SERVED set
+    exactly, approximation included (the v24 discipline).
+
+    Why this exists at 100 TB: the coarse pass needs 24 projected coordinates per row
+    instead of 64 — with a materialized projection column (the
+    stored-form follow-up, cf. v27b) the candidate scan reads ~2.7x fewer
+    bytes (float32 projections) and does ~2.7x less arithmetic than a
+    brute-force pass, while the
+    exact pass touches coarse_c rows regardless of corpus size. Config (p=24, C=400)
+    was CHOSEN by measurement, not assumed: recall vs the exact top-8 is
+    1.0 at sf0.01 and sf0.1 on the fixture corpora (8/16-dim projections
+    lose the ordering: the synthetic embeddings' cosine gaps are tiny);
+    the unit test pins a recall floor."""
+    emb = t["embeddings"]
+    q = _query_vectors(t, [query_id])
+    qp = q.select(
+        "query_vec", _rp_project(F.col("query_vec")).alias("qv")
+    )
+    coarse = (
+        emb.crossJoin(F.broadcast(qp))
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "query_vec",
+            # LET-BINDING (the v22 move): transform over a 1-element array
+            # binds the projected coordinates once per row; referencing a
+            # pv COLUMN from the cosine would let CollapseProject inline
+            # the 24 chains into each HOF consumer (measured: 2x
+            # re-evaluation even split across two selects).
+            F.get(
+                F.transform(
+                    F.array(_rp_project(F.col("embedding"))),
+                    lambda v: _rp_cosine(v, F.col("qv")),
+                ),
+                0,
+            ).alias("coarse"),
+        )
+        .orderBy(F.desc("coarse"), F.asc("vec_id"))
+        .limit(coarse_c)
+    )
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    return (
+        coarse.select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

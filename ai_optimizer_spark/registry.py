@@ -2363,6 +2363,122 @@ _register(
     """,
 )
 
+
+# a27: Count-Min Sketch heavy hitters — a26's frequency counterpart: the
+# R x W counter sketch, the point estimates over the exact top-N terms,
+# and the CMS overcount (always >= 0) are all portable-hash
+# deterministic, so an approximate frequency structure sits under the
+# exact oracle gate.
+_register(
+    "a27_cms_heavy_hitters",
+    M.cms_heavy_hitters,
+    f"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    cells AS (
+        SELECT s.seed,
+               {_h60("CAST(s.seed AS VARCHAR) || '|' || term")} % {M.CMS_W}
+                   AS bucket
+        FROM tok, (VALUES (11), (23), (47), (89)) s(seed)
+    ),
+    sketch AS (SELECT seed, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+    topn AS (
+        SELECT term, COUNT(*) AS n_exact FROM tok GROUP BY term
+        ORDER BY n_exact DESC, term ASC LIMIT {M.CMS_TOP_N}
+    ),
+    probes AS (
+        SELECT t.term, t.n_exact, s.seed,
+               {_h60("CAST(s.seed AS VARCHAR) || '|' || t.term")} % {M.CMS_W}
+                   AS bucket
+        FROM topn t, (VALUES (11), (23), (47), (89)) s(seed)
+    ),
+    est AS (
+        SELECT p.term, p.n_exact, MIN(k.cnt) AS est
+        FROM probes p JOIN sketch k ON k.seed = p.seed AND k.bucket = p.bucket
+        GROUP BY 1, 2
+    )
+    SELECT term, CAST(est AS BIGINT) AS est_count,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(est - n_exact AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+
+_KMV_PAIRS_SQL = ", ".join(f"('{a}', '{b}')" for a, b in M.KMV_PAIRS)
+
+# a28: KMV cross-source Jaccard — per-source k-minimum-value sketches,
+# pairwise overlap estimated from the k smallest of the sketch union;
+# the exact Jaccard rides along as the error reference. Deterministic
+# portable hashing end to end => exact oracle over an approximate op.
+_register(
+    "a28_kmv_source_overlap",
+    M.kmv_source_overlap,
+    f"""
+    WITH pairs(src_a, src_b) AS (VALUES {_KMV_PAIRS_SQL}),
+    w AS (
+        SELECT source, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT source, words,
+               unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i
+        FROM w
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               {_h60("array_to_string(words[i:i+2], ' ')")} AS h
+        FROM g
+    ),
+    sk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+            FROM sh
+        ) WHERE rn <= {M.KMV_K}
+    ),
+    sk_flags AS (
+        SELECT p.src_a, p.src_b, s.h,
+               MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+        GROUP BY 1, 2, 3
+    ),
+    est AS (
+        SELECT src_a, src_b, COUNT(*) AS n_kept,
+               SUM(in_a * in_b) AS n_both
+        FROM (
+            SELECT src_a, src_b, h, in_a, in_b,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY src_a, src_b ORDER BY h ASC
+                   ) AS urn
+            FROM sk_flags
+        ) WHERE urn <= {M.KMV_K}
+        GROUP BY 1, 2
+    ),
+    ex_flags AS (
+        SELECT p.src_a, p.src_b, s.h,
+               MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN sh s ON s.source IN (p.src_a, p.src_b)
+        GROUP BY 1, 2, 3
+    ),
+    ex AS (
+        SELECT src_a, src_b,
+               ROUND(SUM(in_a * in_b) * 1.0 / COUNT(*), 4) + 0.0
+                   AS jaccard_exact
+        FROM ex_flags GROUP BY 1, 2
+    )
+    SELECT e.src_a, e.src_b, CAST({M.KMV_K} AS BIGINT) AS k,
+           CAST(e.n_kept AS BIGINT) AS n_kept,
+           ROUND(e.n_both * 1.0 / e.n_kept, 4) + 0.0 AS jaccard_est,
+           x.jaccard_exact
+    FROM est e JOIN ex x ON e.src_a = x.src_a AND e.src_b = x.src_b
+    """,
+)
+
+
 _register("d6_dedup_clusters", D.dedup_clusters, OD.DEDUP_CLUSTERS)
 
 
@@ -6209,6 +6325,89 @@ _register(
 # checks ALL of them regardless; this prefix simply front-loads the flagship
 # ops — ANN tiers, temporal/bucketed joins, dedup clustering, the curation
 # e2e, streaming parity — so the strongest work is also externally verified.
+
+# ---------------------------------------------------------------------------
+# v29: random-projection prefilter — the oracle reproduces BOTH phases with
+# the same left-associated arithmetic, so the coarse cut needs no rounding
+# slack and the served set matches exactly, approximation included.
+# ---------------------------------------------------------------------------
+
+
+def _rp_proj_sql(arr: str, row) -> str:
+    return " + ".join(f"{arr}[{j + 1}] * ({s!r})" for j, s in enumerate(row))
+
+
+def _rp_chain_sql(a: str, b: str, n: int) -> str:
+    # mirrors F.aggregate's fold: 0.0 + a0*b0 + a1*b1 + ... (left-assoc)
+    return "0.0 + " + " + ".join(f"{a}{i} * {b}{i}" for i in range(n))
+
+
+def _v29_sql() -> str:
+    qproj = ",\n               ".join(
+        f"{_rp_proj_sql('qe', row)} AS q{i}" for i, row in enumerate(S.RP_SIGNS)
+    )
+    eproj = ",\n               ".join(
+        f"{_rp_proj_sql('ee', row)} AS p{i}" for i, row in enumerate(S.RP_SIGNS)
+    )
+    dot = _rp_chain_sql("p", "q", S.RP_DIM)
+    na = _rp_chain_sql("p", "p", S.RP_DIM)
+    nb = _rp_chain_sql("q", "q", S.RP_DIM)
+    return f"""
+    WITH qv AS (
+        SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    qp AS (
+        SELECT qe,
+               {qproj}
+        FROM qv
+    ),
+    ev AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS ee
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    ep AS (
+        SELECT vec_id, label, ee,
+               {eproj}
+        FROM ev
+    ),
+    coarse AS (
+        SELECT ep.vec_id, ep.label, ep.ee, qp.qe,
+               CASE WHEN sqrt({na}) * sqrt({nb}) > 0
+                    THEN ({dot}) / (sqrt({na}) * sqrt({nb}))
+                    ELSE -1.0 END AS coarse
+        FROM ep, qp
+        ORDER BY coarse DESC, vec_id ASC
+        LIMIT {S.RP_COARSE_C}
+    )
+    SELECT vec_id, label,
+           ROUND(list_cosine_similarity(ee, qe), 3) + 0.0 AS cos_sim
+    FROM coarse
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 8
+    """
+
+
+_register("v29_random_projection_topk", S.random_projection_topk, _v29_sql())
+
+
+
+def _st23_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.event_stream import streaming_cms_heavy_hitters
+
+    return streaming_cms_heavy_hitters(spark, sf_dir)
+
+
+QUERIES["st23_streaming_cms_heavy_hitters"] = _st23_streaming_cms
+# st23 shares a27's oracle: the sketch is ONE streaming aggregation of
+# integer cell counts (exact, order-free), and the point-estimation
+# finisher runs downstream on the completed 2048-row synopsis — so the
+# streamed table equals the batch table bit-for-bit once the stream has
+# consumed the full corpus.
+ORACLE_SQL["st23_streaming_cms_heavy_hitters"] = ORACLE_SQL[
+    "a27_cms_heavy_hitters"
+]
+
+
 _PRIORITY: list[str] = [
     # r5 rotation (VERDICT r4 task 4): 16 never-driver-checked queries moved
     # into the 50-slot prefix — reference shapes first (j26/j27 = TPC-H Q3/Q19

@@ -938,3 +938,63 @@ def streaming_erasure(
         out,
         "cid long, n_before long, n_deleted long, n_after long, r_cell_after double",
     )
+
+
+def streaming_cms_heavy_hitters(spark, sf_dir: str) -> DataFrame:
+    """ST23: always-on Count-Min frequency monitoring — a27's streaming
+    twin. The sketch IS streaming state by construction: one streaming
+    aggregation over the R×W (seed, bucket) cells, integer counts (exact,
+    order-free — fwd/rev tested), bounded at 2048 rows regardless of
+    ingest volume. The point-estimation finisher (probe the exact top-N
+    terms, min over rows) runs as a BATCH join against the completed
+    sketch table — downstream of the stream, exactly where a serving
+    layer would query the live synopsis. The probe list comes from the
+    stored corpus (fixed model state, like st20's merge table), so the
+    streamed output equals the batch a27 table bit-for-bit once the
+    stream has consumed the full input — the shared oracle checks
+    exactly that.
+
+    Why a store runs this: hot-term drift per micro-batch IS boilerplate
+    arriving (a crawler stuck on a template, a dump of navigation
+    chrome) — the signal to trigger d15/d17 triage before the corpus
+    absorbs it, at the cost of a 2048-row always-on state table."""
+    import uuid
+
+    from ..functions import text as T
+    from ..operators.misc import CMS_SEEDS, CMS_TOP_N, CMS_W, _cms_cells
+    from ..tables import load_tables
+
+    docs = documents_stream(spark, sf_dir)
+    sketch_plan = (
+        docs.select(F.explode(T.words("text")).alias("term"))
+        .select(_cms_cells(F.col("term"), CMS_SEEDS, CMS_W).alias("sb"))
+        .select("sb.seed", "sb.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sketch = run_to_memory(
+        spark, sketch_plan, f"st23_{uuid.uuid4().hex[:8]}"
+    )
+
+    static_docs = load_tables(spark, sf_dir)["documents"]
+    topn = (
+        static_docs.select(F.explode(T.words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("term"))
+        .limit(CMS_TOP_N)
+    )
+    probes = topn.select(
+        "term", "n_exact", _cms_cells(F.col("term"), CMS_SEEDS, CMS_W).alias("sb")
+    ).select("term", "n_exact", "sb.seed", "sb.bucket")
+    return (
+        sketch.join(F.broadcast(probes), ["seed", "bucket"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("cnt").alias("est"))
+        .select(
+            "term",
+            F.col("est").cast("long").alias("est_count"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("est") - F.col("n_exact")).cast("long").alias("overcount"),
+        )
+    )

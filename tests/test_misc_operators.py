@@ -194,3 +194,86 @@ def test_kmv_sketch_error_bound_and_merge_algebra(spark, sf_medium):
     half_b = k_smallest(docs.filter(F.col("doc_id") % 2 == 1))
     merged = sorted(set(half_a) | set(half_b))[:KMV_K]
     assert merged == whole
+
+
+def test_cms_never_undercounts_and_merges(spark, sf_medium):
+    """a27: the CMS point estimate can only OVERcount (min over rows of a
+    counter that includes the term's own hits), the overcount must sit
+    inside the Cormode-Muthukrishnan envelope (e*N/W per row; generous
+    2N/W here), and the sketch must be ALGEBRAIC: cell counts of the
+    corpus == elementwise sum of two half-corpus sketches."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.functions import text as T
+    from ai_optimizer_spark.operators.misc import (
+        CMS_SEEDS,
+        CMS_TOP_N,
+        CMS_W,
+        cms_heavy_hitters,
+        _cms_cells,
+    )
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_medium)
+    rows = cms_heavy_hitters(t).collect()
+    assert len(rows) == CMS_TOP_N
+    n_tokens = t["documents"].select(
+        F.sum(F.size(T.words("text")))
+    ).collect()[0][0]
+    for r in rows:
+        assert r.overcount >= 0, f"CMS undercounted {r.term}"
+        assert r.est_count == r.n_exact + r.overcount
+        assert r.overcount <= 2 * n_tokens / CMS_W
+
+    docs = t["documents"]
+
+    def sketch_cells(df):
+        out = {}
+        cells = (
+            df.select(F.explode(T.words("text")).alias("term"))
+            .select(_cms_cells(F.col("term"), CMS_SEEDS, CMS_W).alias("sb"))
+            .groupBy("sb.seed", "sb.bucket")
+            .count()
+            .collect()
+        )
+        for r in cells:
+            out[(r.seed, r.bucket)] = r["count"]
+        return out
+
+    whole = sketch_cells(docs)
+    half_a = sketch_cells(docs.filter(F.col("doc_id") % 2 == 0))
+    half_b = sketch_cells(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = {
+        k: half_a.get(k, 0) + half_b.get(k, 0)
+        for k in set(half_a) | set(half_b)
+    }
+    assert merged == whole
+
+
+def test_kmv_overlap_error_envelope(spark, sf_medium):
+    """a28: every pair's estimate must land within the k=64 KMV error
+    envelope of the exact Jaccard (stddev ~ sqrt(J(1-J)/k) <= 0.0625;
+    generous additive 0.2 bound), n_kept must saturate at k wherever the
+    union has >= k distinct shingles, and the estimate must be a valid
+    fraction of n_kept."""
+    from ai_optimizer_spark.operators.misc import (
+        KMV_K,
+        KMV_PAIRS,
+        kmv_source_overlap,
+    )
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_medium)
+    rows = kmv_source_overlap(t).collect()
+    assert {(r.src_a, r.src_b) for r in rows} == set(KMV_PAIRS)
+    for r in rows:
+        assert r.k == KMV_K
+        assert 0 < r.n_kept <= KMV_K
+        assert 0.0 <= r.jaccard_est <= 1.0
+        assert abs(r.jaccard_est - r.jaccard_exact) <= 0.2, (
+            f"({r.src_a},{r.src_b}): est {r.jaccard_est} "
+            f"vs exact {r.jaccard_exact}"
+        )
+    # the fixtures have real overlap — the op must detect SOME of it
+    assert any(r.jaccard_exact > 0 for r in rows)
+    assert any(r.jaccard_est > 0 for r in rows)

@@ -1007,3 +1007,39 @@ def test_store_delete_repair_stored_reads_map_not_vectors(spark):
     assert len(seg) == 2
     head = seg[1][:400]
     assert "codes" not in head  # map columns only
+
+
+def test_cms_sketch_partial_agg_broadcast_probes(spark):
+    """a27: the sketch is an algebraic count — partial (map-side)
+    HashAggregate before one 2048-cell exchange; the top-N probe side
+    joins as a BROADCAST (12*R rows), never a shuffle join, and nothing
+    degenerates to a cartesian."""
+    plan = plan_of(spark, "a27_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # partial_count before the exchange: at least one partial HashAggregate
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_kmv_overlap_broadcast_pairs_no_cartesian(spark):
+    """a28: the 6-row pair table joins by broadcast on the equi source
+    key; the sketch path's windows are per-source/per-pair partial sorts,
+    never a global Sort-into-single-partition; no cartesian product."""
+    plan = plan_of(spark, "a28_kmv_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_random_projection_coarse_is_takeordered_broadcast(spark):
+    """v29: the 1-row query side joins as a broadcast (never a shuffled
+    cartesian), both phase cuts are TakeOrderedAndProject partial top-k
+    (no global Sort into a single partition), and the store scan stays
+    a single pass."""
+    plan = plan_of(spark, "v29_random_projection_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan

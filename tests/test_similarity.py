@@ -805,3 +805,29 @@ def test_cell_merge_repair_invariants(spark, sf_small):
         assert r.n_moved == occ[r.cold_cid]
         assert r.n_merged == r.n_moved + occ[r.tgt_cid]
         assert r.r_target_after >= radii[r.tgt_cid] - 1e-12
+
+
+def test_random_projection_topk_recall_and_single_evaluation(spark, sf_small):
+    """v29: the JL-prefiltered serve must recover the exact top-k at the
+    measured config (p=24, C=400 gives recall 1.0 on all fixture
+    scales), and the projection chains must be evaluated ONCE on the
+    corpus path — the let-binding keeps CollapseProject from inlining
+    the 24 depth-64 chains into the three cosine consumers (the v22
+    trap; uncontrolled it also overflows Janino at this width)."""
+    from ai_optimizer_spark.operators.similarity import (
+        RP_DIM,
+        RP_EMB_DIM,
+        cosine_topk,
+        random_projection_topk,
+    )
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    exact = {r.vec_id for r in cosine_topk(t).collect()}
+    served_df = random_projection_topk(t)
+    served = {r.vec_id for r in served_df.collect()}
+    assert len(exact & served) / len(exact) >= 0.75
+
+    plan = served_df._jdf.queryExecution().optimizedPlan().toString()
+    # corpus-side chains once + query-side (1-row) chains once
+    assert plan.count("element_at") <= 2 * RP_DIM * RP_EMB_DIM

@@ -1070,3 +1070,46 @@ def test_streaming_erasure_disjoint_waves_commute(spark, sf_small, tmp_path):
         assert q.awaitTermination(180)
         assert set(got) == expected, order_name
         assert len(got) == len(expected)
+
+
+def test_streaming_cms_multibatch_equals_batch_table(spark, sf_small, tmp_path):
+    """st23 semantics: the sketch is ONE streaming aggregation of integer
+    cell counts (exact, order-free) and the probe list is fixed model
+    state from the stored corpus — so the streamed heavy-hitter table
+    must equal the batch a27 table bit-for-bit regardless of micro-batch
+    split or arrival order."""
+    from ai_optimizer_spark.operators.misc import cms_heavy_hitters
+    from ai_optimizer_spark.streaming import event_stream as ES
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    docs = t["documents"]
+    truth = {tuple(r) for r in cms_heavy_hitters(t).collect()}
+    assert truth
+
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    results = {}
+    for order_name, batches in (("fwd", [half_a, half_b]), ("rev", [half_b, half_a])):
+        feed = str(tmp_path / f"cms_{order_name}")
+        os.makedirs(feed)
+        for i, bdf in enumerate(batches):
+            stage = str(tmp_path / f"cms_{order_name}_s{i}")
+            bdf.coalesce(1).write.parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            dst = os.path.join(feed, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        orig = ES.documents_stream
+        try:
+            ES.documents_stream = lambda _spark, _sf: stream
+            table = ES.streaming_cms_heavy_hitters(spark, sf_small)
+        finally:
+            ES.documents_stream = orig
+        results[order_name] = {tuple(r) for r in table.collect()}
+    assert results["fwd"] == results["rev"] == truth

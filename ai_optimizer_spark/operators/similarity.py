@@ -1790,7 +1790,7 @@ RP_SIGNS: tuple[tuple[float, ...], ...] = tuple(
 )
 
 
-def _rp_project(col: Column, signs=RP_SIGNS) -> Column:
+def _rp_project(col_name: str, signs=RP_SIGNS) -> Column:
     """The RP_DIM projected coordinates of a vector column as ONE array
     column — each coordinate an explicit left-associated multiply-add
     chain, bit-identical to the same left-associated '+' chain in any
@@ -1802,15 +1802,23 @@ def _rp_project(col: Column, signs=RP_SIGNS) -> Column:
     consumer sites (dot + both norms) is the hof-projection
     re-evaluation trap (cf. v22/v23) and, at this width, also overflows
     Janino (measured: a single collapsed coarse Project with 2880
-    element_at nodes fails codegen and falls back to interpreted)."""
-    e = col.cast("array<double>")
-    coords = []
+    element_at nodes fails codegen and falls back to interpreted).
+
+    Built as ONE JVM-parsed F.expr string, not ~3,000 py4j Column
+    constructions — the r5/finding-11 driver-cost lesson applied to the
+    read path (measured: the py4j form put ~17 s of DRIVER time on every
+    v29 call regardless of corpus size). Scalar per-element casts
+    (double(float) is exact) keep the values identical to casting the
+    whole array first."""
+    chains = []
     for row in signs:
-        s = F.element_at(e, 1) * F.lit(row[0])
-        for j in range(1, len(row)):
-            s = s + F.element_at(e, j + 1) * F.lit(row[j])
-        coords.append(s)
-    return F.array(*coords)
+        chains.append(
+            " + ".join(
+                f"CAST(element_at({col_name}, {j + 1}) AS DOUBLE) * {s!r}D"
+                for j, s in enumerate(row)
+            )
+        )
+    return F.expr("array(" + ", ".join(chains) + ")")
 
 
 def _rp_dot(a: Column, b: Column) -> Column:
@@ -1864,7 +1872,7 @@ def random_projection_topk(
     emb = t["embeddings"]
     q = _query_vectors(t, [query_id])
     qp = q.select(
-        "query_vec", _rp_project(F.col("query_vec")).alias("qv")
+        "query_vec", _rp_project("query_vec").alias("qv")
     )
     coarse = (
         emb.crossJoin(F.broadcast(qp))
@@ -1881,7 +1889,7 @@ def random_projection_topk(
             # re-evaluation even split across two selects).
             F.get(
                 F.transform(
-                    F.array(_rp_project(F.col("embedding"))),
+                    F.array(_rp_project("embedding")),
                     lambda v: _rp_cosine(v, F.col("qv")),
                 ),
                 0,

@@ -799,3 +799,87 @@ def residual_clustered_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ensure_rp_store(spark: SparkSession, sf_dir: str) -> str:
+    """Write the random-projection store: (vec_id, label, pv) where pv is
+    the 24-coordinate JL projection of the embedding, computed ONCE at
+    ingest — the project-once/serve-many split v29's docstring promises.
+    Coordinates are stored as the exact doubles the on-the-fly form
+    computes (not narrowed to float32), so the stored coarse phase is
+    bit-identical to v29's and the physical-form twins share one oracle.
+    The cache key carries the projection width (the v24/ADVICE lesson:
+    a layout keyed without its config silently serves a stale shape).
+    Idempotent per (warehouse, sf_dir, RP_DIM)."""
+    from ..operators.similarity import RP_DIM, _rp_project
+
+    tag = re.sub(r"\W", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
+    name = f"embeddings_rp_{tag}_p{RP_DIM}"
+    if not spark.catalog.tableExists(name):
+        _clear_stale_location(spark, name)
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        (
+            emb.select(
+                "vec_id", "label", _rp_project("embedding").alias("pv")
+            )
+            .write.format("parquet")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return name
+
+
+def rp_stored_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 8,
+    coarse_c: int | None = None,
+) -> DataFrame:
+    """V29b: v29 over its STORED projection — the physical-form twin (the
+    v7/v13/v27b pattern). The coarse phase scans ONLY the projection
+    store (24 doubles per row — no raw embedding column at rest in the
+    scan, ~2.7x less bandwidth than the 64-float source and zero
+    projection arithmetic per query); the C surviving candidate ids
+    resolve driver-side (bounded by coarse_c, the v27b probe-collect
+    move) and push into the SOURCE scan as a literal IN filter, so the
+    exact 64-dim re-rank touches C rows regardless of corpus size.
+    Stored coordinates are the exact doubles v29 computes, so the
+    candidate set, the re-ranked scores, and the served set are
+    identical — the oracle is shared."""
+    from ..functions import vector as V
+    from ..operators.similarity import (
+        RP_COARSE_C,
+        _query_vectors,
+        _rp_cosine,
+        _rp_project,
+    )
+
+    if coarse_c is None:
+        coarse_c = RP_COARSE_C
+    name = ensure_rp_store(spark, sf_dir)
+    store = spark.table(name)
+    tables = load_tables(spark, sf_dir)
+    q = _query_vectors(tables, [query_id])
+    qp = q.select(_rp_project("query_vec").alias("qv"))
+    cand_rows = (
+        store.crossJoin(F.broadcast(qp))
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            _rp_cosine(F.col("pv"), F.col("qv")).alias("coarse"),
+        )
+        .orderBy(F.desc("coarse"), F.asc("vec_id"))
+        .limit(coarse_c)
+        .collect()  # bounded by coarse_c: the literal candidate list
+    )
+    cand_ids = [int(r.vec_id) for r in cand_rows]
+    emb = tables["embeddings"]
+    sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    return (
+        emb.filter(F.col("vec_id").isin(cand_ids))  # pushed IN filter
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -6408,6 +6408,16 @@ ORACLE_SQL["st23_streaming_cms_heavy_hitters"] = ORACLE_SQL[
 ]
 
 
+from .plans.bucketing import rp_stored_topk  # noqa: E402
+
+QUERIES["v29b_rp_stored_topk"] = rp_stored_topk
+# v29b shares v29's oracle (the v7/v13/v27b physical-form-twin pattern):
+# the stored projection holds the exact doubles the on-the-fly form
+# computes, so the coarse candidate set and the re-ranked served set are
+# identical — only the plan differs (store scan + pushed IN re-rank).
+ORACLE_SQL["v29b_rp_stored_topk"] = ORACLE_SQL["v29_random_projection_topk"]
+
+
 _PRIORITY: list[str] = [
     # r5 rotation (VERDICT r4 task 4): 16 never-driver-checked queries moved
     # into the 50-slot prefix — reference shapes first (j26/j27 = TPC-H Q3/Q19
@@ -6435,6 +6445,18 @@ _PRIORITY: list[str] = [
     # split repair, the action behind t14's trigger) — both new this round
     # and strict-checked at all 3 scales — enter the prefix; slots 50/49
     # shift to 51+ (repo gate unchanged).
+    # Late-r7 third wave: the session's four new sketch/projection
+    # operators — a27 (CMS heavy hitters), a28 (KMV source-overlap
+    # matrix), v29 (random-projection prefilter), st23 (streaming CMS) —
+    # all exact-multiset-checked vs their oracles at sf0.001/0.01/0.1
+    # before promotion (plus the full 242-query contract sim at sf0.01,
+    # 0 mismatches). Parked to 51+: r6-driver-green veterans j27/d19/
+    # v23/st20 (j keeps j12/j9b; decon keeps d12/d20/e2e_decon_report;
+    # SQ8 keeps v24/v27/v27b/v28/t14/st19; streaming keeps 7 slots incl.
+    # st23; the repo parity gate still checks every query each session).
+    # v29b (the stored-projection twin, strict-checked at all 3 scales)
+    # joins v29; d20 (r6-driver-green) parks to 51+ (decon keeps
+    # d12/d18/e2e_decon_report).
     # Late-r7 second wave: the session's nine new operators — v27/v27b
     # (residual SQ8, tables + stored forms), t16/t16b (store delete
     # propagation, self-contained + stored forms), t17 (cold-cell merge),
@@ -6464,15 +6486,13 @@ _PRIORITY: list[str] = [
     # temporal / skew / bucketed / analytic join shapes
     "j12_banded_range_join",
     "st19_streaming_sq8_ingest",
-    "st20_streaming_fertility",
+    "st23_streaming_cms_heavy_hitters",
     "st21_streaming_knn_serving",
-    "j27_disjunctive_part_revenue",
+    "a28_kmv_source_overlap",
     "j9b_mmr_rerank_batch",
     "e2e_decon_report",
     # dedup family (scale-safe canonical forms) + clustering + curation e2e
-    "d20_semantic_decontamination",
     "d18_semdedup",
-    "d19_bloom_decontamination",
     "d12_decontamination",
     "e2e_auto_curation",
     "e2e_dedup_cascade",
@@ -6484,7 +6504,9 @@ _PRIORITY: list[str] = [
     "a26_kmv_distinct_shingles",
     "smp9_token_budget_select",
     "e2e_dedup_manifest",
-    "v23_sq8_topk",
+    "v29_random_projection_topk",
+    "v29b_rp_stored_topk",
+    "a27_cms_heavy_hitters",
     # text-analysis family + multimodal (+ d15 substring dedup, new r5)
     "tx19_quality_classifier",
     "tx15_bpe_tokenize",

@@ -104,6 +104,11 @@ HEADLINE = [
     "d24_incremental_lsh_dedup",
     "d25_winnow_pairs",
     "a26_kmv_distinct_shingles",
+    "a27_cms_heavy_hitters",
+    "a28_kmv_source_overlap",
+    "v29_random_projection_topk",
+    "v29b_rp_stored_topk",
+    "st23_streaming_cms_heavy_hitters",
     "t6_token_stream_assembly",
     "st2_sessionize",
     "st11_funnel_steps",

@@ -58,6 +58,10 @@ OPS = [
     "v20_ivfpq_topk_np",
     "v23_sq8_topk",
     "v24_quantized_clustered_topk",
+    "a27_cms_heavy_hitters",
+    "a28_kmv_source_overlap",
+    "v29_random_projection_topk",
+    "v29b_rp_stored_topk",
     "v25_quantized_range_search",
     "v26_quantized_ivf_knn_join",
     "v27_residual_sq8_topk",

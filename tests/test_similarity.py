@@ -831,3 +831,33 @@ def test_random_projection_topk_recall_and_single_evaluation(spark, sf_small):
     plan = served_df._jdf.queryExecution().optimizedPlan().toString()
     # corpus-side chains once + query-side (1-row) chains once
     assert plan.count("element_at") <= 2 * RP_DIM * RP_EMB_DIM
+
+
+def test_rp_stored_topk_equals_computed_form(spark, sf_small):
+    """v29b: the stored-projection serve must produce exactly the v29
+    served set (the physical-form-twin contract that lets them share an
+    oracle), the store must hold the projection and NOT the raw
+    embedding, and the exact re-rank must reach the source scan as a
+    pushed IN filter over the bounded candidate list."""
+    from ai_optimizer_spark.operators.similarity import random_projection_topk
+    from ai_optimizer_spark.plans.bucketing import ensure_rp_store, rp_stored_topk
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_small)
+    computed = {tuple(r) for r in random_projection_topk(t).collect()}
+    stored_df = rp_stored_topk(spark, sf_small)
+    stored = {tuple(r) for r in stored_df.collect()}
+    assert stored == computed
+
+    store_cols = spark.table(ensure_rp_store(spark, sf_small)).columns
+    assert "pv" in store_cols and "embedding" not in store_cols
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        stored_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "In(vec_id" in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -760,3 +760,51 @@ def mixture_epochs(t: dict[str, DataFrame]) -> DataFrame:
             (F.col("full_epochs") + extra).alias("n_repeats"),
         )
     )
+
+
+WSAMP_N = 100
+WSAMP_MIN_W = 0.001
+
+
+def weighted_sample(t: dict[str, DataFrame], n: int = WSAMP_N) -> DataFrame:
+    """SMP14: one-pass weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, algorithm A-ES): each document draws a
+    deterministic uniform u = hash60('wsamp|'||doc_id)/2^60 and a key
+    ln(u)/w — the log form of u^(1/w), same ordering, no pow — where w
+    is the tx2 quality score (round-3, so the weight is exact
+    cross-engine; floored at 0.001 so zero-quality docs stay sampleable
+    rather than dividing to -inf). The n largest keys ARE a weighted
+    sample without replacement: P(doc first) = w_i/Σw, exactly the
+    property smp8's independent-Bernoulli resample does NOT give when a
+    fixed sample SIZE is required. Keys round to 9 decimals before
+    ordering (doc_id tiebreak) so the cut is reproducible cross-engine
+    even where ln() differs in the last ulp.
+
+    Why this exists at 100 TB: drawing a fixed-size quality-weighted
+    subcorpus is THE curation sampling primitive (seed corpora, eval
+    slices, distillation sets), and A-ES makes it one scan + a partial
+    top-n — per-partition candidates merge by top-n (the KMV/a26 merge
+    shape), so there is no global sort and no second pass over weights.
+    Plan-guarded: TakeOrderedAndProject, no Exchange hashpartitioning
+    before the final merge."""
+    from .textops import quality_parts
+    from ..functions import text as T
+
+    docs = t["documents"]
+    w_arr = T.words("text")
+    _, _, _, quality = quality_parts(w_arr)
+    u = hash60(F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string"))) / F.lit(
+        float(1 << 60)
+    )
+    wcol = F.greatest(quality, F.lit(WSAMP_MIN_W))
+    key = F.round(F.log(u) / wcol, 9) + F.lit(0.0)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            quality.alias("quality"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(n)
+    )

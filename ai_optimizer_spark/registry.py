@@ -6418,6 +6418,49 @@ QUERIES["v29b_rp_stored_topk"] = rp_stored_topk
 ORACLE_SQL["v29b_rp_stored_topk"] = ORACLE_SQL["v29_random_projection_topk"]
 
 
+# smp14: Efraimidis-Spirakis weighted sampling without replacement — the
+# fixed-size counterpart to smp8's Bernoulli resample; ln(u)/w keys with
+# round-9 ordering so the cut is cross-engine reproducible.
+_register(
+    "smp14_weighted_sample",
+    SMP.weighted_sample,
+    f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source,
+               len(words) * 1.0 AS n,
+               len(list_filter(words, x -> x IN {TX.STOPWORDS!r})) * 1.0 AS n_stop,
+               len(list_distinct(words)) * 1.0 AS n_uniq
+        FROM w
+    ),
+    q AS (
+        SELECT doc_id, source,
+               ROUND(0.4 * LEAST(1.0, n / 50.0) + 0.3 * (n_uniq / n)
+                     + 0.3 * (1.0 - n_stop / n), 3) AS quality
+        FROM m
+    ),
+    keyed AS (
+        SELECT doc_id, source, quality,
+               ROUND(
+                   ln({{u}}) / GREATEST(quality, {SMP.WSAMP_MIN_W}), 9
+               ) + 0.0 AS es_key
+        FROM q
+    )
+    SELECT doc_id, source, quality, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id ASC
+    LIMIT {SMP.WSAMP_N}
+    """.replace(
+        "{u}",
+        _h60("'wsamp|' || CAST(doc_id AS VARCHAR)") + f" / {float(1 << 60)}",
+    ),
+)
+
+
 _PRIORITY: list[str] = [
     # r5 rotation (VERDICT r4 task 4): 16 never-driver-checked queries moved
     # into the 50-slot prefix — reference shapes first (j26/j27 = TPC-H Q3/Q19
@@ -6457,6 +6500,8 @@ _PRIORITY: list[str] = [
     # v29b (the stored-projection twin, strict-checked at all 3 scales)
     # joins v29; d20 (r6-driver-green) parks to 51+ (decon keeps
     # d12/d18/e2e_decon_report).
+    # smp14 (A-ES weighted sample, strict-checked at all 3 scales)
+    # replaces smp9 (r6-driver-green; smp keeps smp7 + smp14).
     # Late-r7 second wave: the session's nine new operators — v27/v27b
     # (residual SQ8, tables + stored forms), t16/t16b (store delete
     # propagation, self-contained + stored forms), t17 (cold-cell merge),
@@ -6502,7 +6547,7 @@ _PRIORITY: list[str] = [
     "d24_incremental_lsh_dedup",
     "d25_winnow_pairs",
     "a26_kmv_distinct_shingles",
-    "smp9_token_budget_select",
+    "smp14_weighted_sample",
     "e2e_dedup_manifest",
     "v29_random_projection_topk",
     "v29b_rp_stored_topk",

@@ -109,6 +109,7 @@ HEADLINE = [
     "v29_random_projection_topk",
     "v29b_rp_stored_topk",
     "st23_streaming_cms_heavy_hitters",
+    "smp14_weighted_sample",
     "t6_token_stream_assembly",
     "st2_sessionize",
     "st11_funnel_steps",

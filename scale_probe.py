@@ -62,6 +62,7 @@ OPS = [
     "a28_kmv_source_overlap",
     "v29_random_projection_topk",
     "v29b_rp_stored_topk",
+    "smp14_weighted_sample",
     "v25_quantized_range_search",
     "v26_quantized_ivf_knn_join",
     "v27_residual_sq8_topk",

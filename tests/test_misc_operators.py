@@ -277,3 +277,27 @@ def test_kmv_overlap_error_envelope(spark, sf_medium):
     # the fixtures have real overlap — the op must detect SOME of it
     assert any(r.jaccard_exact > 0 for r in rows)
     assert any(r.jaccard_est > 0 for r in rows)
+
+
+def test_weighted_sample_fixed_size_and_quality_biased(spark, sf_medium):
+    """smp14: the A-ES draw must return EXACTLY n distinct documents (the
+    fixed-size property smp8's Bernoulli resample lacks), must be
+    deterministic, and must be genuinely weight-biased: the sample's
+    mean quality exceeds the corpus mean (higher-w docs get larger
+    ln(u)/w keys in expectation)."""
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.operators.sampling import WSAMP_N, weighted_sample
+    from ai_optimizer_spark.operators.textops import quality_score
+    from ai_optimizer_spark.tables import load_tables
+
+    t = load_tables(spark, sf_medium)
+    rows = weighted_sample(t).collect()
+    assert len(rows) == WSAMP_N
+    assert len({r.doc_id for r in rows}) == WSAMP_N
+    again = weighted_sample(t).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+    corpus_mean = quality_score(t).agg(F.avg("quality")).collect()[0][0]
+    sample_mean = sum(r.quality for r in rows) / len(rows)
+    assert sample_mean > corpus_mean

@@ -1043,3 +1043,14 @@ def test_random_projection_coarse_is_takeordered_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_weighted_sample_partial_topn_no_global_sort(spark):
+    """smp14: the n-largest-keys cut must be a TakeOrderedAndProject
+    (per-partition top-n, merge at the exchange — the A-ES one-pass
+    claim), never a global Sort, and the scan feeds it directly with no
+    hash-partition exchange."""
+    plan = plan_of(spark, "smp14_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]

@@ -210,6 +210,69 @@ class ProviderEmbedder:
         return self.embed_documents([text])[0]
 
 
+class ProviderHTTPError(RuntimeError):
+    """HTTP-level provider failure. Carries `status_code` so the default
+    retry predicate (408/409/429/5xx retryable, other 4xx permanent) applies
+    to raw-HTTP transports exactly as it does to SDK exceptions."""
+
+    def __init__(self, status_code: int, body: str = ""):
+        super().__init__(f"provider HTTP {status_code}: {body[:200]}")
+        self.status_code = status_code
+
+
+def openai_http_transport(
+    api_base: str,
+    api_key: str | None = None,
+    timeout: float = 30.0,
+    path: str = "/v1/embeddings",
+):
+    """Stdlib transport speaking the OpenAI-compatible embeddings wire shape
+    (POST {api_base}{path} with ``{"model": ..., "input": [...]}`` →
+    ``{"data": [{"embedding": [...]}, ...]}``) — the request/response schema
+    LiteLLM normalizes every provider to (reference:
+    models/litellm_embeddings.py:69-84). No SDK dependency: urllib over a
+    real socket, so the retry/throttle/dimension-enforcement path in
+    ProviderEmbedder is exercisable (and integration-tested,
+    tests/test_provider_http.py) even where litellm is absent.
+
+    Non-2xx responses raise ProviderHTTPError with the status code attached;
+    the caller's retry predicate decides transient vs permanent. Responses
+    are returned in input order (the wire shape's `index` field is honored
+    when present, defensively)."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    url = api_base.rstrip("/") + path
+
+    def call(texts: list[str], **kw) -> list[list[float]]:
+        payload = {"input": texts}
+        if kw.get("model"):
+            payload["model"] = kw["model"]
+        headers = {"Content-Type": "application/json"}
+        key = kw.get("api_key", api_key)
+        if key:
+            headers["Authorization"] = f"Bearer {key}"
+        req = urllib.request.Request(
+            url, data=_json.dumps(payload).encode("utf-8"), headers=headers
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                body = _json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as exc:
+            raise ProviderHTTPError(
+                exc.code, exc.read().decode("utf-8", "replace")
+            ) from exc
+        except OSError as exc:  # socket timeout / refused / dropped
+            raise ConnectionError(str(exc)) from exc
+        data = body["data"]
+        if any("index" in item for item in data):
+            data = sorted(data, key=lambda item: item.get("index", 0))
+        return [item["embedding"] for item in data]
+
+    return call
+
+
 def _litellm_transport():
     try:
         import litellm  # type: ignore
@@ -227,12 +290,31 @@ def make_embedder(config: dict | None = None, transport=None):
     """Config-selected embedding client behind one protocol:
     ``{"provider": "hash"}`` (default) → the deterministic double;
     ``{"provider": "litellm", "model": ..., "api_key": ..., "api_base": ...,
-    "batch_size": ..., "rate_limit": ...}`` → the real adapter. Everything
-    downstream (embed_column, the vector-store populate plan) is agnostic."""
+    "batch_size": ..., "rate_limit": ...}`` → the real adapter;
+    ``{"provider": "http", "api_base": ...}`` → the same adapter over the
+    stdlib OpenAI-wire transport (no SDK needed). Everything downstream
+    (embed_column, the vector-store populate plan) is agnostic."""
     cfg = dict(config or {})
     provider = cfg.get("provider", "hash")
     if provider == "hash":
         return HashEmbedder(dim=cfg.get("dim", EMBED_DIM))
+    if provider == "http":
+        if not cfg.get("api_base"):
+            raise ValueError("provider 'http' requires api_base")
+        transport = transport or openai_http_transport(
+            cfg["api_base"],
+            api_key=cfg.get("api_key"),
+            timeout=cfg.get("timeout", 30.0),
+        )
+        return ProviderEmbedder(
+            model=cfg.get("model", ""),
+            batch_size=cfg.get("batch_size", PROVIDER_BATCH),
+            rate_limit=cfg.get("rate_limit", 0),
+            transport=transport,
+            dim=cfg.get("dim"),
+            max_retries=cfg.get("max_retries", 2),
+            retry_backoff=cfg.get("retry_backoff", 0.5),
+        )
     if provider == "litellm":
         return ProviderEmbedder(
             model=cfg.get("model", ""),

@@ -454,6 +454,41 @@ def _cms_cells(term, seeds: tuple[int, ...], w: int):
     )
 
 
+def cms_probe_finisher(
+    sketch: DataFrame,
+    tok: DataFrame,
+    w: int = CMS_W,
+    seeds: tuple[int, ...] = CMS_SEEDS,
+    n: int = CMS_TOP_N,
+) -> DataFrame:
+    """Shared point-estimation finisher for the batch (a27) and streaming
+    (st23) CMS forms — one implementation so the twins cannot drift on
+    tie-breaking or the overcount column (ADVICE r7). `sketch` is the
+    completed (seed, bucket, cnt) synopsis; `tok` the one-term-per-row
+    token table the exact top-N probe list is drawn from. f̂(x) = min over
+    rows of counter[h_s(x)]; overcount = f̂ - f >= 0 by construction."""
+    topn = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("term"))
+        .limit(n)
+    )
+    probes = topn.select(
+        "term", "n_exact", _cms_cells(F.col("term"), seeds, w).alias("sb")
+    ).select("term", "n_exact", "sb.seed", "sb.bucket")
+    return (
+        sketch.join(F.broadcast(probes), ["seed", "bucket"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("cnt").alias("est"))
+        .select(
+            "term",
+            F.col("est").cast("long").alias("est_count"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("est") - F.col("n_exact")).cast("long").alias("overcount"),
+        )
+    )
+
+
 def cms_heavy_hitters(
     t: dict[str, DataFrame],
     w: int = CMS_W,
@@ -489,26 +524,7 @@ def cms_heavy_hitters(
         .groupBy("seed", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    topn = (
-        tok.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .orderBy(F.desc("n_exact"), F.asc("term"))
-        .limit(n)
-    )
-    probes = topn.select(
-        "term", "n_exact", _cms_cells(F.col("term"), seeds, w).alias("sb")
-    ).select("term", "n_exact", "sb.seed", "sb.bucket")
-    return (
-        sketch.join(F.broadcast(probes), ["seed", "bucket"])
-        .groupBy("term", "n_exact")
-        .agg(F.min("cnt").alias("est"))
-        .select(
-            "term",
-            F.col("est").cast("long").alias("est_count"),
-            F.col("n_exact").cast("long").alias("n_exact"),
-            (F.col("est") - F.col("n_exact")).cast("long").alias("overcount"),
-        )
-    )
+    return cms_probe_finisher(sketch, tok, w, seeds, n)
 
 
 # Fixed source pairs for the overlap estimate (chosen to span the observed
@@ -555,6 +571,22 @@ def kmv_source_overlap(
 
     docs = t["documents"]
     spark = docs.sparkSession
+
+    # Configured pairs must exist in the corpus: the inner joins below
+    # would otherwise silently DROP absent sources and return fewer (or
+    # zero) rows with no error (ADVICE r7). One column-pruned distinct
+    # over the dictionary-encoded source column — bounded by |sources|,
+    # corpus-size-independent — validates eagerly and fails loudly.
+    want = {s for p in pairs for s in p}
+    have = {r[0] for r in docs.select("source").distinct().collect()}
+    missing = sorted(want - have)
+    if missing:
+        raise ValueError(
+            f"kmv_source_overlap: configured pair source(s) {missing} absent "
+            f"from the corpus (present: {sorted(have)}); fix the `pairs` "
+            f"argument — an inner join would silently drop these pairs"
+        )
+
     pair_df = spark.createDataFrame(list(pairs), "src_a string, src_b string")
 
     # distinct (source, shingle-hash) — hash once, reuse for sketch + exact

@@ -508,7 +508,6 @@ def cell_split_repair(
     never O(corpus) past the occupancy scan — the repair is cheaper than
     the rebuild it replaces (the reference rebuilds the whole store,
     embed/refresh.py:28-143)."""
-    from ..functions import vector as V
     from .similarity import _ivf_assign
 
     emb = t["embeddings"]
@@ -530,6 +529,28 @@ def cell_split_repair(
     members = assigned.join(
         F.broadcast(hot), F.col("cid") == F.col("h_cid")
     ).select("vec_id", "cid", "embedding")
+
+    sub = split_member_assign(members)
+    return (
+        sub.groupBy("cid", "seed_vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            (F.round(F.max("d_sub"), 3) + F.lit(0.0)).alias("r_sub"),
+        )
+        .orderBy("cid", "seed_vec_id")
+    )
+
+
+def split_member_assign(members: DataFrame) -> DataFrame:
+    """t15's deterministic 2-seed split at MEMBER granularity — ONE home
+    for the seed/reassignment math so the analysis form (cell_split_repair,
+    above) and the applied store mutation (plans/maintenance.py
+    apply_cell_splits) can never drift. Input: (vec_id, cid, embedding)
+    rows of the hot cells. Output one row per member:
+    (cid, vec_id, a_vec, b_vec, seed_vec_id, d_sub) where seed A = the
+    cell's min-vec_id member, seed B = the member farthest from A (ties →
+    min vec_id), and seed_vec_id is the nearer of the two (ties → A)."""
+    from ..functions import vector as V
 
     seed_a = members.groupBy(F.col("cid").alias("a_cid")).agg(
         F.min("vec_id").alias("a_vec")
@@ -564,22 +585,17 @@ def cell_split_repair(
         "dist_a",
         V.euclidean_distance("embedding", "b_emb").alias("dist_b"),
     )
-    sub = scored.select(
+    return scored.select(
         "cid",
+        "vec_id",
+        "a_vec",
+        "b_vec",
         F.when(F.col("dist_a") <= F.col("dist_b"), F.col("a_vec"))
         .otherwise(F.col("b_vec"))
         .alias("seed_vec_id"),
         F.when(F.col("dist_a") <= F.col("dist_b"), F.col("dist_a"))
         .otherwise(F.col("dist_b"))
         .alias("d_sub"),
-    )
-    return (
-        sub.groupBy("cid", "seed_vec_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            (F.round(F.max("d_sub"), 3) + F.lit(0.0)).alias("r_sub"),
-        )
-        .orderBy("cid", "seed_vec_id")
     )
 
 

@@ -769,7 +769,11 @@ WSAMP_MIN_W = 0.001
 def weighted_sample(t: dict[str, DataFrame], n: int = WSAMP_N) -> DataFrame:
     """SMP14: one-pass weighted sampling WITHOUT replacement
     (Efraimidis & Spirakis 2006, algorithm A-ES): each document draws a
-    deterministic uniform u = hash60('wsamp|'||doc_id)/2^60 and a key
+    deterministic uniform u = (hash60('wsamp|'||doc_id)+1)/2^60 — the +1
+    maps hash60's [0, 2^60) onto (0, 1] so u can never be exactly 0,
+    where Spark's F.log returns NULL but DuckDB's ln(0) is -inf (a
+    cross-engine divergence that would silently drop one doc per ~2^60;
+    ADVICE r7) — and a key
     ln(u)/w — the log form of u^(1/w), same ordering, no pow — where w
     is the tx2 quality score (round-3, so the weight is exact
     cross-engine; floored at 0.001 so zero-quality docs stay sampleable
@@ -793,9 +797,10 @@ def weighted_sample(t: dict[str, DataFrame], n: int = WSAMP_N) -> DataFrame:
     docs = t["documents"]
     w_arr = T.words("text")
     _, _, _, quality = quality_parts(w_arr)
-    u = hash60(F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string"))) / F.lit(
-        float(1 << 60)
-    )
+    u = (
+        hash60(F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string")))
+        + F.lit(1)
+    ) / F.lit(float(1 << 60))
     wcol = F.greatest(quality, F.lit(WSAMP_MIN_W))
     key = F.round(F.log(u) / wcol, 9) + F.lit(0.0)
     return (

@@ -6455,13 +6455,82 @@ _register(
     ORDER BY es_key DESC, doc_id ASC
     LIMIT {SMP.WSAMP_N}
     """.replace(
+        # +1 maps hash60's [0, 2^60) onto (0, 1]: u can never be exactly 0,
+        # where Spark F.log -> NULL but DuckDB ln(0) -> -inf (ADVICE r7).
         "{u}",
-        _h60("'wsamp|' || CAST(doc_id AS VARCHAR)") + f" / {float(1 << 60)}",
+        "(" + _h60("'wsamp|' || CAST(doc_id AS VARCHAR)") + f" + 1) / {float(1 << 60)}",
     ),
 )
 
 
 _PRIORITY: list[str] = [
+    # r8 rotation (VERDICT r7 task 1): the driver prefix is filled ENTIRELY
+    # with 50 never-driver-checked queries (65 existed after r7; this cuts
+    # the set to 15 — all trivial scalar-function forms and labeled exact
+    # baselines: d1x/d4x/d5x, f1/f2/f5/f6/f8/f9/f13/f16, a3/a11, t7/t2p).
+    # Leading: the composition flagships (e2e_vecsearch_flow /
+    # incremental_refresh / clustered_search / curation_stats), the
+    # load-bearing serving + sampling ops (v18, smp1-4, smp8, st8-st11,
+    # st12b, t6), text/curation (tx12, tx13, f17, f15), analytics
+    # (a19/a20/a22/a23), sources (mm1, s5/s6/s8), LLM-op doubles
+    # (d5/d7/d9/d10/d11), the TPC-H join shapes (j18/j19/j21-j24), set ops
+    # (u2-u5), windows (w4/w5/w7/w8) and predicates (p3/p5/p8). All 50
+    # passed the driver-strict canon replica at sf0.001 AND sf0.01 AND
+    # sf0.1 before promotion, and all are scalar-schema (array/map-free).
+    # Displaced: the entire r7 prefix (all driver-green in CORRECTNESS_r07)
+    # parks below; the repo parity gate still checks every query each
+    # session.
+    "e2e_vecsearch_flow",
+    "e2e_incremental_refresh",
+    "e2e_clustered_search",
+    "e2e_curation_stats",
+    "v18_filtered_topk",
+    "st12b_neardup_candidates_batch",
+    "smp1_hash_split",
+    "smp2_stratified_sample",
+    "smp3_weighted_mix",
+    "smp4_shuffled_shards",
+    "smp8_quality_resample",
+    "st8_streaming_dedup_index",
+    "st9_streaming_token_assembly",
+    "st10_stream_static_enrichment",
+    "st11_funnel_steps",
+    "t6_token_stream_assembly",
+    "tx12_pii_redaction",
+    "tx13_bpe_pair_counts",
+    "f17_chunk_udtf",
+    "f15_fenced_json_extract",
+    "a19_grouping_sets",
+    "a20_forecast_revenue",
+    "a22_cohort_retention",
+    "a23_source_median_quality",
+    "mm1_binary_meta",
+    "s5_deep_parse",
+    "s6_chunk_json_roundtrip",
+    "s8_sql_to_csv_source",
+    "d5_semantic_routing",
+    "d7_grade_blanking",
+    "d9_qa_generation",
+    "d10_answer_synthesis",
+    "d11_query_classification",
+    "j18_late_order_priority",
+    "j19_returned_item_revenue",
+    "j21_profit_rollup",
+    "j22_promo_revenue",
+    "j23_top_supplier",
+    "j24_small_qty_loss",
+    "u2_union_store_results",
+    "u3_changed_concat",
+    "u4_intersect_sources",
+    "u5_except_sources",
+    "w4_ordered_listing",
+    "w5_limit_probe",
+    "w7_rolling_frames",
+    "w8_balance_distribution",
+    "p3_extension_filter",
+    "p5_model_usability",
+    "p8_history_filter",
+    # --- end of r8 driver prefix (50) ---
     # r5 rotation (VERDICT r4 task 4): 16 never-driver-checked queries moved
     # into the 50-slot prefix — reference shapes first (j26/j27 = TPC-H Q3/Q19
     # analogs of docs/demo/racing-championship/schema.sql; j28/a24 = the

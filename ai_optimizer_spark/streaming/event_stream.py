@@ -961,7 +961,12 @@ def streaming_cms_heavy_hitters(spark, sf_dir: str) -> DataFrame:
     import uuid
 
     from ..functions import text as T
-    from ..operators.misc import CMS_SEEDS, CMS_TOP_N, CMS_W, _cms_cells
+    from ..operators.misc import (
+        CMS_SEEDS,
+        CMS_W,
+        _cms_cells,
+        cms_probe_finisher,
+    )
     from ..tables import load_tables
 
     docs = documents_stream(spark, sf_dir)
@@ -977,24 +982,7 @@ def streaming_cms_heavy_hitters(spark, sf_dir: str) -> DataFrame:
     )
 
     static_docs = load_tables(spark, sf_dir)["documents"]
-    topn = (
-        static_docs.select(F.explode(T.words("text")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .orderBy(F.desc("n_exact"), F.asc("term"))
-        .limit(CMS_TOP_N)
-    )
-    probes = topn.select(
-        "term", "n_exact", _cms_cells(F.col("term"), CMS_SEEDS, CMS_W).alias("sb")
-    ).select("term", "n_exact", "sb.seed", "sb.bucket")
-    return (
-        sketch.join(F.broadcast(probes), ["seed", "bucket"])
-        .groupBy("term", "n_exact")
-        .agg(F.min("cnt").alias("est"))
-        .select(
-            "term",
-            F.col("est").cast("long").alias("est_count"),
-            F.col("n_exact").cast("long").alias("n_exact"),
-            (F.col("est") - F.col("n_exact")).cast("long").alias("overcount"),
-        )
-    )
+    tok = static_docs.select(F.explode(T.words("text")).alias("term"))
+    # shared finisher with the batch a27 form (ADVICE r7: twins must not
+    # drift on tie-breaking / the overcount column)
+    return cms_probe_finisher(sketch, tok)

@@ -831,3 +831,189 @@ def cell_merge_repair(
         F.count(F.lit(1)).cast("long").alias("n_merged"),
         (F.round(F.max("dt"), 9) + F.lit(0.0)).alias("r_target_after"),
     )
+
+
+def repair_plan(
+    t: dict[str, DataFrame],
+    n_centroids: int = 16,
+    hot_num: int = 11,
+    hot_den: int = 10,
+    cold_num: int = 9,
+    cold_den: int = 10,
+) -> DataFrame:
+    """T19: the maintenance DECISION table — closing the loop between the
+    detector (t14's health stats) and the executors (t15 split / t17
+    merge / plans/maintenance.py apply_*): one row per cell with the
+    action a maintainer should take this cycle.
+
+        action = 'split'  if occupancy > hot_num/hot_den x average
+                 'merge'  if occupancy < cold_num/cold_den x average
+                          (tgt_cid = nearest non-cold cell, t17's rule)
+                 'keep'   otherwise (tgt_cid = -1; -1 not NULL so the
+                          column stays non-nullable cross-engine)
+
+    Entirely deterministic (exact integer threshold compares, euclidean
+    target choice with cid tie-break), so the whole decision table is
+    hash-verified against the SQL oracle like any read query — the same
+    discipline t15/t17 apply to the repairs themselves. The reference has
+    no per-cell maintenance policy (it rebuilds everything on refresh,
+    embed/refresh.py:28-143); this is the policy a partitioned store
+    needs so rebuilds never happen.
+
+    Scale shape: occupancy is a k-row aggregate off one assignment pass
+    (on a clustered store: a metadata-cheap scan of the partition
+    column); target choice is k x k over broadcast model rows. Nothing
+    downstream touches members at all — deciding is strictly cheaper
+    than any repair it schedules."""
+    from ..functions import vector as V
+    from .similarity import _ivf_assign
+
+    emb = t["embeddings"]
+    cents, assigned = _ivf_assign(emb, n_centroids)
+    occ = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = occ.agg(F.sum("n_vecs").alias("n_total"))
+    flagged = occ.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_vecs",
+        "n_total",
+        (
+            F.col("n_vecs") * hot_den * n_centroids
+            > F.lit(hot_num) * F.col("n_total")
+        ).alias("is_hot"),
+        (
+            F.col("n_vecs") * cold_den * n_centroids
+            < F.lit(cold_num) * F.col("n_total")
+        ).alias("is_cold"),
+    )
+    warm = flagged.filter(~F.col("is_cold")).select(
+        F.col("cid").alias("tcid")
+    ).join(
+        F.broadcast(cents.select(F.col("cid").alias("tcid2"), F.col("ce").alias("tce"))),
+        F.col("tcid") == F.col("tcid2"),
+    )
+    w_t = Window.partitionBy("cid").orderBy(F.asc("cdist"), F.asc("tcid"))
+    targets = (
+        flagged.filter(F.col("is_cold"))
+        .join(F.broadcast(cents.select(F.col("cid").alias("ccid2"), "ce")),
+              F.col("cid") == F.col("ccid2"))
+        .crossJoin(F.broadcast(warm))
+        .select(
+            "cid",
+            "tcid",
+            V.euclidean_distance("ce", "tce").alias("cdist"),
+        )
+        .withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") == 1)
+        .select(F.col("cid").alias("m_cid"), F.col("tcid").alias("tgt"))
+    )
+    return (
+        flagged.join(
+            F.broadcast(targets), F.col("cid") == F.col("m_cid"), "left"
+        )
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            (
+                F.round(
+                    F.col("n_vecs") * n_centroids / F.col("n_total"), 4
+                ) + F.lit(0.0)
+            ).alias("occupancy_ratio"),
+            F.when(F.col("is_hot"), F.lit("split"))
+            .when(F.col("is_cold"), F.lit("merge"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+            F.coalesce(F.col("tgt"), F.lit(-1)).cast("long").alias("tgt_cid"),
+        )
+        .orderBy("cid")
+    )
+
+
+def kmv_sketch_refresh(t: dict[str, DataFrame], k: int = 64, cutoff: int = 250) -> DataFrame:
+    """T20: KMV sketch MAINTENANCE — the sketch family's missing verb
+    (a26 builds, the overlap matrix serves, this maintains): the stored
+    corpus synopsis merges with a delta batch's synopsis by the KMV
+    union rule — k-smallest of (stored k-list ∪ delta k-list) EQUALS the
+    k-smallest over the full corpus, bit-for-bit (any of the true k
+    smallest hashes is necessarily in one of the two k-lists; Beyer et
+    al., SIGMOD 2007 §4) — so the merged sketch, its kth hash, and the
+    cardinality estimate are all indistinguishable from a full rebuild,
+    which is exactly what sharing a26's oracle verbatim asserts (the
+    t14/st19 merged-equals-recomputed pattern).
+
+    Here the stored side is recomputed from the doc_id < cutoff half to
+    keep the query self-contained (the t9/t10 convention); in production
+    the stored side is a k-row TABLE and the maintenance cost is
+    O(delta + k): one delta-sized shingle pass into a per-partition
+    top-k, then a 2k-row merge. The exact distinct count rides along as
+    the harness's error reference (production drops it)."""
+    from ..functions import text as T
+
+    docs = t["documents"]
+
+    def sketch(df: DataFrame) -> DataFrame:
+        sh = df.select(
+            F.explode(T.word_shingles(F.col("text"))).alias("sh")
+        ).distinct()
+        h = (T.hash60(F.col("sh")) / F.lit(float(1 << 60))).alias("h")
+        return sh.select(h).orderBy(F.asc("h")).limit(k)
+
+    stored = sketch(docs.filter(F.col("doc_id") < cutoff))
+    delta = sketch(docs.filter(F.col("doc_id") >= cutoff))
+    # union rule: distinct (the same shingle in both halves hashes to the
+    # same h) -> k smallest of the <=2k merged rows
+    merged = stored.unionByName(delta).distinct().orderBy(F.asc("h")).limit(k)
+    kth = merged.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_kept"))
+    exact = (
+        docs.select(F.explode(T.word_shingles(F.col("text"))).alias("sh"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return kth.crossJoin(exact).select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        (F.round(F.col("hk"), 9) + F.lit(0.0)).alias("kth_hash"),
+        F.when(
+            F.col("n_kept") >= k, F.round((F.lit(k - 1)) / F.col("hk"), 3)
+        )
+        .otherwise(F.col("n_exact").cast("double"))
+        .alias("estimate"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+    )
+
+
+def cms_sketch_refresh(t: dict[str, DataFrame], cutoff: int = 250) -> DataFrame:
+    """T21: Count-Min sketch MAINTENANCE — a27's synopsis is ALGEBRAIC
+    (per-cell integer counts), so the stored sketch and a delta batch's
+    sketch merge by cell-wise addition, and the merged counters equal the
+    full-corpus rebuild exactly (integer sums, order-free). The probe
+    finisher (shared with a27/st23 — cms_probe_finisher) then runs
+    against the MERGED synopsis and must reproduce a27's table
+    bit-for-bit: sharing a27's oracle verbatim asserts precisely that.
+
+    Production shape: the stored side is a 2048-row TABLE; maintaining
+    the corpus-wide term-frequency monitor costs one delta-sized token
+    pass + a 2048-row sum — O(delta + R·W), never a corpus rescan. The
+    probe's exact top-N rides along as the harness's error reference."""
+    from ..functions import text as T
+    from .misc import CMS_SEEDS, CMS_W, _cms_cells, cms_probe_finisher
+
+    docs = t["documents"]
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(T.words("text")).alias("term"))
+            .select(_cms_cells(F.col("term"), CMS_SEEDS, CMS_W).alias("sb"))
+            .select("sb.seed", "sb.bucket")
+            .groupBy("seed", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    stored = sketch(docs.filter(F.col("doc_id") < cutoff))
+    delta = sketch(docs.filter(F.col("doc_id") >= cutoff))
+    merged = (
+        stored.unionByName(delta)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    tok = docs.select(F.explode(T.words("text")).alias("term"))
+    return cms_probe_finisher(merged, tok)

@@ -6463,6 +6463,224 @@ _register(
 )
 
 
+# ---------------------------------------------------------------------------
+# t18: APPLIED maintenance — the write side of the t15 repair, executed
+# against the store (partition rewrites + geometry update), then SERVED
+# through the geometry table (plans/maintenance.py). Every step is
+# deterministic (t15's split rule, rank-ordered new-cid allocation,
+# SQ8 codes, seed-distance probe), so the oracle replays the entire
+# split→route→serve pipeline in SQL and the served set hash-verifies WITH
+# the repair applied — the d3c/v22 "approximation inside the oracle" move
+# extended to a store MUTATION. Reference anchor: the rebuild-everything
+# refresh this replaces (src/server/app/embed/refresh.py:28-143).
+# ---------------------------------------------------------------------------
+
+
+def _t18_applied_split_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from .plans.maintenance import (
+        apply_cell_splits,
+        geom_served_topk,
+        sweep_stale_generations,
+    )
+
+    sweep_stale_generations(spark)  # reap prior processes' orphan gens
+    gen = f"g{uuid.uuid4().hex[:8]}"  # fresh generation: calls are idempotent
+    apply_cell_splits(
+        spark, sf_dir, n_centroids=16, hot_num=11, hot_den=10, gen=gen
+    )
+    return geom_served_topk(
+        spark, sf_dir, query_id=0, k=8, n_probe=4, n_centroids=16, gen=gen
+    )
+
+
+QUERIES["t18_applied_split_serve"] = _t18_applied_split_serve
+ORACLE_SQL["t18_applied_split_serve"] = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, ee AS ce FROM e WHERE vec_id < 16),
+    q AS (SELECT ee AS qe FROM e WHERE vec_id = 0),
+    assigned AS (
+        SELECT vec_id, label, ee, cid FROM (
+            SELECT e.vec_id, e.label, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    occ AS (SELECT cid, COUNT(*) AS n_vecs FROM assigned GROUP BY 1),
+    tot AS (SELECT SUM(n_vecs) AS n_total FROM occ),
+    hot0 AS (
+        SELECT cid FROM occ, tot WHERE n_vecs * 10 * 16 > 11 * n_total
+    ),
+    members AS (
+        SELECT a.vec_id, a.label, a.ee, a.cid
+        FROM assigned a JOIN hot0 USING (cid)
+    ),
+    seed_a AS (SELECT cid, MIN(vec_id) AS a_vec FROM members GROUP BY 1),
+    seed_a_e AS (
+        SELECT s.cid, s.a_vec, m.ee AS a_emb
+        FROM seed_a s JOIN members m ON m.cid = s.cid AND m.vec_id = s.a_vec
+    ),
+    da AS (
+        SELECT m.cid, m.vec_id, m.label, m.ee, s.a_vec,
+               list_distance(m.ee, s.a_emb) AS dist_a
+        FROM members m JOIN seed_a_e s ON m.cid = s.cid
+    ),
+    seed_b_e AS (
+        SELECT cid, vec_id AS b_vec, ee AS b_emb FROM (
+            SELECT cid, vec_id, ee, ROW_NUMBER() OVER (
+                PARTITION BY cid ORDER BY dist_a DESC, vec_id ASC
+            ) AS rn FROM da
+        ) WHERE rn = 1
+    ),
+    -- degenerate guard (all-identical cell: seed B == seed A): such a
+    -- cell cannot split and stays as-is, matching apply_cell_splits
+    hot AS (
+        SELECT a.cid, a.a_vec, b.b_vec
+        FROM seed_a a JOIN seed_b_e b ON a.cid = b.cid
+        WHERE a.a_vec <> b.b_vec
+    ),
+    newmap AS (
+        SELECT cid, a_vec, b_vec,
+               (SELECT MAX(cid) FROM occ)
+                   + ROW_NUMBER() OVER (ORDER BY cid ASC) AS new_cid
+        FROM hot
+    ),
+    scored AS (
+        SELECT d.cid, d.vec_id, d.label, d.ee, n.a_vec, n.b_vec, n.new_cid,
+               d.dist_a, list_distance(d.ee, b.b_emb) AS dist_b
+        FROM da d
+        JOIN newmap n ON d.cid = n.cid
+        JOIN seed_b_e b ON d.cid = b.cid
+    ),
+    repaired AS (
+        SELECT a.vec_id, a.label, a.ee, a.cid AS rcid
+        FROM assigned a
+        WHERE a.cid NOT IN (SELECT cid FROM hot)
+        UNION ALL
+        SELECT s.vec_id, s.label, s.ee,
+               CASE WHEN s.dist_a <= s.dist_b THEN s.cid
+                    ELSE s.new_cid END AS rcid
+        FROM scored s
+    ),
+    geom AS (
+        SELECT cid, cid AS seed FROM occ
+        WHERE cid NOT IN (SELECT cid FROM hot)
+        UNION ALL SELECT cid, a_vec AS seed FROM newmap
+        UNION ALL SELECT new_cid AS cid, b_vec AS seed FROM newmap
+    ),
+    seeds AS (
+        SELECT g.cid, e.ee AS ce FROM geom g JOIN e ON e.vec_id = g.seed
+    ),
+    probe AS (
+        SELECT s.cid FROM seeds s, q
+        ORDER BY list_distance(s.ce, q.qe) ASC, s.cid ASC
+        LIMIT 4
+    ),
+    sc AS (
+        SELECT vec_id, label, rcid, ee,
+               list_max(list_transform(ee, x -> abs(x))) / {S.SQ8_LEVELS}
+                   AS scale
+        FROM repaired
+    ),
+    qcodes AS (
+        SELECT vec_id, label, rcid,
+               CASE WHEN scale > 0
+                    THEN list_transform(ee, x -> round(x / scale))
+                    ELSE list_transform(ee, x -> 0.0) END AS c
+        FROM sc
+    )
+    SELECT a.vec_id, a.label, CAST(a.rcid AS BIGINT) AS cid,
+           ROUND(list_cosine_similarity(a.c, q.qe), 3) + 0.0 AS cos_sim
+    FROM qcodes a JOIN probe p ON a.rcid = p.cid, q
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id ASC
+    LIMIT 8
+    """
+
+
+# t19: the maintenance DECISION table — t14 detects, t19 decides, the
+# apply_* functions (plans/maintenance.py) execute. Exact integer
+# thresholds + deterministic target choice ⇒ the whole policy is
+# hash-verified like any read query.
+_register(
+    "t19_repair_plan",
+    RF.repair_plan,
+    """
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+            CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    occ AS (SELECT cid, COUNT(*) AS n_vecs FROM assigned GROUP BY cid),
+    tot AS (SELECT SUM(n_vecs) AS n_total FROM occ),
+    flagged AS (
+        SELECT cid, n_vecs, n_total,
+               (n_vecs * 10 * 16 > 11 * n_total) AS is_hot,
+               (n_vecs * 10 * 16 < 9 * n_total) AS is_cold
+        FROM occ, tot
+    ),
+    targets AS (
+        SELECT cid AS m_cid, tcid AS tgt FROM (
+            SELECT f.cid, g.cid AS tcid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY f.cid
+                       ORDER BY list_distance(cc.ce, tc.ce) ASC, g.cid ASC
+                   ) AS rn
+            FROM flagged f
+            JOIN cents cc ON f.cid = cc.cid
+            JOIN flagged g ON NOT g.is_cold
+            JOIN cents tc ON g.cid = tc.cid
+            WHERE f.is_cold
+        ) WHERE rn = 1
+    )
+    SELECT CAST(f.cid AS BIGINT) AS cid,
+           CAST(f.n_vecs AS BIGINT) AS n_vecs,
+           ROUND(f.n_vecs * 16 / f.n_total, 4) + 0.0 AS occupancy_ratio,
+           CASE WHEN f.is_hot THEN 'split'
+                WHEN f.is_cold THEN 'merge'
+                ELSE 'keep' END AS action,
+           CAST(COALESCE(t.tgt, -1) AS BIGINT) AS tgt_cid
+    FROM flagged f LEFT JOIN targets t ON f.cid = t.m_cid
+    ORDER BY f.cid
+    """,
+)
+
+
+# t20/t21: sketch MAINTENANCE — the a26 (KMV) and a27 (CMS) synopses are
+# algebraic, so stored + delta merge equals the full rebuild bit-for-bit
+# (KMV union rule / integer cell sums). Each shares its build op's oracle
+# verbatim — the t14/st19 merged-equals-recomputed pattern applied to the
+# sketch family, completing its build/serve/maintain triple.
+_register(
+    "t20_kmv_sketch_refresh",
+    RF.kmv_sketch_refresh,
+    None,
+)
+ORACLE_SQL["t20_kmv_sketch_refresh"] = ORACLE_SQL["a26_kmv_distinct_shingles"]
+_register(
+    "t21_cms_sketch_refresh",
+    RF.cms_sketch_refresh,
+    None,
+)
+ORACLE_SQL["t21_cms_sketch_refresh"] = ORACLE_SQL["a27_cms_heavy_hitters"]
+
+
 _PRIORITY: list[str] = [
     # r8 rotation (VERDICT r7 task 1): the driver prefix is filled ENTIRELY
     # with 50 never-driver-checked queries (65 existed after r7; this cuts
@@ -6479,7 +6697,11 @@ _PRIORITY: list[str] = [
     # sf0.1 before promotion, and all are scalar-schema (array/map-free).
     # Displaced: the entire r7 prefix (all driver-green in CORRECTNESS_r07)
     # parks below; the repo parity gate still checks every query each
-    # session.
+    # session. Late-r8: the two NEW ops (t18 applied-split-serve, t19
+    # repair plan — both strict-checked at all 3 scales) take the slots of
+    # discretionary picks smp8/f15 (both stay repo-gate green; smp keeps
+    # smp1-4, f15's sibling f16 was parked anyway) — the prefix stays 50
+    # first-time names.
     "e2e_vecsearch_flow",
     "e2e_incremental_refresh",
     "e2e_clustered_search",
@@ -6490,7 +6712,7 @@ _PRIORITY: list[str] = [
     "smp2_stratified_sample",
     "smp3_weighted_mix",
     "smp4_shuffled_shards",
-    "smp8_quality_resample",
+    "t18_applied_split_serve",
     "st8_streaming_dedup_index",
     "st9_streaming_token_assembly",
     "st10_stream_static_enrichment",
@@ -6499,7 +6721,7 @@ _PRIORITY: list[str] = [
     "tx12_pii_redaction",
     "tx13_bpe_pair_counts",
     "f17_chunk_udtf",
-    "f15_fenced_json_extract",
+    "t19_repair_plan",
     "a19_grouping_sets",
     "a20_forecast_revenue",
     "a22_cohort_retention",

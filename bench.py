@@ -7,6 +7,17 @@ and prints ONE JSON line:
 Each query is fully materialized through the noop sink (executes the whole
 plan, no driver collect cost, no column pruning shortcut a bare count()
 would allow).
+
+CROSS-ROUND COMPARISON RULE (r8, after two rounds of session-inflation
+false alarms): never compare raw per-query seconds across rounds. The
+artifact carries `calibration.md5_shuffle_50m_sec` — a fixed synthetic
+workload timed with the same min-of-N methodology — so compare
+query_sec / calibration_sec instead. A uniform drift in the ratio-free
+numbers with an unchanged calibration IS a harness/session effect (more
+queries in the session → JVM/GC pressure; r7 measured a uniform 1.26x on
+untouched code), not a regression; a query whose RATIO moves >2x with
+unchanged code should be re-measured solo (fresh session, min-of-3)
+before being believed — see SCALE.md "bench outliers" row.
 """
 
 from __future__ import annotations
@@ -127,6 +138,10 @@ HEADLINE = [
     "t15_cell_split_repair",
     "t16_store_delete_repair",
     "t17_cell_merge_repair",
+    "t18_applied_split_serve",
+    "t19_repair_plan",
+    "t20_kmv_sketch_refresh",
+    "t21_cms_sketch_refresh",
     "t16b_store_delete_repair_stored",
     "st22_streaming_erasure",
     "t12_drift_monitor",

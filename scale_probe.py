@@ -93,6 +93,10 @@ OPS = [
     "t13_bloom_index_refresh",
     "t14_sq8_store_refresh",
     "t15_cell_split_repair",
+    "t18_applied_split_serve",
+    "t19_repair_plan",
+    "t20_kmv_sketch_refresh",
+    "t21_cms_sketch_refresh",
     "t11_cell_stats_refresh",
     "t12_drift_monitor",
     # events family (VERDICT r3 task #7): per-user chained aggregates —

@@ -48,7 +48,14 @@ def _norm(v):
 
 def normalized_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # key=repr: multiset equality needs any CONSISTENT total order, not a
+    # semantic one — naive tuple sort crashes on None-vs-str/int the moment
+    # a nullable column's NULL row ties with a non-NULL row on every
+    # earlier column (latent until r8, when d24 left the driver prefix and
+    # took this path for the first time)
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=repr
+    )
 
 
 # DuckDB output types that pandas cannot canonicalize faithfully: HUGEINT

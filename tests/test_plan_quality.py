@@ -1054,3 +1054,35 @@ def test_weighted_sample_partial_topn_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_repair_plan_is_model_sized(spark):
+    """t19: the maintenance decision table must be decidable from k-row
+    aggregates — occupancy partial-combines map-side (the only
+    corpus-sized shuffle carries (cid) keys), every join broadcasts (no
+    SortMergeJoin), and no member payload (embedding column) flows past
+    the assignment into the decision logic."""
+    plan = plan_of(spark, "t19_repair_plan")
+    # every join broadcasts: no shuffle-requiring join strategy anywhere
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "partial_count" in plan  # occupancy combines before the exchange
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_kmv_sketch_refresh_is_topk_merge(spark):
+    """t20: both the stored and delta sketches reduce to per-partition
+    top-k (TakeOrderedAndProject — the KMV merge shape), so the shingle
+    universe never exchanges; the merge operates on <=2k rows."""
+    plan = plan_of(spark, "t20_kmv_sketch_refresh")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_sketch_refresh_partial_aggregates(spark):
+    """t21: both half-sketches partial-combine map-side into R*W-row
+    synopses; the merge is a 2048-row integer sum, never a token rescan
+    of the other half."""
+    plan = plan_of(spark, "t21_cms_sketch_refresh")
+    assert "partial_count" in plan  # per-half map-side combine
+    assert "partial_sum" in plan  # the algebraic cell merge
+    assert "SortMergeJoin" not in plan

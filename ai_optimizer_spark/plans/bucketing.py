@@ -883,3 +883,57 @@ def rp_stored_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def choose_serving_tier(
+    profile: DataFrame, n_docs: int, threshold: float = 0.05
+) -> str:
+    """Turn a corpus_dup_profile (d17) into the quantized serving tier —
+    SCALE.md finding 14 codified as a data-derived knob (the
+    choose_lsh_bucket_cap pattern): the 1M recall sweep measured direct
+    SQ8 plateauing at recall 0.925 on a near-duplicate-heavy corpus (rank
+    inversion among copies below int8 resolution) while the residual grid
+    restores 1.000 at n_probe=1 for zero extra build cost. The d17
+    profile's colliding_docs upper-bounds the duplicate fraction, so:
+    bound = max-band colliding_docs / n_docs; >= threshold -> 'residual',
+    else 'direct'. The profile is n_bands rows — the collect is O(1)."""
+    rows = [r for r in profile.collect() if r.n_colliding_buckets]
+    bound = max((r.colliding_docs for r in rows), default=0) / max(n_docs, 1)
+    return "residual" if bound >= threshold else "direct"
+
+
+def auto_tier_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 8,
+    n_probe: int = 4,
+    n_centroids: int = IVF_N_CENTROIDS,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """V30: dup-profile-routed quantized serving — the pre-flight d17
+    probe picks the tier (direct SQ8 on clean corpora: smaller read
+    path; residual SQ8 when near-duplication would corrupt direct-SQ8
+    ordering), then the chosen stored layout serves exactly as
+    v24/v27b. Deterministic end to end (deterministic profile, exact
+    threshold compare, deterministic tiers), so the oracle recomputes
+    the ROUTING DECISION and the chosen chain — the e2e_auto_curation
+    "knob inside the oracle" move applied to serving. The tier rides
+    along as an output column so the route itself is hash-verified."""
+    from ..operators.dedup import corpus_dup_profile
+
+    t = load_tables(spark, sf_dir)
+    tier = choose_serving_tier(
+        corpus_dup_profile(t), t["documents"].count(), threshold
+    )
+    if tier == "residual":
+        df = residual_clustered_topk(
+            spark, sf_dir, query_id, k, n_probe, n_centroids
+        )
+    else:
+        df = quantized_clustered_topk(
+            spark, sf_dir, query_id, k, n_probe, n_centroids
+        )
+    return df.select(
+        "vec_id", "label", "cid", "cos_sim", F.lit(tier).alias("tier")
+    )

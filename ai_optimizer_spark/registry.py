@@ -6662,6 +6662,130 @@ _register(
 )
 
 
+# v30: dup-profile-routed quantized serving — SCALE.md finding 14 (direct
+# SQ8 loses rank fidelity on near-dup-heavy corpora; residual restores it)
+# codified as a data-derived knob. The oracle recomputes the d17 bound,
+# the threshold compare, AND both serving chains, gating each on the
+# recomputed tier — the routing decision itself is hash-verified.
+from .plans.bucketing import auto_tier_topk  # noqa: E402
+
+
+def _v30_auto_tier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return auto_tier_topk(spark, sf_dir)
+
+
+QUERIES["v30_auto_tier_topk"] = _v30_auto_tier_topk
+ORACLE_SQL["v30_auto_tier_topk"] = f"""
+    WITH {OD._SHINGLES_CTE},
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS base
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {OD._minhash_cols()}
+        FROM hashed
+        GROUP BY doc_id
+    ),
+    bands AS (
+        {OD._bands_union()}
+    ),
+    buckets AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key),
+    prof AS (
+        SELECT band,
+               SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS colliding_docs,
+               SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS ncb
+        FROM buckets GROUP BY band
+    ),
+    bound AS (
+        SELECT COALESCE(MAX(CASE WHEN ncb > 0 THEN colliding_docs END), 0)
+                   * 1.0 / (SELECT COUNT(*) FROM documents) AS b
+        FROM prof
+    ),
+    tier AS (
+        SELECT CASE WHEN b >= 0.05 THEN 'residual' ELSE 'direct' END AS t
+        FROM bound
+    ),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings),
+    cents AS (SELECT vec_id AS cid, ee AS ce FROM e WHERE vec_id < 16),
+    q AS (SELECT ee AS qe FROM e WHERE vec_id = 0),
+    assigned AS (
+        SELECT vec_id, label, ee, cid FROM (
+            SELECT e.vec_id, e.label, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT c.cid FROM cents c, q
+        ORDER BY list_distance(c.ce, q.qe) ASC, c.cid ASC
+        LIMIT 4
+    ),
+    dsc AS (
+        SELECT vec_id, label, cid, ee,
+               list_max(list_transform(ee, x -> abs(x))) / {S.SQ8_LEVELS}
+                   AS scale
+        FROM assigned
+    ),
+    dcodes AS (
+        SELECT vec_id, label, cid,
+               CASE WHEN scale > 0
+                    THEN list_transform(ee, x -> round(x / scale))
+                    ELSE list_transform(ee, x -> 0.0) END AS c
+        FROM dsc
+    ),
+    direct_out AS (
+        SELECT a.vec_id, a.label, CAST(a.cid AS BIGINT) AS cid,
+               ROUND(list_cosine_similarity(a.c, q.qe), 3) + 0.0 AS cos_sim,
+               'direct' AS tier
+        FROM dcodes a JOIN probe p ON a.cid = p.cid, q
+        WHERE a.vec_id <> 0
+        ORDER BY cos_sim DESC, a.vec_id ASC
+        LIMIT 8
+    ),
+    resid AS (
+        SELECT a.vec_id, a.label, a.cid, c.ce,
+               list_transform(generate_series(1, len(a.ee)),
+                              i -> a.ee[i] - c.ce[i]) AS r
+        FROM assigned a JOIN cents c ON a.cid = c.cid
+    ),
+    rsc AS (
+        SELECT vec_id, label, cid, ce, r,
+               list_max(list_transform(r, x -> abs(x))) / {S.SQ8_LEVELS}
+                   AS rscale
+        FROM resid
+    ),
+    rcodes AS (
+        SELECT vec_id, label, cid, ce, rscale,
+               CASE WHEN rscale > 0
+                    THEN list_transform(r, x -> round(x / rscale))
+                    ELSE list_transform(r, x -> 0.0) END AS rc
+        FROM rsc
+    ),
+    recon AS (
+        SELECT a.vec_id, a.label, a.cid,
+               list_transform(generate_series(1, len(a.rc)),
+                              i -> a.ce[i] + a.rc[i] * a.rscale) AS xr
+        FROM rcodes a JOIN probe p ON a.cid = p.cid
+    ),
+    resid_out AS (
+        SELECT a.vec_id, a.label, CAST(a.cid AS BIGINT) AS cid,
+               ROUND(list_cosine_similarity(a.xr, q.qe), 3) + 0.0 AS cos_sim,
+               'residual' AS tier
+        FROM recon a, q
+        WHERE a.vec_id <> 0
+        ORDER BY cos_sim DESC, a.vec_id ASC
+        LIMIT 8
+    )
+    SELECT * FROM direct_out WHERE (SELECT t FROM tier) = 'direct'
+    UNION ALL
+    SELECT * FROM resid_out WHERE (SELECT t FROM tier) = 'residual'
+"""
+
+
 # t20/t21: sketch MAINTENANCE — the a26 (KMV) and a27 (CMS) synopses are
 # algebraic, so stored + delta merge equals the full rebuild bit-for-bit
 # (KMV union rule / integer cell sums). Each shares its build op's oracle
@@ -6697,17 +6821,20 @@ _PRIORITY: list[str] = [
     # sf0.1 before promotion, and all are scalar-schema (array/map-free).
     # Displaced: the entire r7 prefix (all driver-green in CORRECTNESS_r07)
     # parks below; the repo parity gate still checks every query each
-    # session. Late-r8: the two NEW ops (t18 applied-split-serve, t19
-    # repair plan — both strict-checked at all 3 scales) take the slots of
-    # discretionary picks smp8/f15 (both stay repo-gate green; smp keeps
-    # smp1-4, f15's sibling f16 was parked anyway) — the prefix stays 50
-    # first-time names.
+    # session. Late-r8: ALL FIVE new r8 ops (t18 applied-split-serve, t19
+    # repair plan, t20/t21 sketch refresh, v30 auto-tier serve — each
+    # strict-checked at all 3 scales) take the slots of discretionary
+    # picks smp8/f15/st12b/a19/a20 (all stay repo-gate green; smp keeps
+    # smp1-4, f15's sibling f16 was parked anyway, a22/a23/w7/w8 carry the
+    # analytics family) — the prefix stays 50 first-time names and the
+    # never-checked arithmetic is unchanged (the five displaced rotate in
+    # r9).
     "e2e_vecsearch_flow",
     "e2e_incremental_refresh",
     "e2e_clustered_search",
     "e2e_curation_stats",
     "v18_filtered_topk",
-    "st12b_neardup_candidates_batch",
+    "v30_auto_tier_topk",
     "smp1_hash_split",
     "smp2_stratified_sample",
     "smp3_weighted_mix",
@@ -6722,8 +6849,8 @@ _PRIORITY: list[str] = [
     "tx13_bpe_pair_counts",
     "f17_chunk_udtf",
     "t19_repair_plan",
-    "a19_grouping_sets",
-    "a20_forecast_revenue",
+    "t20_kmv_sketch_refresh",
+    "t21_cms_sketch_refresh",
     "a22_cohort_retention",
     "a23_source_median_quality",
     "mm1_binary_meta",

@@ -142,6 +142,7 @@ HEADLINE = [
     "t19_repair_plan",
     "t20_kmv_sketch_refresh",
     "t21_cms_sketch_refresh",
+    "v30_auto_tier_topk",
     "t16b_store_delete_repair_stored",
     "st22_streaming_erasure",
     "t12_drift_monitor",

@@ -861,3 +861,50 @@ def test_rp_stored_topk_equals_computed_form(spark, sf_small):
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "In(vec_id" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_choose_serving_tier_routes_by_dup_bound(spark):
+    """v30's router (SCALE.md finding 14): near-dup-heavy corpora must
+    serve from the residual grid; clean corpora take the direct-SQ8 read.
+    The fixture corpus is duplicate-heavy by construction (d17 bound
+    ~0.09-0.11 at every sf), so it must route 'residual'; a constructed
+    collision-free profile must route 'direct'."""
+    from ai_optimizer_spark.operators.dedup import corpus_dup_profile
+    from ai_optimizer_spark.plans.bucketing import choose_serving_tier
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    prof = corpus_dup_profile(t)
+    n = t["documents"].count()
+    assert choose_serving_tier(prof, n) == "residual"
+    # same profile against a huge corpus: the bound dilutes below threshold
+    assert choose_serving_tier(prof, n_docs=1_000_000) == "direct"
+    # collision-free profile (no bucket >= 2): bound 0 -> direct
+    clean = spark.createDataFrame(
+        [(0, 10, 0, 0, 0, 1)],
+        "band int, n_buckets long, n_colliding_buckets long, "
+        "candidate_pairs long, colliding_docs long, max_bucket_n long",
+    )
+    assert choose_serving_tier(clean, n_docs=10) == "direct"
+
+
+def test_auto_tier_topk_plan_keeps_pruned_serve(spark):
+    """v30: whatever the route, the serving read keeps the stored-layout
+    contract — literal partition pruning on cid, no shuffle exchange,
+    TakeOrderedAndProject (the profile collect happens at build time and
+    never appears in the served plan)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ai_optimizer_spark.plans.bucketing import auto_tier_topk
+
+    df = auto_tier_topk(spark, "/root/testdata/sf0.001")
+    assert [r.tier for r in df.collect()] == ["residual"] * 8
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= plan.count(
+        "ReusedExchange"
+    )

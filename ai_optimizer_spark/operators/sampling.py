@@ -813,3 +813,89 @@ def weighted_sample(t: dict[str, DataFrame], n: int = WSAMP_N) -> DataFrame:
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(n)
     )
+
+
+MWU_ETA = 0.5
+MWU_ROUNDS = 3
+
+
+def mwu_domain_weights(
+    t: dict[str, DataFrame], eta: float = MWU_ETA, rounds: int = MWU_ROUNDS
+) -> DataFrame:
+    """SMP15: multiplicative-weights domain reweighting — the DoReMi
+    update step (Xie et al. 2023: upweight domains with EXCESS loss under
+    a proxy model) as a deterministic, oracle-verifiable mixture op,
+    completing the mixing family (smp3 fixed rates, smp5 temperature,
+    smp11 UniMax caps, smp13 epochs, smp10 DSIR importance — this one is
+    loss-DRIVEN).
+
+        loss_d   = 1 − mean(quality)_d      (tx2's round-3 quality as the
+                                             proxy loss; the mean is exact:
+                                             an INTEGER permille sum / n)
+        excess_d = loss_d − min_d loss      (the DoReMi excess-loss signal)
+        f_d      = 1 + eta·excess_d          (linearized MWU factor — no
+                                             exp(), so the update chain is
+                                             plain IEEE arithmetic both
+                                             engines reproduce bit-for-bit;
+                                             the tx19 no-transcendentals
+                                             rule)
+        w_d      ∝ f_d^rounds               (explicit multiply chain;
+                                             normalized by a DECIMAL sum so
+                                             the k-row normalizer is
+                                             order-free)
+
+    With a FIXED loss vector the unrolled rounds collapse to a power —
+    production DoReMi retrains the proxy between rounds and re-enters this
+    op with fresh losses; the op IS the update step, and the fixture form
+    runs the 3-round chain on one static loss vector (the well-defined
+    degenerate case the oracle pins).
+
+    Scale shape: one corpus scan partial-aggregates to |domains| rows
+    (integer permille sums — no float-sum order dependence); everything
+    after is arithmetic on a broadcast k-row table. The weight table then
+    drives smp3/smp8-style keep filters."""
+    from .textops import quality_parts
+    from ..functions import text as T
+
+    docs = t["documents"]
+    w_arr = T.words("text")
+    _, _, _, quality = quality_parts(w_arr)
+    # permille: quality is round-3, so x1000 is integer-exact (round to
+    # kill the 1e-13 float residue BEFORE the long cast — Spark truncates)
+    ppm = F.round(quality * 1000, 0).cast("long")
+    dom = docs.select(F.col("source"), ppm.alias("q_ppm")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("q_ppm").alias("sum_ppm"),
+    )
+    # eager barrier (the t10 lesson): the |domains|-row table feeds THREE
+    # consumers (baseline min, DECIMAL normalizer, the output projection)
+    # and Catalyst would otherwise plan each its own corpus scan —
+    # measured 4 scans without this; 1 with it
+    dom = dom.localCheckpoint(eager=True)
+    loss = F.round(
+        F.lit(1.0) - F.col("sum_ppm") / (F.lit(1000.0) * F.col("n_docs")), 9
+    ) + F.lit(0.0)
+    dom = dom.withColumn("loss", loss)
+    base = dom.agg(F.min("loss").alias("b"))
+    dom = dom.crossJoin(F.broadcast(base)).withColumn(
+        "excess", F.round(F.col("loss") - F.col("b"), 9) + F.lit(0.0)
+    )
+    f = F.lit(1.0) + F.lit(eta) * F.col("excess")
+    ft = f
+    for _ in range(rounds - 1):
+        ft = ft * f  # explicit left-assoc chain: no pow(), IEEE-exact
+    dom = dom.withColumn("ft", F.round(ft, 9) + F.lit(0.0))
+    norm = dom.agg(
+        F.sum(F.col("ft").cast("decimal(18,9)")).cast("double").alias("s")
+    )
+    return (
+        dom.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "loss",
+            "excess",
+            (F.round(F.col("ft") / F.col("s"), 9) + F.lit(0.0)).alias("weight"),
+        )
+        .orderBy("source")
+    )

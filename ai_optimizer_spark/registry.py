@@ -6662,6 +6662,66 @@ _register(
 )
 
 
+# smp15: multiplicative-weights domain reweighting (linearized DoReMi
+# update step). No exp(): the factor chain is plain IEEE arithmetic, the
+# loss means are integer-permille sums, and the normalizer is a DECIMAL
+# sum — so the whole update is hash-verified cross-engine.
+_register(
+    "smp15_mwu_domain_weights",
+    SMP.mwu_domain_weights,
+    f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source,
+               len(words) * 1.0 AS n,
+               len(list_filter(words, x -> x IN {TX.STOPWORDS!r})) * 1.0 AS n_stop,
+               len(list_distinct(words)) * 1.0 AS n_uniq
+        FROM w
+    ),
+    q AS (
+        SELECT doc_id, source,
+               ROUND(0.4 * LEAST(1.0, n / 50.0) + 0.3 * (n_uniq / n)
+                     + 0.3 * (1.0 - n_stop / n), 3) AS quality
+        FROM m
+    ),
+    d AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(CAST(ROUND(quality * 1000) AS BIGINT)) AS sum_ppm
+        FROM q GROUP BY source
+    ),
+    l AS (
+        SELECT source, n_docs,
+               ROUND(1.0 - sum_ppm / (1000.0 * n_docs), 9) + 0.0 AS loss
+        FROM d
+    ),
+    base AS (SELECT MIN(loss) AS b FROM l),
+    x AS (
+        SELECT source, n_docs, loss,
+               ROUND(loss - b, 9) + 0.0 AS excess
+        FROM l, base
+    ),
+    ft AS (
+        SELECT source, n_docs, loss, excess,
+               ROUND((1.0 + {SMP.MWU_ETA} * excess)
+                     * (1.0 + {SMP.MWU_ETA} * excess)
+                     * (1.0 + {SMP.MWU_ETA} * excess), 9) + 0.0 AS ftv
+        FROM x
+    ),
+    s AS (
+        SELECT CAST(SUM(CAST(ftv AS DECIMAL(18,9))) AS DOUBLE) AS sv FROM ft
+    )
+    SELECT source, n_docs, loss, excess,
+           ROUND(ftv / sv, 9) + 0.0 AS weight
+    FROM ft, s
+    ORDER BY source
+    """,
+)
+
+
 # v30: dup-profile-routed quantized serving — SCALE.md finding 14 (direct
 # SQ8 loses rank fidelity on near-dup-heavy corpora; residual restores it)
 # codified as a data-derived knob. The oracle recomputes the d17 bound,

@@ -143,6 +143,7 @@ HEADLINE = [
     "t20_kmv_sketch_refresh",
     "t21_cms_sketch_refresh",
     "v30_auto_tier_topk",
+    "smp15_mwu_domain_weights",
     "t16b_store_delete_repair_stored",
     "st22_streaming_erasure",
     "t12_drift_monitor",

@@ -98,6 +98,7 @@ OPS = [
     "t20_kmv_sketch_refresh",
     "t21_cms_sketch_refresh",
     "v30_auto_tier_topk",
+    "smp15_mwu_domain_weights",
     "t11_cell_stats_refresh",
     "t12_drift_monitor",
     # events family (VERDICT r3 task #7): per-user chained aggregates —

@@ -154,3 +154,40 @@ def test_geom_serve_plan_shape(spark, gen):
     assert "PartitionFilters" in plan
     assert "cid" in plan.split("PartitionFilters", 1)[1][:200]
     assert plan.count("Exchange") == plan.count("BroadcastExchange")
+
+
+def test_sweep_stale_generations_guards(spark, tmp_path):
+    """The t18 generation reaper: removes only gen-suffixed orphan dirs
+    older than the age bar; live-session tables, young dirs, and the
+    shared base-store caches are never touched."""
+    import os
+    import time
+
+    from ai_optimizer_spark.plans.maintenance import sweep_stale_generations
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    os.makedirs(wh, exist_ok=True)
+    old = time.time() - 7200
+    victims = ["embeddings_sq8_sfx_k16_gdeadbeef", "sq8_cell_geom_sfx_k16_gdeadbeef"]
+    keepers = [
+        "embeddings_sq8_sfx_k16",          # shared base cache: wrong pattern
+        "sq8_cell_radii_sfx_k16",          # radii cache: wrong prefix
+        "embeddings_sq8_sfx_k16_tdeadbee",  # test-gen prefix: wrong pattern
+    ]
+    young = "embeddings_sq8_sfx_k16_g12345678"
+    for d in victims + keepers + [young]:
+        os.makedirs(os.path.join(wh, d), exist_ok=True)
+        if d != young:
+            os.utime(os.path.join(wh, d), (old, old))
+    try:
+        removed = sweep_stale_generations(spark)
+        assert removed >= len(victims)
+        for d in victims:
+            assert not os.path.isdir(os.path.join(wh, d)), d
+        for d in keepers + [young]:
+            assert os.path.isdir(os.path.join(wh, d)), d
+    finally:
+        import shutil
+
+        for d in keepers + [young]:
+            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)

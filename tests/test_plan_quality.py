@@ -1086,3 +1086,17 @@ def test_cms_sketch_refresh_partial_aggregates(spark):
     assert "partial_count" in plan  # per-half map-side combine
     assert "partial_sum" in plan  # the algebraic cell merge
     assert "SortMergeJoin" not in plan
+
+
+def test_mwu_weights_partial_aggregate_and_broadcasts(spark):
+    """smp15: one corpus scan partial-aggregates to |domains| rows
+    (integer permille sums); everything downstream (baseline, factor
+    chain, DECIMAL normalizer) is broadcast k-row arithmetic — no
+    shuffle-requiring join, no second corpus pass."""
+    plan = plan_of(spark, "smp15_mwu_domain_weights")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row base/norm crossJoins
+    # the eager domain-table barrier means the served plan reads ZERO
+    # parquet: every consumer derives from the checkpointed k-row table
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "Scan ExistingRDD" in plan  # the checkpointed |domains| rows

@@ -256,6 +256,8 @@ def openai_http_transport(
         req = urllib.request.Request(
             url, data=_json.dumps(payload).encode("utf-8"), headers=headers
         )
+        import http.client
+
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 body = _json.loads(resp.read().decode("utf-8"))
@@ -263,7 +265,11 @@ def openai_http_transport(
             raise ProviderHTTPError(
                 exc.code, exc.read().decode("utf-8", "replace")
             ) from exc
-        except OSError as exc:  # socket timeout / refused / dropped
+        except (OSError, http.client.HTTPException) as exc:
+            # socket timeout / refused / dropped, AND mid-body failures
+            # (IncompleteRead, BadStatusLine) — all transport-shaped, all
+            # retryable (review r8: HTTPException is not an OSError and
+            # would otherwise be treated as permanent)
             raise ConnectionError(str(exc)) from exc
         data = body["data"]
         if any("index" in item for item in data):

@@ -577,6 +577,10 @@ def kmv_source_overlap(
     # zero) rows with no error (ADVICE r7). One column-pruned distinct
     # over the dictionary-encoded source column — bounded by |sources|,
     # corpus-size-independent — validates eagerly and fails loudly.
+    # Deliberately EAGER (a Spark job at builder time): a lazy assertion
+    # column would surface at materialization inside an executor stack
+    # trace; misconfiguration should fail at the call site (review r8:
+    # considered and kept — this is a harness/triage op, not a hot path).
     want = {s for p in pairs for s in p}
     have = {r[0] for r in docs.select("source").distinct().collect()}
     missing = sorted(want - have)

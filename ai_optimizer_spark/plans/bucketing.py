@@ -910,6 +910,7 @@ def auto_tier_topk(
     n_probe: int = 4,
     n_centroids: int = IVF_N_CENTROIDS,
     threshold: float = 0.05,
+    tier: str | None = None,
 ) -> DataFrame:
     """V30: dup-profile-routed quantized serving — the pre-flight d17
     probe picks the tier (direct SQ8 on clean corpora: smaller read
@@ -919,13 +920,21 @@ def auto_tier_topk(
     threshold compare, deterministic tiers), so the oracle recomputes
     the ROUTING DECISION and the chosen chain — the e2e_auto_curation
     "knob inside the oracle" move applied to serving. The tier rides
-    along as an output column so the route itself is hash-verified."""
+    along as an output column so the route itself is hash-verified.
+
+    The d17 profile pass runs per call in this harness form (it is what
+    the oracle verifies); a serving daemon routes ONCE per corpus
+    generation and passes the decision via `tier` — the profile is a
+    property of the corpus, not of the query (review r8)."""
     from ..operators.dedup import corpus_dup_profile
 
-    t = load_tables(spark, sf_dir)
-    tier = choose_serving_tier(
-        corpus_dup_profile(t), t["documents"].count(), threshold
-    )
+    if tier is None:
+        t = load_tables(spark, sf_dir)
+        tier = choose_serving_tier(
+            corpus_dup_profile(t), t["documents"].count(), threshold
+        )
+    if tier not in ("direct", "residual"):
+        raise ValueError(f"unknown serving tier {tier!r}")
     if tier == "residual":
         df = residual_clustered_topk(
             spark, sf_dir, query_id, k, n_probe, n_centroids

@@ -156,15 +156,17 @@ def _recompute_radii(
     return {int(r.cid): float(r.r_cell) for r in dist.collect()}
 
 
-def sweep_stale_generations(spark: SparkSession, min_age_sec: float = 3600) -> int:
+def sweep_stale_generations(spark: SparkSession, min_age_sec: float = 6 * 3600) -> int:
     """Remove warehouse directories of t18 GENERATIONS left behind by
     prior processes (the session catalog is in-memory, so a dead
     session's gen tables survive only as orphan directories). Guard
     rails: only t18's own `_g<hex>` naming is touched (never the shared
-    base store/radii/geometry caches, never test/probe gens), only
-    directories UNKNOWN to this session's catalog, and only those older
-    than `min_age_sec` — a concurrent harness process's live generation
-    is by definition younger, so the sweep cannot race it. Returns the
+    base store/radii/geometry caches, never test/probe gens — those
+    clean up after themselves), only directories UNKNOWN to this
+    session's catalog, and only those older than `min_age_sec` (6 h —
+    t18 generations live for one harness call; any session older than
+    the bar AND still holding a live gen would have to be a 6-hour
+    interactive session, accepted as out of contract). Returns the
     number of directories removed. Called by the t18 registry wrapper so
     repeated harness runs don't accumulate unbounded per-call
     generations."""
@@ -253,10 +255,17 @@ def apply_cell_splits(
 
     occ = store.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
     tot = occ.agg(F.sum("n_vecs").alias("n_total"))
+    # threshold against the LIVE cell count (geometry rows), not the
+    # build-time n_centroids: after earlier splits/merges the average
+    # occupancy is n_total / n_live, and using the stale k would
+    # mis-flag cells from cycle 2 onward (review r8). On a fresh
+    # generation n_live == occupied build cells (16 at every fixture),
+    # so t18's oracle is unaffected.
+    n_live = spark.table(geom_name).count()
     hot_rows = (
         occ.crossJoin(F.broadcast(tot))
         .filter(
-            F.col("n_vecs") * hot_den * n_centroids
+            F.col("n_vecs") * hot_den * n_live
             > F.lit(hot_num) * F.col("n_total")
         )
         .select("cid")

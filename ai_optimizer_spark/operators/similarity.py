@@ -760,7 +760,12 @@ def pq_topk(
     cands = (
         encoded.join(F.broadcast(adc), ["sub_id", "code"])
         .groupBy("vec_id")
-        .agg(F.sum("qd").alias("approx_d"))
+        # round-9 before the cut: identical candidates (same codes) must
+        # tie EXACTLY so the vec_id tie-break is engine-independent —
+        # DuckDB's parallel hash aggregate sums equal groups in different
+        # orders, so unrounded sums differ by ulps between identical rows
+        # (caught by the r9 sf0.001 strict check on v20)
+        .agg(F.round(F.sum("qd"), 9).alias("approx_d"))
         .filter(F.col("vec_id") != query_id)
         .orderBy(F.asc("approx_d"), F.asc("vec_id"))
         .limit(refine * k)
@@ -1104,7 +1109,7 @@ def ivfpq_topk(
         assigned.withColumn("ppos", F.array_position(probe_arr, F.col("cid")))
         .filter(F.col("ppos") > 0)
         .withColumn("resid", resid)
-        .select("vec_id", approx.alias("approx_d"))
+        .select("vec_id", F.round(approx, 9).alias("approx_d"))
         .filter(F.col("vec_id") != query_id)
         .orderBy(F.asc("approx_d"), F.asc("vec_id"))
         .limit(refine * k)
@@ -1309,7 +1314,11 @@ def ivfpq_topk_np(
             codes = dd.argmin(axis=2)                          # (n, m)
             ppos = np.asarray([probe_pos[int(c)] for c in cs])
             # gather qd[ppos, s, codes] and sum over s
-            approx = QD[ppos[:, None], np.arange(m)[None, :], codes].sum(axis=1)
+            # round-9 matches the expression tier and the oracle cut (see
+            # ivfpq_topk): identical candidates tie exactly across engines
+            approx = QD[ppos[:, None], np.arange(m)[None, :], codes].sum(
+                axis=1
+            ).round(9)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"][mask].astype("int64"), "approx_d": approx}
             )

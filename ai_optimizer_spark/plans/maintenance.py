@@ -243,9 +243,61 @@ def split_generation(
     died mid-apply) is dropped and rebuilt rather than trusted. Assumes
     one writer per warehouse (the harness contract); concurrent
     multi-writer setups should pass their own uuid gens to apply_*."""
+    return _cached_generation(
+        spark,
+        sf_dir,
+        n_centroids,
+        f"{sf_dir}|{n_centroids}|split|{hot_num}/{hot_den}",
+        lambda gen: apply_cell_splits(
+            spark, sf_dir, n_centroids, hot_num=hot_num, hot_den=hot_den, gen=gen
+        ),
+    )
+
+
+def repair_generation(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = IVF_N_CENTROIDS,
+    hot_num: int = 2,
+    hot_den: int = 1,
+    cold_num: int = 2,
+    cold_den: int = 5,
+) -> str:
+    """split_generation's sibling for the FULL plan-driven cycle: one
+    cached generation per config on which apply_repair_plan has run
+    exactly once (t22's registered form re-serves it)."""
+    return _cached_generation(
+        spark,
+        sf_dir,
+        n_centroids,
+        f"{sf_dir}|{n_centroids}|cycle|{hot_num}/{hot_den}|{cold_num}/{cold_den}",
+        lambda gen: apply_repair_plan(
+            spark,
+            sf_dir,
+            n_centroids,
+            hot_num,
+            hot_den,
+            cold_num,
+            cold_den,
+            gen=gen,
+            audit=False,
+        ),
+    )
+
+
+def _cached_generation(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int,
+    recipe: str,
+    apply_fn,
+) -> str:
+    """Build-once-serve-many for deterministic maintenance generations:
+    the gen tag hashes the recipe; a memoized (applicationId, table) key
+    marks "this process applied the repair"; anything else on disk is a
+    prior process's unknown-state leftover and is rebuilt."""
     import hashlib
 
-    recipe = f"{sf_dir}|{n_centroids}|split|{hot_num}/{hot_den}"
     gen = "g" + hashlib.md5(recipe.encode()).hexdigest()[:8]
     store_name, geom_name = _names(sf_dir, n_centroids, gen)
     key = (spark.sparkContext.applicationId, store_name)
@@ -259,9 +311,7 @@ def split_generation(
     for t in (store_name, geom_name):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         _clear_stale_location(spark, t)
-    apply_cell_splits(
-        spark, sf_dir, n_centroids, hot_num=hot_num, hot_den=hot_den, gen=gen
-    )
+    apply_fn(gen)
     _GEN_APPLIED.add(key)
     return gen
 
@@ -307,6 +357,7 @@ def apply_cell_splits(
     *,
     gen: str,
     cids: list[int] | None = None,
+    balanced: bool = False,
 ) -> dict:
     """Apply t15's deterministic 2-split to every hot cell of the store:
     the A-half (seeded by the cell's min-vec_id member) keeps the cid; the
@@ -323,8 +374,15 @@ def apply_cell_splits(
     `cids` (plan-driven mode): split exactly these cells instead of
     detecting hot ones — apply_repair_plan passes the decision table's
     split rows so the executed repair IS the plan, not a re-detection
-    against possibly-shifted state."""
-    from ..operators.refresh import split_member_assign
+    against possibly-shifted state.
+
+    `balanced`: use the median-cut assigner (split_member_assign_balanced)
+    instead of nearest-seed — the loop-convergent form apply_repair_plan
+    uses; t18 keeps nearest-seed (its oracle pins t15's rule)."""
+    from ..operators.refresh import (
+        split_member_assign,
+        split_member_assign_balanced,
+    )
 
     store_name, geom_name = ensure_maintained_store(spark, sf_dir, n_centroids, gen)
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -362,7 +420,8 @@ def apply_cell_splits(
         .join(emb.select("vec_id", "embedding"), "vec_id")
         .select("vec_id", "cid", "embedding")
     )
-    sub = split_member_assign(members).localCheckpoint(eager=True)
+    assigner = split_member_assign_balanced if balanced else split_member_assign
+    sub = assigner(members).localCheckpoint(eager=True)
 
     # a cell whose members are all identical degenerates to seed B == seed
     # A (its B-half would be empty): leave it alone — splitting cannot
@@ -792,32 +851,46 @@ def live_repair_plan(
     cold_num: int = 2,
     cold_den: int = 5,
     *,
-    gen: str,
+    gen: str | None,
 ) -> DataFrame:
     """t19's decision table computed from the LIVE maintained store —
-    occupancy off the store's partition column, cell set and seeds off
+    (gen=None reads the shared BASE store — the pre-maintenance state —
+    without copying anything; useful for a read-only cycle-0 plan.)
+    Occupancy comes off the store's partition column, cell set and seeds off
     the geometry table — instead of t19's build-time assignment, so the
     plan stays meaningful from cycle 2 onward (t19 itself is the
     analysis/registered form; this is the form the applied loop consumes).
 
-        action = 'split' if n_vecs > hot_num/hot_den x (n_total/n_live)
-                 'merge' if n_vecs < cold_num/cold_den x (n_total/n_live)
+    Thresholds compare against a FIXED target occupancy
+    target = n_total / n_centroids (the BUILD k), not the live average:
+
+        action = 'split' if n_vecs > hot_num/hot_den x target
+                 'merge' if n_vecs < cold_num/cold_den x target
                          (tgt_cid = nearest KEEP cell by seed euclidean,
                           ties -> min cid; -1 when no keep cell exists)
                  'keep'  otherwise (tgt_cid = -1)
+
+    The fixed target is what makes the loop CONVERGE. Against the live
+    average, every split lowers the average and so lowers the hot bar,
+    ratcheting previously-fine cells over it — measured at sf0.001 the
+    1.1x-of-average policy split 1, then 2, then 3 cells on consecutive
+    cycles. Against a fixed target the bars never move, so each split
+    strictly reduces the mass above the hot bar and the policy reaches
+    all-keep. The fixed target is also the 100 TB semantics: a cell's
+    partition file should hold roughly a target number of rows (file-
+    size driven), regardless of how many cells currently exist.
 
     Merge targets are restricted to KEEP cells (t19's analysis form
     allows any non-cold target): in an APPLIED cycle a hot target would
     be mutated twice in one cycle (split then receive a merge), which
     makes the executed state diverge from what the plan was computed on.
 
-    CONVERGENCE (hysteresis): defaults are hot = 2.0x average and
-    cold = 0.4x average, NOT t19's 1.1x/0.9x detection bands. A split
-    halves a just-over-hot cell to ~hot/2 x average, so the policy only
-    converges (cycle 2 decides ~all keep instead of merging the halves
-    straight back) when hot_num/hot_den >= 2 x cold_num/cold_den. The
-    defaults satisfy it with 2.5x slack; apply_repair_plan warns when a
-    caller's thresholds do not.
+    HYSTERESIS: defaults are hot = 2.0x target and cold = 0.4x target,
+    NOT t19's 1.1x/0.9x detection bands. A split halves a just-over-hot
+    cell to ~hot/2 x target, so halves stay out of the cold band only
+    when hot_num/hot_den >= 2 x cold_num/cold_den. The defaults satisfy
+    it with 2.5x slack; apply_repair_plan warns when a caller's
+    thresholds do not.
 
     Scale shape: occupancy is a k-row aggregate over (cid, vec_id); the
     target choice is k x k over broadcast geometry rows; no member reads.
@@ -829,7 +902,7 @@ def live_repair_plan(
     store = spark.table(store_name).withColumn("cid", F.col("cid").cast("long"))
     geom = spark.table(geom_name)
 
-    n_live = geom.count()
+    k_base = n_centroids  # fixed-target denominator (see docstring)
     occ = store.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
     tot = occ.agg(F.sum("n_vecs").alias("n_total"))
     flagged = occ.crossJoin(F.broadcast(tot)).select(
@@ -837,10 +910,10 @@ def live_repair_plan(
         "n_vecs",
         "n_total",
         (
-            F.col("n_vecs") * hot_den * n_live > F.lit(hot_num) * F.col("n_total")
+            F.col("n_vecs") * hot_den * k_base > F.lit(hot_num) * F.col("n_total")
         ).alias("is_hot"),
         (
-            F.col("n_vecs") * cold_den * n_live < F.lit(cold_num) * F.col("n_total")
+            F.col("n_vecs") * cold_den * k_base < F.lit(cold_num) * F.col("n_total")
         ).alias("is_cold"),
     )
     seeds = _seed_vectors(emb, geom)
@@ -869,7 +942,7 @@ def live_repair_plan(
             F.col("cid").cast("long").alias("cid"),
             F.col("n_vecs").cast("long").alias("n_vecs"),
             (
-                F.round(F.col("n_vecs") * n_live / F.col("n_total"), 4)
+                F.round(F.col("n_vecs") * k_base / F.col("n_total"), 4)
                 + F.lit(0.0)
             ).alias("occupancy_ratio"),
             F.when(F.col("is_hot"), F.lit("split"))
@@ -942,7 +1015,9 @@ def apply_repair_plan(
         "skipped_merges": skipped,
     }
     out["split"] = (
-        apply_cell_splits(spark, sf_dir, n_centroids, gen=gen, cids=split_cids)
+        apply_cell_splits(
+            spark, sf_dir, n_centroids, gen=gen, cids=split_cids, balanced=True
+        )
         if split_cids
         else {"hot_cells": 0, "new_cells": 0}
     )

@@ -2931,7 +2931,7 @@ _register(
     cands AS (
         SELECT enc.vec_id FROM encoded enc JOIN adc USING (sub_id, code)
         GROUP BY enc.vec_id HAVING enc.vec_id <> 0
-        ORDER BY SUM(qd) ASC, enc.vec_id ASC
+        ORDER BY ROUND(SUM(qd), 9) ASC, enc.vec_id ASC
         LIMIT 32
     )
     SELECT e.vec_id, e.label,
@@ -3005,7 +3005,7 @@ cands AS (
     SELECT cd.vec_id FROM codes cd
     JOIN qd ON qd.cid = cd.cid AND qd.sub_id = cd.sub_id AND qd.code = cd.code
     GROUP BY cd.vec_id
-    ORDER BY SUM(qd.qdist) ASC, cd.vec_id ASC
+    ORDER BY ROUND(SUM(qd.qdist), 9) ASC, cd.vec_id ASC
     LIMIT 32
 )
 SELECT e.vec_id, e.label,
@@ -6865,52 +6865,281 @@ _register(
 ORACLE_SQL["t21_cms_sketch_refresh"] = ORACLE_SQL["a27_cms_heavy_hitters"]
 
 
+# ---------------------------------------------------------------------------
+# t22/t23: the maintenance loop DRIVEN BY the decision table (verdict r8
+# task 3 — "t19 decides but nothing consumes it"). Each runs ONE
+# plan-driven cycle (live_repair_plan -> apply_cell_splits/merges in
+# explicit cids/moves mode, plans/maintenance.apply_repair_plan) on a
+# cached deterministic generation, then returns the CONVERGENCE WITNESS:
+# per-cycle action counts for the executed cycle 1 and the would-be
+# cycle 2. The DuckDB oracle replays the whole loop — assignment, fixed-
+# target thresholds, the BALANCED median-cut split (ROW_NUMBER <=
+# ceil(n/2)), nearest-keep merge routing, post-repair occupancy, cycle-2
+# re-flagging — so the policy's convergence itself is hash-verified.
+# t22's thresholds (hot 1.3x / cold 0.25x of target) exercise the split
+# executor; t23's (hot 3x / cold 0.667x) exercise the merge executor.
+# Reference anchor: the rebuild-everything refresh this loop replaces
+# (src/server/app/embed/refresh.py:28-143).
+# ---------------------------------------------------------------------------
+
+
+def _maintenance_cycle_counts(
+    spark: SparkSession, sf_dir: str, hn: int, hd: int, cn: int, cd: int
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .plans.maintenance import (
+        live_repair_plan,
+        repair_generation,
+        sweep_stale_generations,
+    )
+
+    sweep_stale_generations(spark)
+    pre = live_repair_plan(spark, sf_dir, 16, hn, hd, cn, cd, gen=None)
+    gen = repair_generation(spark, sf_dir, 16, hn, hd, cn, cd)
+    post = live_repair_plan(spark, sf_dir, 16, hn, hd, cn, cd, gen=gen)
+    acts = spark.createDataFrame(
+        [(c, a) for c in (1, 2) for a in ("split", "merge", "keep")],
+        "cycle long, action string",
+    )
+    cnt = (
+        pre.select(F.lit(1).cast("long").alias("cycle"), "action")
+        .unionByName(post.select(F.lit(2).cast("long").alias("cycle"), "action"))
+        .groupBy("cycle", "action")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        acts.join(cnt, ["cycle", "action"], "left")
+        .select(
+            "cycle",
+            "action",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_cells"),
+        )
+        .orderBy("cycle", "action")
+    )
+
+
+def _t22_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _maintenance_cycle_counts(spark, sf_dir, 13, 10, 1, 4)
+
+
+def _t23_merge_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _maintenance_cycle_counts(spark, sf_dir, 3, 1, 2, 3)
+
+
+def _cycle_oracle(hn: int, hd: int, cn: int, cd: int) -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, ee AS ce FROM e WHERE vec_id < 16),
+    assigned AS (
+        SELECT vec_id, ee, cid FROM (
+            SELECT e.vec_id, e.ee, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.ee, c.ce) ASC, c.cid ASC
+                   ) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    occ AS (SELECT cid, COUNT(*) AS n_vecs FROM assigned GROUP BY 1),
+    tot AS (SELECT SUM(n_vecs) AS n_total FROM occ),
+    flag1 AS (
+        SELECT cid, n_vecs,
+               (n_vecs * {hd} * 16 > {hn} * n_total) AS is_hot,
+               (n_vecs * {cd} * 16 < {cn} * n_total) AS is_cold
+        FROM occ, tot
+    ),
+    hotm AS (
+        SELECT a.cid, a.vec_id, a.ee
+        FROM assigned a JOIN flag1 f USING (cid) WHERE f.is_hot
+    ),
+    seed_a AS (SELECT cid, MIN(vec_id) AS a_vec FROM hotm GROUP BY 1),
+    seed_a_e AS (
+        SELECT s.cid, s.a_vec, m.ee AS a_emb
+        FROM seed_a s JOIN hotm m ON m.cid = s.cid AND m.vec_id = s.a_vec
+    ),
+    da AS (
+        SELECT m.cid, m.vec_id, list_distance(m.ee, s.a_emb) AS dist_a,
+               s.a_vec
+        FROM hotm m JOIN seed_a_e s ON m.cid = s.cid
+    ),
+    seed_b AS (
+        SELECT cid, vec_id AS b_vec FROM (
+            SELECT cid, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY cid ORDER BY dist_a DESC, vec_id ASC
+            ) AS rn FROM da
+        ) WHERE rn = 1
+    ),
+    -- degenerate guard: an all-identical cell (seed B == seed A) cannot
+    -- split; the plan still says 'split' but the executor skips it
+    hot AS (
+        SELECT a.cid FROM seed_a a JOIN seed_b b USING (cid)
+        WHERE a.a_vec <> b.b_vec
+    ),
+    splitc AS (
+        SELECT d.cid, COUNT(*) AS n,
+               CAST(FLOOR((COUNT(*) + 1) / 2) AS BIGINT) AS n_a
+        FROM da d JOIN hot h ON d.cid = h.cid GROUP BY d.cid
+    ),
+    keepc AS (
+        SELECT f.cid, c.ce FROM flag1 f JOIN cents c ON f.cid = c.cid
+        WHERE NOT f.is_hot AND NOT f.is_cold
+    ),
+    coldc AS (
+        SELECT f.cid, c.ce, f.n_vecs FROM flag1 f JOIN cents c ON f.cid = c.cid
+        WHERE f.is_cold
+    ),
+    moves AS (
+        SELECT cold_cid, tgt FROM (
+            SELECT cc.cid AS cold_cid, kc.cid AS tgt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cc.cid
+                       ORDER BY list_distance(cc.ce, kc.ce) ASC, kc.cid ASC
+                   ) AS rn
+            FROM coldc cc CROSS JOIN keepc kc
+        ) WHERE rn = 1
+    ),
+    base_post AS (
+        SELECT f.cid, f.n_vecs FROM flag1 f
+        WHERE f.cid NOT IN (SELECT cid FROM hot)
+          AND f.cid NOT IN (SELECT cold_cid FROM moves)
+        UNION ALL
+        SELECT cid, n_a AS n_vecs FROM splitc
+        UNION ALL
+        SELECT (SELECT MAX(cid) FROM occ)
+                   + ROW_NUMBER() OVER (ORDER BY cid ASC) AS cid,
+               n - n_a AS n_vecs
+        FROM splitc
+    ),
+    addins AS (
+        SELECT m.tgt AS cid, SUM(f.n_vecs) AS add_n
+        FROM moves m JOIN flag1 f ON f.cid = m.cold_cid GROUP BY 1
+    ),
+    post AS (
+        SELECT b.cid, b.n_vecs + COALESCE(a.add_n, 0) AS n_vecs
+        FROM base_post b LEFT JOIN addins a USING (cid)
+    ),
+    flag2 AS (
+        SELECT cid,
+               (n_vecs * {hd} * 16 > {hn} * n_total) AS is_hot,
+               (n_vecs * {cd} * 16 < {cn} * n_total) AS is_cold
+        FROM post, tot
+    ),
+    cls AS (
+        SELECT 1 AS cycle,
+               CASE WHEN is_hot THEN 'split'
+                    WHEN is_cold THEN 'merge'
+                    ELSE 'keep' END AS action
+        FROM flag1
+        UNION ALL
+        SELECT 2,
+               CASE WHEN is_hot THEN 'split'
+                    WHEN is_cold THEN 'merge'
+                    ELSE 'keep' END
+        FROM flag2
+    ),
+    allacts AS (
+        SELECT * FROM (VALUES (1, 'split'), (1, 'merge'), (1, 'keep'),
+                              (2, 'split'), (2, 'merge'), (2, 'keep')
+                      ) t(cycle, action)
+    ),
+    cnt AS (SELECT cycle, action, COUNT(*) AS n FROM cls GROUP BY 1, 2)
+    SELECT CAST(a.cycle AS BIGINT) AS cycle, a.action AS action,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cells
+    FROM allacts a LEFT JOIN cnt c USING (cycle, action)
+    ORDER BY cycle, action
+    """
+
+
+QUERIES["t22_maintenance_cycle"] = _t22_maintenance_cycle
+ORACLE_SQL["t22_maintenance_cycle"] = _cycle_oracle(13, 10, 1, 4)
+QUERIES["t23_merge_cycle"] = _t23_merge_cycle
+ORACLE_SQL["t23_merge_cycle"] = _cycle_oracle(3, 1, 2, 3)
+
+
 _PRIORITY: list[str] = [
-    # r8 rotation (VERDICT r7 task 1): the driver prefix is filled ENTIRELY
-    # with 50 never-driver-checked queries (65 existed after r7; this cuts
-    # the set to 15 — all trivial scalar-function forms and labeled exact
-    # baselines: d1x/d4x/d5x, f1/f2/f5/f6/f8/f9/f13/f16, a3/a11, t7/t2p).
-    # Leading: the composition flagships (e2e_vecsearch_flow /
-    # incremental_refresh / clustered_search / curation_stats), the
-    # load-bearing serving + sampling ops (v18, smp1-4, smp8, st8-st11,
-    # st12b, t6), text/curation (tx12, tx13, f17, f15), analytics
-    # (a19/a20/a22/a23), sources (mm1, s5/s6/s8), LLM-op doubles
-    # (d5/d7/d9/d10/d11), the TPC-H join shapes (j18/j19/j21-j24), set ops
-    # (u2-u5), windows (w4/w5/w7/w8) and predicates (p3/p5/p8). All 50
-    # passed the driver-strict canon replica at sf0.001 AND sf0.01 AND
-    # sf0.1 before promotion, and all are scalar-schema (array/map-free).
-    # Displaced: the entire r7 prefix (all driver-green in CORRECTNESS_r07)
-    # parks below; the repo parity gate still checks every query each
-    # session. Late-r8: ALL FIVE new r8 ops (t18 applied-split-serve, t19
-    # repair plan, t20/t21 sketch refresh, v30 auto-tier serve — each
-    # strict-checked at all 3 scales) take the slots of discretionary
-    # picks smp8/f15/st12b/a19/a20 (all stay repo-gate green; smp keeps
-    # smp1-4, f15's sibling f16 was parked anyway, a22/a23/w7/w8 carry the
-    # analytics family) — the prefix stays 50 first-time names and the
-    # never-checked arithmetic is unchanged (the five displaced rotate in
-    # r9).
+    # r9 rotation (VERDICT r8 task 1 — the FINAL verification rotation):
+    # the prefix carries the last 24 never-driver-checked queries (the
+    # trivial scalar forms, labeled exact baselines, late-r8 arrivals
+    # smp15/smp8/f15/st12b/a19/a20, and j9/v11/a15 whose historical rows
+    # predate their oracles; a15 stays rows-only by design), re-checks of
+    # all five r8 flagships (t18-t21, v30 — t18 now serves a CACHED
+    # deterministic generation), the two new r9 ops (t22/t23: the
+    # maintenance loop driven by the decision table, balanced splits,
+    # convergence hash-verified in the oracle), and 14 family-coverage
+    # veterans (e2e composition chains, the quantized serving tiers, the
+    # dedup/LSH family, sampling, streaming daemons, sketches). After
+    # this round's driver run, EVERY oracle-backed query in the registry
+    # has a driver row. All 50 strict-checked at sf0.001/0.01/0.1 before
+    # promotion (the r8 procedure); the whole r8 prefix parks below,
+    # still covered by the repo parity gate every session.
     "e2e_vecsearch_flow",
     "e2e_incremental_refresh",
+    "e2e_dedup_cascade",
+    "e2e_decon_report",
+    "e2e_auto_curation",
+    "t18_applied_split_serve",
+    "t19_repair_plan",
+    "t20_kmv_sketch_refresh",
+    "t21_cms_sketch_refresh",
+    "v30_auto_tier_topk",
+    "t22_maintenance_cycle",
+    "t23_merge_cycle",
+    "smp15_mwu_domain_weights",
+    "smp8_quality_resample",
+    "f15_fenced_json_extract",
+    "st12b_neardup_candidates_batch",
+    "a19_grouping_sets",
+    "a20_forecast_revenue",
+    "j9_mmr_rerank",
+    "v11_pq_topk",
+    "d1x_exact_dedup_textkey",
+    "d4x_simhash_pairs_exact",
+    "d5x_embedding_neardup_exact",
+    "f1_identifier_normalize",
+    "f2_whitespace_normalize",
+    "f5_path_functions",
+    "f6_timestamp_iso",
+    "f8_hex_roundtrip",
+    "f9_json_roundtrip",
+    "f13_casefold_lookup",
+    "f16_single_line_guard",
+    "a3_plain_count",
+    "a11_heartbeat_rowcount",
+    "t7_session_history",
+    "t2p_job_states_pandas",
+    "a15_approx_sketch_stats",
+    "v24_quantized_clustered_topk",
+    "v27b_residual_clustered_topk",
+    "v26_quantized_ivf_knn_join",
+    "v20_ivfpq_topk_np",
+    "d3c_minhash_lsh_capped",
+    "d22_lsh_cap_recall_sweep",
+    "d17_corpus_dup_profile",
+    "smp14_weighted_sample",
+    "smp1_hash_split",
+    "st19_streaming_sq8_ingest",
+    "st21_streaming_knn_serving",
+    "st23_streaming_cms_heavy_hitters",
+    "tx12_pii_redaction",
+    "a28_kmv_source_overlap",
+    # --- end of r9 driver prefix (50) ---
+    # displaced r8 prefix (all driver-green in CORRECTNESS_r08):
     "e2e_clustered_search",
     "e2e_curation_stats",
     "v18_filtered_topk",
-    "v30_auto_tier_topk",
-    "smp1_hash_split",
     "smp2_stratified_sample",
     "smp3_weighted_mix",
     "smp4_shuffled_shards",
-    "t18_applied_split_serve",
     "st8_streaming_dedup_index",
     "st9_streaming_token_assembly",
     "st10_stream_static_enrichment",
     "st11_funnel_steps",
     "t6_token_stream_assembly",
-    "tx12_pii_redaction",
     "tx13_bpe_pair_counts",
     "f17_chunk_udtf",
-    "t19_repair_plan",
-    "t20_kmv_sketch_refresh",
-    "t21_cms_sketch_refresh",
     "a22_cohort_retention",
     "a23_source_median_quality",
     "mm1_binary_meta",
@@ -6939,7 +7168,6 @@ _PRIORITY: list[str] = [
     "p3_extension_filter",
     "p5_model_usability",
     "p8_history_filter",
-    # --- end of r8 driver prefix (50) ---
     # r5 rotation (VERDICT r4 task 4): 16 never-driver-checked queries moved
     # into the 50-slot prefix — reference shapes first (j26/j27 = TPC-H Q3/Q19
     # analogs of docs/demo/racing-championship/schema.sql; j28/a24 = the
@@ -7136,7 +7364,9 @@ _PRIORITY: list[str] = [
 
 
 def _apply_priority_order() -> None:
-    ordered = [n for n in _PRIORITY if n in QUERIES]
+    # dict.fromkeys: a veteran promoted back into the prefix may still be
+    # listed in an older rotation block below — first occurrence wins
+    ordered = list(dict.fromkeys(n for n in _PRIORITY if n in QUERIES))
     ordered += [n for n in QUERIES if n not in _PRIORITY]
     for d in (QUERIES, ORACLE_SQL):
         snapshot = dict(d)

@@ -230,3 +230,126 @@ def test_sweep_stale_generations_guards(spark, tmp_path):
 
         for d in keepers + [young]:
             shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+
+
+def test_repair_plan_cycle_converges(spark):
+    """The plan-driven loop (verdict r8 task 3): cycle 1 executes the
+    decision table's rows with BALANCED splits; cycle 2 must decide
+    all-keep (fixed-target thresholds + median-cut halves — nearest-seed
+    splits ping-ponged: 42 -> 38+4 -> merge-back -> 42). Invariants,
+    including seeds_are_members, hold after the cycle."""
+    import uuid
+
+    import ai_optimizer_spark.plans.maintenance as M
+
+    g = f"t{uuid.uuid4().hex[:8]}"
+    M.ensure_maintained_store(spark, SF, K, g)
+    try:
+        c1 = M.apply_repair_plan(spark, SF, K, 13, 10, 1, 4, gen=g)
+        assert c1["plan"]["split"] >= 1, "fixture must flag a hot cell at 1.3x"
+        for key, val in c1["invariants"].items():
+            if isinstance(val, bool):
+                assert val, f"cycle-1 invariant {key} violated: {c1['invariants']}"
+        c2 = M.apply_repair_plan(spark, SF, K, 13, 10, 1, 4, gen=g)
+        assert c2["plan"]["split"] == 0 and c2["plan"]["merge"] == 0, (
+            f"cycle 2 must decide all-keep, got {c2['plan']}"
+        )
+    finally:
+        for t in M._names(SF, K, g):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_balanced_split_halves_are_even(spark):
+    """split_member_assign_balanced cuts exactly ceil(n/2)/floor(n/2) and
+    keeps t15's seeds (A = min member, B = farthest from A, both members
+    of their own halves)."""
+    from ai_optimizer_spark.operators.refresh import (
+        split_member_assign,
+        split_member_assign_balanced,
+    )
+    from ai_optimizer_spark.tables import load_tables
+
+    emb = load_tables(spark, SF)["embeddings"]
+    members = emb.select(
+        "vec_id", (F.col("vec_id") % 2).alias("cid"), "embedding"
+    )
+    bal = split_member_assign_balanced(members).toPandas()
+    near = split_member_assign(members).toPandas()
+    # same seed pairs as the nearest-seed assigner
+    assert set(map(tuple, bal[["cid", "a_vec", "b_vec"]].values.tolist())) == set(
+        map(tuple, near[["cid", "a_vec", "b_vec"]].values.tolist())
+    )
+    for cid, grp in bal.groupby("cid"):
+        n = len(grp)
+        n_a = (grp["seed_vec_id"] == grp["a_vec"]).sum()
+        assert n_a == (n + 1) // 2, f"cell {cid}: {n_a} of {n} in A-half"
+        a_vec = int(grp["a_vec"].iloc[0])
+        b_vec = int(grp["b_vec"].iloc[0])
+        assert int(grp.loc[grp.vec_id == a_vec, "seed_vec_id"].iloc[0]) == a_vec
+        assert int(grp.loc[grp.vec_id == b_vec, "seed_vec_id"].iloc[0]) == b_vec
+
+
+def test_delete_wave_reseeds_erased_seed(spark):
+    """Erasing a geometry seed re-seeds the cell with its min surviving
+    member: the geometry never references an erased id (verdict r8
+    task 4 — the right-to-be-forgotten gap)."""
+    import uuid
+
+    import ai_optimizer_spark.plans.maintenance as M
+
+    g = f"t{uuid.uuid4().hex[:8]}"
+    store_name, geom_name = M.ensure_maintained_store(spark, SF, K, g)
+    try:
+        # pick a live seed and a modulus hitting exactly that id
+        seed = int(
+            spark.table(geom_name).orderBy("cid").limit(1).collect()[0].seed_vec_id
+        )
+        n_rows = spark.table(store_name).count()
+        mod = n_rows + 17  # > max vec_id: predicate hits exactly `seed`
+        rep = M.apply_delete_wave(spark, SF, K, del_mod=mod, del_rem=seed, gen=g)
+        assert rep["deleted"] == 1
+        assert rep["reseeded_cells"], "the erased id was a seed; must reseed"
+        live_seeds = {
+            int(r.seed_vec_id) for r in spark.table(geom_name).collect()
+        }
+        assert seed not in live_seeds
+        inv = M.store_invariants(spark, SF, K, gen=g)
+        for key, val in inv.items():
+            if isinstance(val, bool):
+                assert val, f"invariant {key} violated after seed erasure: {inv}"
+    finally:
+        for t in M._names(SF, K, g):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_hadoop_fs_partition_listing(spark, gen):
+    """The one-file-per-cell audit goes through the Hadoop FS API: a
+    scheme-qualified URI (file:/...) lists correctly — os.listdir would
+    have required stripping the scheme and silently returns {} on any
+    non-local store (verdict r8 task 7)."""
+    from ai_optimizer_spark.plans.maintenance import (
+        _hadoop_partition_files,
+        _names,
+    )
+
+    store_name, _ = _names(SF, K, gen)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {store_name}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]
+        .data_type
+    )
+    assert loc.startswith("file:"), loc  # the non-local (URI) branch is real
+    files = _hadoop_partition_files(spark, loc)
+    assert files and all(n == 1 for n in files.values())
+    assert _hadoop_partition_files(spark, loc + "__nonexistent__") == {}
+
+
+def test_live_repair_plan_broadcast_only(spark, gen):
+    """Plan guard: deciding is k-row work — occupancy agg plus broadcast
+    joins; no sort-merge join may appear in the decision table's plan."""
+    from ai_optimizer_spark.plans.maintenance import live_repair_plan
+
+    df = live_repair_plan(spark, SF, K, gen=gen)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan

@@ -114,12 +114,88 @@ def main() -> None:
     assert inv["n_rows"] == n0 - res["erased"], (inv["n_rows"], n0, res["erased"])
     print(f"invariants_sec={res['invariants_sec']} -> all green", flush=True)
 
+    # --- plan-driven loop (r9): the cycle DRIVEN BY the decision table,
+    # run to convergence on a FRESH generation, with interleaved erasure
+    # waves so cycles 2-3 face real drift (verdict r8 tasks 3 + 6). The
+    # policy must converge (final plan all-keep), never oscillate, and
+    # the post-maintenance serve must stay within ~1.2x of the fresh
+    # store's read (small-file lifecycle: balanced splits + fixed-target
+    # thresholds keep cell count near n_total/target, so files never
+    # shrink unboundedly).
+    from ai_optimizer_spark.plans.maintenance import apply_repair_plan
+
+    gen2 = f"p{uuid.uuid4().hex[:8]}"
+    ensure_maintained_store(spark, tile, k, gen=gen2)
+    res["loop_gen"] = gen2
+    t_fresh0 = time.monotonic()
+    got = geom_served_topk(spark, tile, 2049, 8, 4, k, gen=gen2).collect()
+    res["serve_fresh_sec"] = round(time.monotonic() - t_fresh0, 2)
+    assert len(got) == 8
+    cycles = []
+    for cyc in range(1, 4):
+        t0 = time.monotonic()
+        rep = apply_repair_plan(
+            spark, tile, k, 13, 10, 1, 4, gen=gen2, audit=False
+        )
+        dt = round(time.monotonic() - t0, 1)
+        cycles.append(
+            {
+                "cycle": cyc,
+                "sec": dt,
+                "plan": rep["plan"],
+                "skipped_merges": len(rep["skipped_merges"]),
+            }
+        )
+        print(f"loop cycle {cyc}: {dt}s plan={rep['plan']}", flush=True)
+        if cyc < 3:  # drift between cycles: a sparse erasure wave
+            apply_delete_wave(
+                spark, tile, k, del_mod=40961 + cyc, del_rem=11, gen=gen2
+            )
+    res["loop_cycles"] = cycles
+    assert (
+        cycles[-1]["plan"]["split"] == 0 and cycles[-1]["plan"]["merge"] == 0
+    ), f"policy failed to converge: {cycles}"
+
+    t0 = time.monotonic()
+    got = geom_served_topk(spark, tile, 2049, 8, 4, k, gen=gen2).collect()
+    res["serve_post_loop_sec"] = round(time.monotonic() - t0, 2)
+    assert len(got) == 8
+    t0 = time.monotonic()
+    inv2 = store_invariants(spark, tile, k, gen=gen2)
+    res["loop_invariants_sec"] = round(time.monotonic() - t0, 1)
+    res["loop_invariants"] = {
+        key: inv2[key]
+        for key in (
+            "cells_match",
+            "no_empty_cells",
+            "radii_tight",
+            "seeds_are_members",
+            "one_file_per_cell",
+            "n_cells",
+            "n_rows",
+        )
+    }
+    for key in (
+        "cells_match",
+        "no_empty_cells",
+        "radii_tight",
+        "seeds_are_members",
+        "one_file_per_cell",
+    ):
+        assert inv2[key], (key, inv2)
+    print(
+        f"loop: serve fresh={res['serve_fresh_sec']}s "
+        f"post={res['serve_post_loop_sec']}s n_cells={inv2['n_cells']}",
+        flush=True,
+    )
+
     print(json.dumps(res), flush=True)
 
-    # drop the private generation (a full store copy) so repeated probe
+    # drop the private generations (full store copies) so repeated probe
     # runs don't accumulate ~50 MB per run in the shared warehouse
-    for name in ensure_maintained_store(spark, tile, k, gen=gen):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    for g in (gen, gen2):
+        for name in ensure_maintained_store(spark, tile, k, gen=g):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 if __name__ == "__main__":

@@ -151,6 +151,8 @@ HEADLINE = [
     "v16b_clustered_range_search",
     "v21_dpp_cell_stats",
     "j26_shipping_priority",
+    "t22_maintenance_cycle",
+    "t23_merge_cycle",
 ]
 N_PASSES = 2  # report min-of-N: isolates plan cost from JIT/codegen warm-up
 

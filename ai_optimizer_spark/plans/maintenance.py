@@ -1029,3 +1029,130 @@ def apply_repair_plan(
     if audit:
         out["invariants"] = store_invariants(spark, sf_dir, n_centroids, gen=gen)
     return out
+
+
+def apply_ingest_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = IVF_N_CENTROIDS,
+    *,
+    gen: str,
+    batch: DataFrame,
+) -> dict:
+    """INGEST verb for the MAINTAINED store — the lifecycle verb the
+    geometry store was missing (build: ensure_sq8_clustered_store;
+    repair: apply_*; serve: geom_served_topk; st19 ingests into the
+    BUILD-convention store only). New vectors (vec_id, label, embedding;
+    ids must be new) are
+
+      1. assigned to the nearest CURRENT geometry seed (euclidean, ties →
+         min cid) — the live model, not the retired vec_id<k convention,
+         so ingest stays correct across splits/merges/erasures;
+      2. SQ8-encoded with the same per-vector projection the builder uses
+         (sq8_project — codes are cell-independent, stored int8);
+      3. appended to exactly their cells' partitions (dynamic overwrite of
+         affected cells, one-file-per-cell preserved);
+      4. folded into the geometry radii as r := max(r_old, round9(max
+         batch-member distance)) — max is monotone under round9, so no
+         survivor rescan is ever needed.
+
+    Cost: O(batch × k) assignment (broadcast expression tier — right for
+    micro-batches; corpus-sized backfills belong to the np/GEMM builder) +
+    a rewrite of the affected cells only.
+
+    ROUND-TRIP property (t24 hash-verifies it): erase-wave → re-ingest of
+    the same rows reproduces the original store EXACTLY — same assignment
+    rule as the build when seeds are untouched, per-vector codes, and the
+    radii max re-extends to the original round-9 value — so the served
+    read equals the never-touched store's (v24's oracle, verbatim)."""
+    from ..functions import vector as V
+    from ..operators.similarity import sq8_project
+
+    store_name, geom_name = ensure_maintained_store(spark, sf_dir, n_centroids, gen)
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    store = spark.table(store_name).withColumn("cid", F.col("cid").cast("long"))
+    geom = spark.table(geom_name)
+    seeds = _seed_vectors(emb, geom)
+
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    assigned = (
+        batch.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "cid",
+            V.euclidean_distance("embedding", "ce").alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .localCheckpoint(eager=True)  # one assignment pass feeds 3 reads
+    )
+    n_new = assigned.count()
+    if n_new == 0:
+        return {"ingested": 0, "affected_cells": []}
+    affected = sorted(int(r.cid) for r in assigned.select("cid").distinct().collect())
+    dmax = {
+        int(r.cid): float(r.dm)
+        for r in assigned.groupBy("cid")
+        .agg((F.round(F.max("d"), 9) + F.lit(0.0)).alias("dm"))
+        .collect()
+    }
+
+    enc = sq8_project(assigned).select(
+        "vec_id",
+        "label",
+        "scale",
+        F.col("codes").cast("array<tinyint>").alias("codes"),
+        "cid",
+    )
+    existing = _store_cols(store.filter(F.col("cid").isin(affected)))
+    _dynamic_overwrite(store_name, existing.unionByName(enc))
+
+    geom_rows = [
+        (cid, seed, max(r, dmax.get(cid, 0.0)))
+        for cid, seed, r in _geom_rows(spark, geom_name)
+    ]
+    _write_geometry(spark, geom_name, geom_rows)
+    return {"ingested": n_new, "affected_cells": affected}
+
+
+def roundtrip_generation(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = IVF_N_CENTROIDS,
+    del_mod: int = 41,
+    del_rem: int = 23,
+) -> str:
+    """Cached generation on which a full erase→re-ingest ROUND TRIP has
+    run: apply_delete_wave erases the wave (the predicate must avoid
+    geometry seeds and must not empty a cell — both asserted), then
+    apply_ingest_batch re-ingests exactly the erased rows from the source
+    table. The resulting store must be indistinguishable from the
+    never-touched one; t24 serves it and hash-verifies against v24's
+    oracle verbatim."""
+
+    def _apply(gen: str) -> None:
+        rep = apply_delete_wave(
+            spark, sf_dir, n_centroids, del_mod=del_mod, del_rem=del_rem, gen=gen
+        )
+        assert not rep.get("reseeded_cells"), (
+            f"round-trip wave must avoid seeds: {rep}"
+        )
+        assert not rep.get("emptied_cells"), (
+            f"round-trip wave must not empty a cell: {rep}"
+        )
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        batch = emb.filter(F.col("vec_id") % del_mod == del_rem).select(
+            "vec_id", "label", "embedding"
+        )
+        ing = apply_ingest_batch(spark, sf_dir, n_centroids, gen=gen, batch=batch)
+        assert ing["ingested"] == rep["deleted"], (ing, rep)
+
+    return _cached_generation(
+        spark,
+        sf_dir,
+        n_centroids,
+        f"{sf_dir}|{n_centroids}|roundtrip|{del_mod}/{del_rem}",
+        _apply,
+    )

@@ -7059,6 +7059,36 @@ QUERIES["t23_merge_cycle"] = _t23_merge_cycle
 ORACLE_SQL["t23_merge_cycle"] = _cycle_oracle(3, 1, 2, 3)
 
 
+# t24: store ROUND TRIP — erase a seed-avoiding wave, re-ingest the same
+# rows through apply_ingest_batch (the maintained store's new INGEST verb:
+# assign to live geometry seeds, SQ8-encode, append to affected cells,
+# radii fold by monotone max), then serve. The round-tripped store must be
+# indistinguishable from the never-touched one, so the oracle is v24's
+# VERBATIM — the t20/t21 "incremental ≡ rebuilt" discipline applied to
+# the erase/ingest pair (right-to-be-forgotten, then the data returns).
+# Reference anchor: the delete-then-reembed refresh cycle
+# (src/server/app/embed/refresh.py:28-143) this replaces with two
+# partition-bounded repairs.
+
+
+def _t24_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.maintenance import (
+        geom_served_topk,
+        roundtrip_generation,
+        sweep_stale_generations,
+    )
+
+    sweep_stale_generations(spark)
+    gen = roundtrip_generation(spark, sf_dir, n_centroids=16, del_mod=41, del_rem=23)
+    return geom_served_topk(
+        spark, sf_dir, query_id=0, k=8, n_probe=4, n_centroids=16, gen=gen
+    )
+
+
+QUERIES["t24_store_roundtrip"] = _t24_store_roundtrip
+ORACLE_SQL["t24_store_roundtrip"] = ORACLE_SQL["v24_quantized_clustered_topk"]
+
+
 _PRIORITY: list[str] = [
     # r9 rotation (VERDICT r8 task 1 — the FINAL verification rotation):
     # the prefix carries the last 24 never-driver-checked queries (the
@@ -7124,8 +7154,12 @@ _PRIORITY: list[str] = [
     "st21_streaming_knn_serving",
     "st23_streaming_cms_heavy_hitters",
     "tx12_pii_redaction",
-    "a28_kmv_source_overlap",
+    # late-r9: t24 (store round-trip — the ingest verb), strict-checked
+    # at all 3 scales, takes a28's slot (driver-green r7; repo gate
+    # still checks it every session)
+    "t24_store_roundtrip",
     # --- end of r9 driver prefix (50) ---
+    "a28_kmv_source_overlap",
     # displaced r8 prefix (all driver-green in CORRECTNESS_r08):
     "e2e_clustered_search",
     "e2e_curation_stats",

@@ -153,6 +153,7 @@ HEADLINE = [
     "j26_shipping_priority",
     "t22_maintenance_cycle",
     "t23_merge_cycle",
+    "t24_store_roundtrip",
 ]
 N_PASSES = 2  # report min-of-N: isolates plan cost from JIT/codegen warm-up
 

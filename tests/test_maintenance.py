@@ -353,3 +353,96 @@ def test_live_repair_plan_broadcast_only(spark, gen):
     df = live_repair_plan(spark, SF, K, gen=gen)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_ingest_roundtrip_store_equality(spark):
+    """Erase-wave → re-ingest reproduces the ENTIRE store and geometry
+    bit-for-bit (not just the served top-k t24 hash-verifies): same
+    (vec_id, label, scale, codes, cid) multiset, same geometry rows."""
+    import uuid
+
+    import ai_optimizer_spark.plans.maintenance as M
+    from ai_optimizer_spark.tables import load_tables
+
+    ref = f"t{uuid.uuid4().hex[:8]}"
+    rt = f"t{uuid.uuid4().hex[:8]}"
+    ref_store, ref_geom = M.ensure_maintained_store(spark, SF, K, ref)
+    rt_store, rt_geom = M.ensure_maintained_store(spark, SF, K, rt)
+    try:
+        rep = M.apply_delete_wave(spark, SF, K, del_mod=41, del_rem=23, gen=rt)
+        assert rep["deleted"] > 0 and not rep.get("reseeded_cells")
+        emb = load_tables(spark, SF)["embeddings"]
+        batch = emb.filter(F.col("vec_id") % 41 == 23).select(
+            "vec_id", "label", "embedding"
+        )
+        ing = M.apply_ingest_batch(spark, SF, K, gen=rt, batch=batch)
+        assert ing["ingested"] == rep["deleted"]
+
+        def canon(name):
+            return sorted(
+                (int(r.vec_id), int(r.label), float(r.scale),
+                 tuple(int(c) for c in r.codes), int(r.cid))
+                for r in spark.table(name).collect()
+            )
+
+        assert canon(rt_store) == canon(ref_store)
+        assert sorted(
+            (int(r.cid), int(r.seed_vec_id), float(r.r_cell))
+            for r in spark.table(rt_geom).collect()
+        ) == sorted(
+            (int(r.cid), int(r.seed_vec_id), float(r.r_cell))
+            for r in spark.table(ref_geom).collect()
+        )
+        inv = M.store_invariants(spark, SF, K, gen=rt)
+        for key, val in inv.items():
+            if isinstance(val, bool):
+                assert val, f"invariant {key} violated after round trip: {inv}"
+    finally:
+        for t in M._names(SF, K, ref) + M._names(SF, K, rt):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ingest_into_repaired_geometry(spark):
+    """Ingest into a store whose geometry has DIVERGED from the build
+    convention: erase a wave, split hot cells (new cells, new seeds),
+    then re-ingest the erased rows — assignment must follow the LIVE
+    seeds (an erased row can land in a post-split cell that did not
+    exist when it was first built), radii extend monotonically, and the
+    full invariant suite (incl. radii_tight recomputed from source and
+    seeds_are_members) stays green. The ingest contract is asserted
+    implicitly: batch ids exist in the source table (the system of
+    record for raw vectors), which is what the radii audit joins on."""
+    import uuid
+
+    import ai_optimizer_spark.plans.maintenance as M
+    from ai_optimizer_spark.tables import load_tables
+
+    g = f"t{uuid.uuid4().hex[:8]}"
+    store_name, geom_name = M.ensure_maintained_store(spark, SF, K, g)
+    try:
+        rep = M.apply_delete_wave(spark, SF, K, del_mod=43, del_rem=7, gen=g)
+        assert rep["deleted"] > 0
+        M.apply_cell_splits(spark, SF, K, hot_num=11, hot_den=10, gen=g)
+        n0 = spark.table(store_name).count()
+        n_cells = spark.table(geom_name).count()
+        assert n_cells > K  # geometry really diverged from the build
+        emb = load_tables(spark, SF)["embeddings"]
+        batch = emb.filter(F.col("vec_id") % 43 == 7).select(
+            "vec_id", "label", "embedding"
+        )
+        ing = M.apply_ingest_batch(spark, SF, K, gen=g, batch=batch)
+        assert ing["ingested"] == rep["deleted"]
+        assert spark.table(store_name).count() == n0 + rep["deleted"]
+        inv = M.store_invariants(spark, SF, K, gen=g)
+        for key, val in inv.items():
+            if isinstance(val, bool):
+                assert val, f"invariant {key} violated after ingest: {inv}"
+        # served read still agrees with the independent numpy oracle
+        got = [
+            (int(r.vec_id), float(r.cos_sim))
+            for r in geom_served_topk(spark, SF, 0, 8, 4, K, gen=g).collect()
+        ]
+        assert got == _numpy_serve(spark, g, 0, 8, 4)
+    finally:
+        for t in M._names(SF, K, g):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

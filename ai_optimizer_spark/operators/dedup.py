@@ -89,23 +89,84 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
+HOT_SHINGLE_BAR = 64  # shingles in more docs than this get grid-salted
+HOT_SHINGLE_SALT = 8  # grid width: a hot key's pair space splits S x S ways
+
+
 def ngram_jaccard_pairs(
     t: dict[str, DataFrame], threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
 
     Inverted-index self-join: |intersection| from matching shingles,
-    |union| = |A|+|B|-|∩|. The shingle join key distributes uniformly
-    (hash of text n-grams), so no skew; at 100 TB this exact form runs on
-    LSH candidates only (see minhash_lsh_pairs)."""
+    |union| = |A|+|B|-|∩|. At 100 TB this exact form runs on LSH
+    candidates only (see minhash_lsh_pairs).
+
+    SKEW (r9, measured): a shingle shared by B docs places its whole
+    O(B²) pair enumeration on ONE join key — one task. On a skewed 80k
+    tile with a 10% boilerplate block, the sampled truth side's hot key
+    ran 80.3 s against a 1.4 s stage median (58x straggler,
+    tools/skew_probe.py). Hot shingles (doc count > HOT_SHINGLE_BAR) are
+    therefore GRID-SALTED: side A replicates over gb, side B over ga,
+    and the join adds (ga, gb) to the key, splitting each hot key's pair
+    space S×S ways. Results are identical (each (a,b) pair meets in
+    exactly one grid cell — (ga(a), gb(b))); only the physical plan
+    changes, and cold shingles keep the plain join, so balanced corpora
+    pay one extra map-side count and nothing else."""
     # persisted: the shingle index feeds three consumers (sizes + both join
     # sides) — without it each one replays the explode over the corpus text
     sh = _shingle_sets(t["documents"]).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+
+    spark = sh.sparkSession
+    hot_keys = F.broadcast(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > HOT_SHINGLE_BAR)
+        .select("shingle")
+    )
+    cold = sh.join(hot_keys, "shingle", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    matches_cold = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+
+    hot = sh.join(hot_keys, "shingle", "left_semi")
+    s_lit = HOT_SHINGLE_SALT
+    # replication via explode(array(...)), NOT a crossJoin with a salt
+    # table: Catalyst reassociates cross joins and demoted the grid join
+    # to keys (shingle, ga) with the gb equality applied as a separate
+    # cross join afterwards — re-serializing the hot key (measured: 5x
+    # total work). An exploded projection pins all three key columns to
+    # the join input, so the equi-join MUST key on (shingle, ga, gb).
+    all_salts = F.array(*[F.lit(i) for i in range(s_lit)])
+    ha = (
+        hot.withColumn("ga", F.pmod(F.hash("doc_id"), F.lit(s_lit)))
+        .withColumn("gb", F.explode(all_salts))
+        .alias("ha")
+    )
+    hb = (
+        hot.withColumn("gb", F.pmod(F.hash("doc_id"), F.lit(s_lit)))
+        .withColumn("ga", F.explode(all_salts))
+        .alias("hb")
+    )
+    # merge hint: the exploded hot side's size estimate is garbage
+    # downstream of persist+semi-join+explode, and Catalyst broadcast a
+    # 3.6M-row replicated build side on the 80k skew tile (heap OOM).
+    # The grid join exists to SHUFFLE on (shingle, ga, gb); say so.
+    matches_hot = ha.hint("merge").join(
+        hb,
+        (F.col("ha.shingle") == F.col("hb.shingle"))
+        & (F.col("ha.ga") == F.col("hb.ga"))
+        & (F.col("ha.gb") == F.col("hb.gb"))
+        & (F.col("ha.doc_id") < F.col("hb.doc_id")),
+    ).select(F.col("ha.doc_id").alias("da"), F.col("hb.doc_id").alias("db"))
+
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        matches_cold.unionByName(matches_hot)
+        .groupBy(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))

@@ -72,6 +72,28 @@ def test_minhash_candidates_superset_of_exact_pairs(spark, sf_medium):
     assert len(exact) > 0
 
 
+def test_hot_shingle_salting_is_result_identical(spark, sf_medium, monkeypatch):
+    """The grid-salted hot-shingle path (r9 skew fix: a shingle shared by
+    B docs put its O(B²) pair enumeration on ONE task — measured 58x
+    straggler on the skewed 80k tile) is purely physical: forcing every
+    shingle through the salted path must reproduce the plain inverted-
+    index join's pairs exactly, and the executed plan must key the grid
+    join on all three columns (shingle, ga, gb) — Catalyst demoted a
+    crossJoin-based variant to (shingle, ga), re-serializing the hot key."""
+    t = load_tables(spark, sf_medium)
+    monkeypatch.setattr(D, "HOT_SHINGLE_BAR", 10**9)
+    plain = {(r.doc_a, r.doc_b, r.jaccard) for r in D.ngram_jaccard_pairs(t).collect()}
+    monkeypatch.setattr(D, "HOT_SHINGLE_BAR", 1)  # everything is "hot"
+    df = D.ngram_jaccard_pairs(t)
+    salted = {(r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}
+    assert salted == plain and len(plain) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"Join \[shingle#\d+, ga#\d+, gb#\d+\]", plan)
+    assert m, f"grid join must key on (shingle, ga, gb):\n{plan[:2000]}"
+
+
 def test_simhash_finds_planted_dups(spark, sf_medium):
     t = load_tables(spark, sf_medium)
     exact = {(r.doc_a, r.doc_b) for r in D.ngram_jaccard_pairs(t).collect()}

@@ -127,10 +127,21 @@ def main() -> None:
     gen2 = f"p{uuid.uuid4().hex[:8]}"
     ensure_maintained_store(spark, tile, k, gen=gen2)
     res["loop_gen"] = gen2
-    t_fresh0 = time.monotonic()
-    got = geom_served_topk(spark, tile, 2049, 8, 4, k, gen=gen2).collect()
-    res["serve_fresh_sec"] = round(time.monotonic() - t_fresh0, 2)
-    assert len(got) == 8
+
+    def _serve_best() -> float:
+        # min-of-2: single-shot serve timings swing 2-6x in local mode
+        # (verify-skill timing note); the claim "post-maintenance serve
+        # within ~1.2x of fresh" needs the min, not one sample
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            got = geom_served_topk(spark, tile, 2049, 8, 4, k, gen=gen2).collect()
+            assert len(got) == 8
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 2)
+
+    res["serve_fresh_sec"] = _serve_best()
     cycles = []
     for cyc in range(1, 4):
         t0 = time.monotonic()
@@ -156,10 +167,7 @@ def main() -> None:
         cycles[-1]["plan"]["split"] == 0 and cycles[-1]["plan"]["merge"] == 0
     ), f"policy failed to converge: {cycles}"
 
-    t0 = time.monotonic()
-    got = geom_served_topk(spark, tile, 2049, 8, 4, k, gen=gen2).collect()
-    res["serve_post_loop_sec"] = round(time.monotonic() - t0, 2)
-    assert len(got) == 8
+    res["serve_post_loop_sec"] = _serve_best()
     t0 = time.monotonic()
     inv2 = store_invariants(spark, tile, k, gen=gen2)
     res["loop_invariants_sec"] = round(time.monotonic() - t0, 1)

@@ -39,10 +39,16 @@ BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/skew_probe"
 EVDIR = f"{WORK}/eventlog"
 FACTOR = int(os.environ.get("FACTOR", "16"))
+# d22 (cap-recall sweep) is NOT probed here: its exact-truth rider is an
+# uncapped all-pairs self-join by design, and the 8,000-doc boilerplate
+# block is a single LSH bucket of 32M truth pairs — measured: OOMs the
+# 8g JVM (r9). That is the strongest measured argument for the sampled
+# baseline: d21b's deterministic mod-m pair universe is the form that
+# survives a skewed corpus, so IT is probed instead.
 OPS = [
     "d3c_minhash_lsh_capped",
     "d17_corpus_dup_profile",
-    "d22_lsh_cap_recall_sweep",
+    "d21b_lsh_recall_sampled",
     "e2e_dedup_cascade",
 ]
 
@@ -53,10 +59,17 @@ def get_spark() -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("skew-probe")
-        .config("spark.sql.shuffle.partitions", "32")
+        # 24g + 64 shuffle partitions: the salted grid join runs 32
+        # CONCURRENT heavy tasks where the unsalted straggler ran one —
+        # one 8g heap / 32 local threads = 250MB/task, far below what a
+        # real cluster gives an executor core (2-4g). The unsalted plan
+        # only "fit" 8g by accident: its single hot task owned the heap
+        # while 31 threads idled. Sizing rule (the spill-aware bullet):
+        # per-task buffers must fit heap/cores.
+        .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", "24g")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", EVDIR)
         .getOrCreate()
@@ -111,13 +124,48 @@ def build_skewed_tile(spark) -> str:
     return out
 
 
-def parse_stage_tasks(group_of_job: dict[int, str]) -> dict[str, list[dict]]:
+def _event_files() -> list[str]:
+    """Event-log files under EVDIR — Spark 4 writes a rolling DIRECTORY
+    per application (eventlog_v2_<app>/events_*); handle both layouts."""
+    out = []
+    for name in os.listdir(EVDIR):
+        full = os.path.join(EVDIR, name)
+        if os.path.isdir(full):
+            out.extend(
+                os.path.join(full, f)
+                for f in os.listdir(full)
+                if f.startswith("events_")
+            )
+        else:
+            out.append(full)
+    return out
+
+
+def _open_events(fname: str):
+    """Spark compresses rolling event logs with zstd by default; no
+    python zstd binding is in this environment, so shell out to the
+    zstd CLI (present via conda) for .zstd files."""
+    if fname.endswith(".zstd"):
+        import io
+        import subprocess
+
+        raw = subprocess.run(
+            ["zstd", "-dc", fname], capture_output=True, check=True
+        ).stdout
+        return io.StringIO(raw.decode("utf-8", "replace"))
+    return open(fname)
+
+
+def parse_stage_tasks() -> dict[str, list[dict]]:
     """Per-query worst-stage task statistics out of the event log:
-    {query: [{stage, n_tasks, median_ms, max_ms, ratio}, ...]}."""
-    stages_of_job: dict[int, list[int]] = {}
+    {query: [{stage, n_tasks, median_ms, max_ms, ratio}, ...]}. The
+    job -> query attribution comes from the log itself: JobStart carries
+    spark.jobGroup.id, which main() sets to the query name."""
+    group_of_stage: dict[int, str] = {}
     tasks_of_stage: dict[int, list[float]] = {}
-    for fname in os.listdir(EVDIR):
-        with open(os.path.join(EVDIR, fname)) as fh:
+    for fname in _event_files():
+        fh = _open_events(fname)
+        with fh:
             for line in fh:
                 try:
                     ev = json.loads(line)
@@ -125,27 +173,29 @@ def parse_stage_tasks(group_of_job: dict[int, str]) -> dict[str, list[dict]]:
                     continue
                 kind = ev.get("Event")
                 if kind == "SparkListenerJobStart":
-                    stages_of_job[ev["Job ID"]] = ev.get("Stage IDs", [])
+                    grp = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+                    if grp:
+                        for sid in ev.get("Stage IDs", []):
+                            group_of_stage[sid] = grp
                 elif kind == "SparkListenerTaskEnd":
                     info = ev.get("Task Info", {})
                     dur = info.get("Finish Time", 0) - info.get("Launch Time", 0)
                     tasks_of_stage.setdefault(ev["Stage ID"], []).append(dur)
     out: dict[str, list[dict]] = {}
-    for job, grp in group_of_job.items():
-        for sid in stages_of_job.get(job, []):
-            durs = tasks_of_stage.get(sid)
-            if not durs or len(durs) < 2:
-                continue
-            med = statistics.median(durs)
-            out.setdefault(grp, []).append(
-                {
-                    "stage": sid,
-                    "n_tasks": len(durs),
-                    "median_ms": round(med, 1),
-                    "max_ms": round(max(durs), 1),
-                    "ratio": round(max(durs) / med, 1) if med > 0 else 0.0,
-                }
-            )
+    for sid, grp in group_of_stage.items():
+        durs = tasks_of_stage.get(sid)
+        if not durs or len(durs) < 2:
+            continue
+        med = statistics.median(durs)
+        out.setdefault(grp, []).append(
+            {
+                "stage": sid,
+                "n_tasks": len(durs),
+                "median_ms": round(med, 1),
+                "max_ms": round(max(durs), 1),
+                "ratio": round(max(durs) / med, 1) if med > 0 else 0.0,
+            }
+        )
     return out
 
 
@@ -164,20 +214,13 @@ def main() -> None:
     block = docs.filter(F.col("doc_id") % 10 == 0).count()
     print(f"tile={tile} docs={n} megasrc={mega} dup_block={block}", flush=True)
 
-    # job -> query attribution: the job-group id survives into the event
-    # log; track the job ids seen per group via the status tracker
-    group_of_job: dict[int, str] = {}
     res: dict = {"n_docs": n, "megasrc_share": round(mega / n, 3),
                  "block_share": round(block / n, 3), "queries": {}}
     for name in OPS:
         sc.setJobGroup(name, name)
-        jobs_before = set(sc.statusTracker().getJobIdsForGroup(name))
         t0 = time.monotonic()
         rows = QUERIES[name](spark, tile).collect()
         dt = round(time.monotonic() - t0, 1)
-        for j in sc.statusTracker().getJobIdsForGroup(name):
-            if j not in jobs_before:
-                group_of_job[j] = name
         res["queries"][name] = {"sec": dt, "rows": len(rows)}
         print(f"{name}: {dt}s rows={len(rows)}", flush=True)
         spark.catalog.clearCache()
@@ -185,7 +228,7 @@ def main() -> None:
     spark.stop()
     time.sleep(2)  # let the event log flush/rename
 
-    stats = parse_stage_tasks(group_of_job)
+    stats = parse_stage_tasks()
     for name in OPS:
         worst = max(
             stats.get(name, []),

@@ -94,6 +94,9 @@ OPS = [
     "t14_sq8_store_refresh",
     "t15_cell_split_repair",
     "t18_applied_split_serve",
+    "t22_maintenance_cycle",
+    "t23_merge_cycle",
+    "t24_store_roundtrip",
     "t19_repair_plan",
     "t20_kmv_sketch_refresh",
     "t21_cms_sketch_refresh",

@@ -118,7 +118,6 @@ def ngram_jaccard_pairs(
     sh = _shingle_sets(t["documents"]).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    spark = sh.sparkSession
     hot_keys = F.broadcast(
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n_docs"))

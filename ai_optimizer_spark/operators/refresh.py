@@ -582,7 +582,19 @@ def split_member_assign_balanced(members: DataFrame) -> DataFrame:
     output schema; deterministic and SQL-replayable (ROW_NUMBER + count).
     """
     scored = _split_scored(members)
-    w = Window.partitionBy("cid").orderBy(F.asc("dist_a"), F.asc("vec_id"))
+    # Seed B must land in the B-half even when > floor(n/2) members tie at
+    # the max distance (duplicate embeddings): rank B LAST within its
+    # dist_a tie group (False < True, so the b_vec flag sorts it after its
+    # peers → rank n → B-half), otherwise apply_cell_splits would write a
+    # B-cell whose geometry seed is not a member. The a_vec != b_vec guard
+    # keeps the degenerate all-identical cell (where seed B resolves to
+    # seed A) on the legacy ordering so seed A still ranks 1.
+    b_last = (F.col("vec_id") == F.col("b_vec")) & (
+        F.col("b_vec") != F.col("a_vec")
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.asc("dist_a"), F.asc(b_last), F.asc("vec_id")
+    )
     n = Window.partitionBy("cid")
     ranked = scored.withColumn("rnk", F.row_number().over(w)).withColumn(
         "n_cell", F.count(F.lit(1)).over(n)

@@ -1315,7 +1315,13 @@ def ivfpq_topk_np(
             ppos = np.asarray([probe_pos[int(c)] for c in cs])
             # gather qd[ppos, s, codes] and sum over s
             # round-9 matches the expression tier and the oracle cut (see
-            # ivfpq_topk): identical candidates tie exactly across engines
+            # ivfpq_topk): identical candidates tie exactly across engines.
+            # Residual half-mode caveat: np rounds half-to-even while
+            # Spark F.round / DuckDB ROUND round half-away — a sum landing
+            # EXACTLY on a 0.5e-9 boundary could still differ, but double
+            # sums of products land there with ~0 probability; the tie
+            # guarantee this buys is for IDENTICAL codes (equal sums),
+            # which round identically under any half mode.
             approx = QD[ppos[:, None], np.arange(m)[None, :], codes].sum(
                 axis=1
             ).round(9)

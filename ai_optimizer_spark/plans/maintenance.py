@@ -1043,7 +1043,8 @@ def apply_ingest_batch(
     geometry store was missing (build: ensure_sq8_clustered_store;
     repair: apply_*; serve: geom_served_topk; st19 ingests into the
     BUILD-convention store only). New vectors (vec_id, label, embedding;
-    ids must be new) are
+    ids must be new — ENFORCED by a semi-join against the live store,
+    overlap raises) are
 
       1. assigned to the nearest CURRENT geometry seed (euclidean, ties →
          min cid) — the live model, not the retired vec_id<k convention,
@@ -1091,6 +1092,24 @@ def apply_ingest_batch(
     n_new = assigned.count()
     if n_new == 0:
         return {"ingested": 0, "affected_cells": []}
+    # 'ids must be new' is a CONTRACT, not a hope: a batch reusing a live
+    # vec_id would silently append a duplicate id (possibly into a
+    # different cell than the existing row), breaking the served-read /
+    # round-trip guarantees without tripping any invariant. Semi-join the
+    # batch against the store's ids and refuse on overlap (advice r9).
+    dup_ids = [
+        int(r.vec_id)
+        for r in assigned.join(store.select("vec_id"), "vec_id", "left_semi")
+        .select("vec_id")
+        .limit(8)
+        .collect()
+    ]
+    if dup_ids:
+        raise ValueError(
+            f"apply_ingest_batch: batch vec_ids already live in "
+            f"{store_name} (sample {dup_ids}); erase them first "
+            "(apply_delete_wave) or dedupe the batch"
+        )
     affected = sorted(int(r.cid) for r in assigned.select("cid").distinct().collect())
     dmax = {
         int(r.cid): float(r.dm)

@@ -446,3 +446,57 @@ def test_ingest_into_repaired_geometry(spark):
     finally:
         for t in M._names(SF, K, g):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_balanced_split_seed_b_survives_max_distance_ties(spark):
+    """ADVICE r9 (medium): when > floor(n/2) members tie at the max
+    distance (duplicate embeddings), the median-cut window must still
+    rank seed B into the B-half — otherwise apply_cell_splits writes a
+    B-cell whose geometry seed is not a member. Cell fixture: vec 1 at
+    the origin (seed A), vecs 2-6 all identical at distance 1 (seed B =
+    vec 2, the min-id member of a 5-way tie spanning the cut)."""
+    from ai_optimizer_spark.operators.refresh import split_member_assign_balanced
+
+    members = spark.createDataFrame(
+        [(1, 0, [0.0, 0.0])] + [(v, 0, [1.0, 0.0]) for v in range(2, 7)],
+        "vec_id long, cid long, embedding array<double>",
+    )
+    bal = {
+        int(r.vec_id): (int(r.a_vec), int(r.b_vec), int(r.seed_vec_id))
+        for r in split_member_assign_balanced(members).collect()
+    }
+    a_vec, b_vec = bal[1][0], bal[1][1]
+    assert (a_vec, b_vec) == (1, 2)
+    # seed B lands in its own half despite ranking first by the old
+    # (dist_a, vec_id) order
+    assert bal[b_vec][2] == b_vec
+    # halves are still exactly ceil(n/2)/floor(n/2)
+    n_a = sum(1 for _, _, s in bal.values() if s == a_vec)
+    assert n_a == 3 and len(bal) - n_a == 3
+    # seed A keeps rank 1 (it is the only dist-0 member here)
+    assert bal[a_vec][2] == a_vec
+
+
+def test_ingest_rejects_duplicate_ids(spark):
+    """ADVICE r9: apply_ingest_batch enforces the 'ids must be new'
+    contract — a batch reusing a live vec_id raises instead of silently
+    appending a duplicate id (possibly into a different cell)."""
+    import uuid
+
+    import ai_optimizer_spark.plans.maintenance as M
+    from ai_optimizer_spark.tables import load_tables
+
+    g = f"t{uuid.uuid4().hex[:8]}"
+    store_name, _ = M.ensure_maintained_store(spark, SF, K, g)
+    try:
+        emb = load_tables(spark, SF)["embeddings"]
+        batch = emb.filter(F.col("vec_id") % 41 == 23).select(
+            "vec_id", "label", "embedding"
+        )
+        n0 = spark.table(store_name).count()
+        with pytest.raises(ValueError, match="already live"):
+            M.apply_ingest_batch(spark, SF, K, gen=g, batch=batch)
+        assert spark.table(store_name).count() == n0  # nothing appended
+    finally:
+        for t in M._names(SF, K, g):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

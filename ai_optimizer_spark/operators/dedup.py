@@ -90,7 +90,24 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
 
 
 HOT_SHINGLE_BAR = 64  # shingles in more docs than this get grid-salted
-HOT_SHINGLE_SALT = 8  # grid width: a hot key's pair space splits S x S ways
+MAX_SHINGLE_SALT = 64  # grid-width cap: replication factor is S per row
+
+
+def _grid_salt_width(max_hot_docs: int) -> int:
+    """Grid width S for the hot-shingle salted join, derived from the
+    OBSERVED hottest key instead of a constant (advice/verdict r9: a
+    fixed S=8 still serialized B²/64 pairs per cell on a 10x-hotter
+    key). Sizing rule: each grid cell should see ~HOT_SHINGLE_BAR docs
+    per side — S = next power of two ≥ max_hot / BAR — so per-cell pair
+    work stays ~BAR² regardless of how hot the corpus runs. Capped at
+    MAX_SHINGLE_SALT: replication cost is S per hot row, and beyond the
+    cap the right fix is LSH candidate filtering, not a wider grid."""
+    import math
+
+    if max_hot_docs <= HOT_SHINGLE_BAR:
+        return 1
+    want = math.ceil(max_hot_docs / HOT_SHINGLE_BAR)
+    return max(2, min(MAX_SHINGLE_SALT, 2 ** math.ceil(math.log2(want))))
 
 
 def ngram_jaccard_pairs(
@@ -118,11 +135,12 @@ def ngram_jaccard_pairs(
     sh = _shingle_sets(t["documents"]).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
+    by_key = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    # one scalar action over the persisted index sizes the grid to the
+    # corpus actually in front of us (see _grid_salt_width)
+    max_hot = by_key.agg(F.max("n_docs").alias("m")).collect()[0].m or 0
     hot_keys = F.broadcast(
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") > HOT_SHINGLE_BAR)
-        .select("shingle")
+        by_key.filter(F.col("n_docs") > HOT_SHINGLE_BAR).select("shingle")
     )
     cold = sh.join(hot_keys, "shingle", "left_anti")
     a, b = cold.alias("a"), cold.alias("b")
@@ -133,7 +151,7 @@ def ngram_jaccard_pairs(
     ).select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
 
     hot = sh.join(hot_keys, "shingle", "left_semi")
-    s_lit = HOT_SHINGLE_SALT
+    s_lit = _grid_salt_width(int(max_hot))
     # replication via explode(array(...)), NOT a crossJoin with a salt
     # table: Catalyst reassociates cross joins and demoted the grid join
     # to keys (shingle, ga) with the gb equality applied as a separate

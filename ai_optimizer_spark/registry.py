@@ -2066,6 +2066,78 @@ ORACLE_SQL["mm2_frame_features"] = f"""
 """
 
 
+# mm4/mm5: REAL stdlib media decode (verdict r9 task 4 — the decode gap
+# partially closable without PIL/librosa). Payloads are GENUINE
+# containers — 16-bit PCM WAV written by stdlib `wave`, 8-bit grayscale
+# PNG written with zlib+CRC chunks — built per document from closed-form
+# deterministic content, then parsed back by the engine's REAL parsers
+# (RIFF header walk / chunk CRC verify + inflate + unfilter,
+# sources/multimodal.py decode_wav/decode_png). The statistics come from
+# the DECODED samples/pixels; the oracle recomputes them from the
+# closed-form content, so a parser bug anywhere (header arithmetic,
+# endianness, filter reconstruction) breaks the hash. All stats are
+# exact-integer sums with one IEEE division/sqrt — bit-identical across
+# engines with no rounding step.
+
+
+def _mm4_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.multimodal import synth_wav_media, wav_stats
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return wav_stats(synth_wav_media(docs))
+
+
+QUERIES["mm4_wav_stats"] = _mm4_wav_stats
+ORACLE_SQL["mm4_wav_stats"] = """
+    WITH d AS (
+        SELECT doc_id, 64 + doc_id % 129 AS n, doc_id % 9973 AS seed
+        FROM documents
+    ),
+    s AS (
+        SELECT d.doc_id, d.n, ((d.seed + i.i * 7919) % 65536) - 32768 AS v
+        FROM d, (SELECT unnest(range(0, 193)) AS i) i
+        WHERE i.i < d.n
+    )
+    SELECT 'm_' || doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(16000 AS BIGINT) AS framerate,
+           CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(SUM(v) AS DOUBLE) / n AS mean_sample,
+           CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
+           SQRT(CAST(SUM(v * v) AS DOUBLE) / n) AS rms
+    FROM s GROUP BY doc_id, n
+"""
+
+
+def _mm5_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.multimodal import png_stats, synth_png_media
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return png_stats(synth_png_media(docs))
+
+
+QUERIES["mm5_png_stats"] = _mm5_png_stats
+ORACLE_SQL["mm5_png_stats"] = """
+    WITH d AS (
+        SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 13 AS h,
+               doc_id % 251 AS seed
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.w, d.h, (d.seed + 3 * i.i) % 256 AS v
+        FROM d, (SELECT unnest(range(0, 640)) AS i) i
+        WHERE i.i < d.w * d.h
+    )
+    SELECT 'm_' || doc_id AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(SUM(v) AS DOUBLE) / (w * h) AS mean_px,
+           CAST(MIN(v) AS BIGINT) AS min_px,
+           CAST(MAX(v) AS BIGINT) AS max_px
+    FROM px GROUP BY doc_id, w, h
+"""
+
+
 def _nl2sql_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """o15b: question → schema-validated template SQL → validated
     execution (the NL2SQL agent loop with a deterministic generation
@@ -7087,6 +7159,80 @@ def _t24_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t24_store_roundtrip"] = _t24_store_roundtrip
 ORACLE_SQL["t24_store_roundtrip"] = ORACLE_SQL["v24_quantized_clustered_topk"]
+
+
+# t25/t26: the PUBLISHED store (plans/published.py) — snapshot-isolated
+# serving, verdict r9 task 1. t25 serves epoch 1 (the build published as
+# an immutable snapshot: manifest + per-cell files, commit-by-rename), so
+# its oracle is v24's VERBATIM. t26 serves epoch 2 — the nearest-seed
+# hot-cell split (11/10, merges disabled) executed as a snapshot
+# TRANSITION instead of an in-place rewrite — so its oracle is t18's
+# VERBATIM: the same repair through two different write paths must be
+# indistinguishable to a reader. Epochs are PINNED (snapshots are
+# immutable), so later probes/repairs on the shared root can never
+# perturb these results. Reference anchor: the temp-table→validate→
+# promote publish pattern (src/server/app/embed/vector_store.py:122-156,
+# 250-264) rebuilt at cell granularity with atomic epoch commits.
+
+
+def _t25_published_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.published import publish_init, published_served_topk
+
+    publish_init(spark, sf_dir, n_centroids=16)
+    return published_served_topk(
+        spark, sf_dir, query_id=0, k=8, n_probe=4, n_centroids=16, epoch=1
+    )
+
+
+def _t26_published_split_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.published import (
+        publish_init,
+        publish_repair,
+        published_epochs,
+        published_served_topk,
+    )
+
+    publish_init(spark, sf_dir, n_centroids=16)
+    if max(published_epochs(spark, sf_dir, 16)) < 2:
+        # epoch 2 = deterministic nearest-seed split of the build (t18's
+        # exact repair); cold thresholds unreachable so no merges ride in
+        rep = publish_repair(
+            spark, sf_dir, 16, 11, 10, 0, 1, balanced=False
+        )
+        assert rep["epoch"] == 2, rep
+    return published_served_topk(
+        spark, sf_dir, query_id=0, k=8, n_probe=4, n_centroids=16, epoch=2
+    )
+
+
+QUERIES["t25_published_serve"] = _t25_published_serve
+ORACLE_SQL["t25_published_serve"] = ORACLE_SQL["v24_quantized_clustered_topk"]
+QUERIES["t26_published_split_serve"] = _t26_published_split_serve
+ORACLE_SQL["t26_published_split_serve"] = ORACLE_SQL["t18_applied_split_serve"]
+
+
+# st24: the streaming self-maintenance daemon (verdict r9 task 2) — t24's
+# erase→re-ingest round trip executed THROUGH the foreachBatch daemon
+# (3 micro-batches, plan-gated repair armed on every 2nd batch and
+# provably deciding all-keep), then served. Ingest is cell-append with
+# max-fold radii — commutative across disjoint batches — so the replay
+# is bit-identical to the untouched store and v24's oracle verifies the
+# whole daemon end-to-end. The repair-FIRING daemon path is
+# pytest-verified (tests/test_maintenance_stream.py): with live repairs
+# the final state depends on batch boundaries by design, so it belongs
+# to the invariant gate, not a value hash.
+
+
+def _st24_streaming_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.maintenance_stream import streaming_maintained_serve
+
+    return streaming_maintained_serve(spark, sf_dir)
+
+
+QUERIES["st24_streaming_maintenance"] = _st24_streaming_maintenance
+ORACLE_SQL["st24_streaming_maintenance"] = ORACLE_SQL[
+    "v24_quantized_clustered_topk"
+]
 
 
 _PRIORITY: list[str] = [

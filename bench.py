@@ -154,8 +154,24 @@ HEADLINE = [
     "t22_maintenance_cycle",
     "t23_merge_cycle",
     "t24_store_roundtrip",
+    "t25_published_serve",
+    "t26_published_split_serve",
+    "st24_streaming_maintenance",
+    "mm4_wav_stats",
+    "mm5_png_stats",
 ]
 N_PASSES = 2  # report min-of-N: isolates plan cost from JIT/codegen warm-up
+
+# Best calibration ever recorded on a quiet box (r8's 1.413 s). A run whose
+# probe exceeds CONTENTION_BAR x this is sharing the box with another
+# process (the r9 driver bench measured 3.236 s and produced two false
+# per-query regression scares, the third such round — verdict r9 task 5);
+# the artifact now SELF-LABELS via "contended": true so nobody burns
+# analysis time on spikes from a degraded run. The probe is repeated
+# AFTER the suite too: transient contention mid-run shows up as
+# start/end divergence even when the opening probe looked clean.
+BEST_CALIBRATION_SEC = 1.413
+CONTENTION_BAR = 1.5
 
 
 def materialize(df) -> None:
@@ -219,6 +235,12 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
 
+    calibration_end = calibration_probe(spark)
+    contended = (
+        calibration > CONTENTION_BAR * BEST_CALIBRATION_SEC
+        or calibration_end > CONTENTION_BAR * BEST_CALIBRATION_SEC
+    )
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Key order matters: the driver archives only the LAST 2000 chars of
@@ -233,7 +255,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "value": total,
-                "calibration": {"md5_shuffle_50m_sec": calibration},
+                "calibration": {
+                    "md5_shuffle_50m_sec": calibration,
+                    "md5_shuffle_50m_sec_end": calibration_end,
+                    "best_recorded_sec": BEST_CALIBRATION_SEC,
+                    "contended": contended,
+                },
                 "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

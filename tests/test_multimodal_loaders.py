@@ -182,3 +182,103 @@ def test_deep_parse_loader_unavailable_path():
     tier, fn = _resolve_converter()
     assert tier == "stub"
     assert fn("x.txt", b"hello", False).endswith("hello")
+
+
+def test_real_wav_decode_roundtrip_and_tier(spark):
+    """mm4's path: a genuine RIFF/WAV payload round-trips through the
+    stdlib encoder and the engine's REAL parser; extract_features routes
+    it to the real tier (decode_status='decoded', stats features) while
+    non-container payloads stay on the md5 stub (mm2/mm3 contract)."""
+    import math
+
+    from ai_optimizer_spark.sources.multimodal import (
+        decode_wav,
+        encode_wav,
+        extract_features,
+    )
+
+    samples = [((7 + i * 7919) % 65536) - 32768 for i in range(100)]
+    s = decode_wav(encode_wav(samples))
+    assert s["n_samples"] == 100 and s["framerate"] == 16000
+    assert s["mean_sample"] == sum(samples) / 100
+    assert s["rms"] == math.sqrt(sum(x * x for x in samples) / 100)
+
+    media = spark.createDataFrame(
+        [
+            ("real", "audio", encode_wav(samples), None),
+            ("stub", "audio", b"deadbeef" * 4, None),
+        ],
+        "media_id string, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows["real"].decode_status == "decoded"
+    assert rows["real"].feature[0] == 100.0  # n_samples leads the layout
+    assert rows["stub"].decode_status == "stub_decoded"
+
+
+def test_real_png_decode_all_filters(spark):
+    """decode_png reconstructs every standard filter type (0-4) and
+    verifies chunk CRCs; a corrupted CRC is rejected loudly."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from ai_optimizer_spark.sources.multimodal import decode_png, encode_png_gray
+
+    w, h = 6, 5
+    px = [(11 + 3 * i) % 256 for i in range(w * h)]
+    d = decode_png(encode_png_gray(px, w, h))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_px"] == sum(px) / len(px)
+
+    # hand-filtered variant: one row per filter type, same pixel truth
+    rows = [px[y * w : (y + 1) * w] for y in range(h)]
+
+    def filt(ft, cur, prev):
+        out = [ft]
+        for x in range(w):
+            a = cur[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            pred = {
+                0: 0,
+                1: a,
+                2: b,
+                3: (a + b) // 2,
+            }.get(ft)
+            if pred is None:  # Paeth
+                p0 = a + b - c
+                pa, pb, pc = abs(p0 - a), abs(p0 - b), abs(p0 - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((cur[x] - pred) & 0xFF)
+        return bytes(out)
+
+    raw, prev = b"", [0] * w
+    for y, r in enumerate(rows):
+        raw += filt(y % 5, r, prev)
+        prev = r
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    d2 = decode_png(png)
+    assert d2["mean_px"] == sum(px) / len(px)
+    assert d2["min_px"] == min(px) and d2["max_px"] == max(px)
+
+    bad = bytearray(png)
+    bad[-5] ^= 0xFF  # corrupt IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))

@@ -637,3 +637,17 @@ def test_winnowing_guarantee_and_density(spark):
     # expected density 2/(w+1) = 0.4 at w=4; allow generous slack both ways
     assert n_fp <= 0.75 * n_grams
     assert n_fp >= 2 * 3  # at least a couple selections per doc
+
+
+def test_grid_salt_width_scales_with_hot_key():
+    """ADVICE/verdict r9: S derives from the OBSERVED hottest shingle —
+    ~BAR docs per grid cell side — instead of a fixed 8. Power-of-two,
+    floor 2, capped at MAX_SHINGLE_SALT (beyond which the fix is LSH
+    candidate filtering, not a wider grid)."""
+    assert D._grid_salt_width(0) == 1
+    assert D._grid_salt_width(64) == 1  # at the bar: not hot
+    assert D._grid_salt_width(65) == 2
+    assert D._grid_salt_width(128) == 2
+    assert D._grid_salt_width(129) == 4
+    assert D._grid_salt_width(640) == 16  # the verdict's 10x-hotter case
+    assert D._grid_salt_width(10**9) == D.MAX_SHINGLE_SALT

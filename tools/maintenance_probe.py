@@ -114,15 +114,24 @@ def main() -> None:
     assert inv["n_rows"] == n0 - res["erased"], (inv["n_rows"], n0, res["erased"])
     print(f"invariants_sec={res['invariants_sec']} -> all green", flush=True)
 
-    # --- plan-driven loop (r9): the cycle DRIVEN BY the decision table,
-    # run to convergence on a FRESH generation, with interleaved erasure
-    # waves so cycles 2-3 face real drift (verdict r8 tasks 3 + 6). The
-    # policy must converge (final plan all-keep), never oscillate, and
-    # the post-maintenance serve must stay within ~1.2x of the fresh
-    # store's read (small-file lifecycle: balanced splits + fixed-target
-    # thresholds keep cell count near n_total/target, so files never
-    # shrink unboundedly).
-    from ai_optimizer_spark.plans.maintenance import apply_repair_plan
+    # --- plan-driven loop (r9; r10 adds INGEST to the rhythm): the cycle
+    # DRIVEN BY the decision table, run to convergence on a FRESH
+    # generation, with interleaved erasure AND ingest waves so cycles 2-3
+    # face the full production drift — ingest → repair → erase → serve
+    # (verdict r9 task 7). Erase waves share one modulus with distinct
+    # remainders, so they are disjoint by construction and each erased
+    # wave's ids are provably NEW when re-ingested a cycle later (the
+    # ingest guard would trip otherwise — that's the contract working).
+    # The policy must converge (final plan all-keep), never oscillate,
+    # and the post-maintenance serve must stay within ~1.2x of the fresh
+    # store's read.
+    from pyspark.sql import functions as F
+
+    from ai_optimizer_spark.plans.maintenance import (
+        apply_ingest_batch,
+        apply_repair_plan,
+    )
+    from ai_optimizer_spark.tables import load_tables
 
     gen2 = f"p{uuid.uuid4().hex[:8]}"
     ensure_maintained_store(spark, tile, k, gen=gen2)
@@ -142,26 +151,65 @@ def main() -> None:
         return round(best, 2)
 
     res["serve_fresh_sec"] = _serve_best()
+    emb2 = load_tables(spark, tile)["embeddings"]
+    n_fresh = spark.table(
+        ensure_maintained_store(spark, tile, k, gen=gen2)[0]
+    ).count()
     cycles = []
+    pending_rem: int | None = None  # last erased wave, re-ingested next cycle
+    net_erased = 0
     for cyc in range(1, 4):
         t0 = time.monotonic()
         rep = apply_repair_plan(
             spark, tile, k, 13, 10, 1, 4, gen=gen2, audit=False
         )
         dt = round(time.monotonic() - t0, 1)
-        cycles.append(
-            {
-                "cycle": cyc,
-                "sec": dt,
-                "plan": rep["plan"],
-                "skipped_merges": len(rep["skipped_merges"]),
-            }
-        )
+        entry = {
+            "cycle": cyc,
+            "sec": dt,
+            "plan": rep["plan"],
+            "skipped_merges": len(rep["skipped_merges"]),
+        }
         print(f"loop cycle {cyc}: {dt}s plan={rep['plan']}", flush=True)
-        if cyc < 3:  # drift between cycles: a sparse erasure wave
-            apply_delete_wave(
-                spark, tile, k, del_mod=40961 + cyc, del_rem=11, gen=gen2
+        if cyc < 3:
+            # drift: erase wave (rem = 10 + cyc, disjoint across cycles)
+            t0 = time.monotonic()
+            erep = apply_delete_wave(
+                spark, tile, k, del_mod=40961, del_rem=10 + cyc, gen=gen2
             )
+            entry["erase_sec"] = round(time.monotonic() - t0, 1)
+            entry["erased"] = erep.get("deleted", 0)
+            net_erased += entry["erased"]
+            # drift: re-ingest the PREVIOUS cycle's wave (ids now free)
+            if pending_rem is not None:
+                t0 = time.monotonic()
+                batch = emb2.filter(
+                    F.col("vec_id") % 40961 == pending_rem
+                ).select("vec_id", "label", "embedding")
+                irep = apply_ingest_batch(
+                    spark, tile, k, gen=gen2, batch=batch
+                )
+                entry["ingest_sec"] = round(time.monotonic() - t0, 1)
+                entry["ingested"] = irep["ingested"]
+                entry["ingest_cells"] = len(irep["affected_cells"])
+                net_erased -= entry["ingested"]
+            pending_rem = 10 + cyc
+        cycles.append(entry)
+    # close the rhythm: the final outstanding wave returns home
+    if pending_rem is not None:
+        t0 = time.monotonic()
+        batch = emb2.filter(F.col("vec_id") % 40961 == pending_rem).select(
+            "vec_id", "label", "embedding"
+        )
+        irep = apply_ingest_batch(spark, tile, k, gen=gen2, batch=batch)
+        res["final_ingest_sec"] = round(time.monotonic() - t0, 1)
+        res["final_ingested"] = irep["ingested"]
+        net_erased -= irep["ingested"]
+    assert net_erased == 0, f"waves must round-trip exactly: {net_erased}"
+    n_after = spark.table(
+        ensure_maintained_store(spark, tile, k, gen=gen2)[0]
+    ).count()
+    assert n_after == n_fresh, (n_after, n_fresh)
     res["loop_cycles"] = cycles
     assert (
         cycles[-1]["plan"]["split"] == 0 and cycles[-1]["plan"]["merge"] == 0

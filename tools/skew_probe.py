@@ -50,6 +50,18 @@ OPS = [
     "d17_corpus_dup_profile",
     "d21b_lsh_recall_sampled",
     "e2e_dedup_cascade",
+    # r10 extension (verdict r9 task 3): the remaining pair-enumerating
+    # joins under the same event-log max/median gate — d4's simhash
+    # pigeonhole blocks (the 10% boilerplate block collapses to near-one
+    # simhash, the worst case for banded equality), d25's winnowing
+    # fingerprint pairs, the cell-bounded cosine family (d18/d20 — a hot
+    # IVF cell is the bucket-skew analog on the vector side), and a28's
+    # KMV overlap matrix with its exact-Jaccard harness rider.
+    "d4_simhash_pairs",
+    "d25_winnow_pairs",
+    "d18_semdedup",
+    "d20_semantic_decontamination",
+    "a28_kmv_source_overlap",
 ]
 
 

@@ -215,8 +215,16 @@ def main() -> None:
     spark.catalog.clearCache()
     gc.collect()
 
+    # Measurement convenience (r10): SPARK_GRAFT_BENCH_ONLY="a,b,c" times
+    # just those queries with the identical methodology (fresh session,
+    # min-of-N, noop sink, cache-clear between queries). Unset => the full
+    # headline suite; the driver never sets it, so its artifact is
+    # unchanged.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = [n.strip() for n in only.split(",") if n.strip()] if only else HEADLINE
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         q = QUERIES.get(name)
         if q is None:
             continue

@@ -1019,6 +1019,17 @@ def _ivfpq_model(
     return C, books, probed, qd, qe, assigned
 
 
+def _dlit(vals) -> str:
+    """Nested DOUBLE-array literal as one parseable SQL string. repr()
+    round-trips every finite double exactly, and Spark parses decimal /
+    scientific literals with correct rounding, so `F.expr(_dlit(v))`
+    builds the same literal tree as the nested-F.lit form at a tiny
+    fraction of the py4j round-trips (see ivfpq_topk)."""
+    if isinstance(vals, (list, tuple)):
+        return "array(" + ",".join(_dlit(v) for v in vals) + ")"
+    return repr(float(vals)) + "D"
+
+
 def ivfpq_topk(
     t: dict[str, DataFrame],
     query_id: int = 0,
@@ -1061,17 +1072,18 @@ def ivfpq_topk(
     d = dims // m
 
     # --- map-only candidate scoring, inlined models ---
-    ce_arr = F.array(*[F.lit(C[c]) for c in range(len(C))])
-    books_arr = F.array(
-        *[F.array(*[F.lit(books[s][c]) for c in range(n_codes)]) for s in range(m)]
+    # Each model array is ONE JVM-parsed F.expr literal, not a py4j Column
+    # construction per scalar — the _rp_project driver-cost lesson
+    # (similarity.py finding-11): the per-scalar form spent ~2 s of DRIVER
+    # time per call building ~700 literal Columns for the same values
+    # (repr() round-trips doubles exactly, so the parsed literals are
+    # bit-identical to F.lit's).
+    ce_arr = F.expr(_dlit(C))
+    books_arr = F.expr(_dlit(books))
+    qd_arr = F.expr(_dlit(qd))
+    probe_arr = F.expr(
+        "array(" + ",".join(f"{int(c)}L" for c in probed) + ")"
     )
-    qd_arr = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in qd[p][s]]) for s in range(m)])
-            for p in range(len(probed))
-        ]
-    )
-    probe_arr = F.array(*[F.lit(c).cast("long") for c in probed])
     resid = F.zip_with(
         "embedding", F.element_at(ce_arr, F.col("cid").cast("int") + 1), lambda x, y: x - y
     )
@@ -1708,6 +1720,14 @@ def quantization_error_curve(
     emb = t["embeddings"]
     q = _query_vectors(t, [query_id])
     exact_sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
+    # Reuse barriers (r10, guide §1.2 "don't compute things twice"): the
+    # exact baseline and both code tables each feed TWO consumers (recall
+    # join + error/topk), and Catalyst planned each consumer its own
+    # subtree — 24 parquet scans / 6 corpus passes in the before plan
+    # (plans/r10/v28_..._before.txt). `exact` checkpoints at k rows;
+    # `direct`/`recon` persist so the quantize+reconstruct projections run
+    # once and both consumers read the cache (the minhash `sh`/`sig`
+    # convention). Values are untouched — same expressions, computed once.
     exact = (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != query_id)
@@ -1715,10 +1735,11 @@ def quantization_error_curve(
         .orderBy(F.desc("s"), F.asc("vec_id"))
         .limit(k)
         .select("vec_id")
+        .localCheckpoint(eager=True)
     )
 
     # direct tier: v23's codes
-    direct = sq8_project(emb)
+    direct = sq8_project(emb).persist()
     d_err = F.when(
         F.col("scale") > 0,
         F.array_max(
@@ -1750,7 +1771,7 @@ def quantization_error_curve(
     resid = residual_sq8_project(assigned, cents)
     recon = resid.withColumn(
         "xr", F.zip_with("ce", "rcodes", lambda c, rc: c + rc * F.col("rscale"))
-    )
+    ).persist()
     r_err = F.array_max(
         F.zip_with("embedding", "xr", lambda x, h: F.abs(x.cast("double") - h))
     )

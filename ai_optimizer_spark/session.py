@@ -85,4 +85,12 @@ def get_spark(app_name: str = "ai_optimizer_spark") -> SparkSession:
         )
         .config("spark.ui.enabled", "false")
     )
+    # Deploy-tuning surface: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" lets a
+    # deployment (or an A/B measurement) layer site-specific settings over
+    # the engine defaults without editing code. Unset => exactly the
+    # defaults above.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()

@@ -908,3 +908,37 @@ def test_auto_tier_topk_plan_keeps_pruned_serve(spark):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= plan.count(
         "ReusedExchange"
     )
+
+
+def test_dlit_expr_literals_match_f_lit_exactly(spark):
+    """r10 driver-cost fix: ivfpq_topk's model arrays build as ONE parsed
+    F.expr literal instead of ~700 py4j F.lit constructions. repr() must
+    round-trip every double through the SQL parser bit-exactly, including
+    scientific notation, negatives, and extreme magnitudes."""
+    from pyspark.sql import functions as F
+
+    tricky = [
+        0.0,
+        -0.0,
+        1.0,
+        -1.5,
+        1e-17,
+        -3.141592653589793,
+        5e-324,          # min subnormal
+        1.7976931348623157e308,  # max double
+        2.2250738585072014e-308,  # min normal
+        0.1 + 0.2,       # classic repr case (0.30000000000000004)
+        1 / 3,
+    ]
+    lit_arr = F.array(*[F.lit(float(x)) for x in tricky])
+    expr_arr = F.expr(S._dlit(tricky))
+    row = spark.range(1).select(lit_arr.alias("a"), expr_arr.alias("b")).collect()[0]
+    import struct
+
+    assert [struct.pack("d", v) for v in row["a"]] == [
+        struct.pack("d", v) for v in row["b"]
+    ]
+    # nested shape parses too
+    nested = S._dlit([[1.0, 2.0], [3.5e-10, -4.25]])
+    r2 = spark.range(1).select(F.expr(nested).alias("n")).collect()[0]
+    assert r2["n"] == [[1.0, 2.0], [3.5e-10, -4.25]]

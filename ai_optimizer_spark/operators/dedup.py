@@ -220,6 +220,47 @@ def minhash_lsh_pairs(
     quadratic wave through verification. Buckets above the cap are dropped
     whole — the standard industrial LSH trade (those docs still pair via
     their other, more selective bands). Default None = exact candidates."""
+    sh, sig, candidates = _lsh_candidate_pairs(t, max_bucket_size)
+
+    # verify candidates with exact jaccard on the (cached) shingle index:
+    # the candidate set is tiny by construction (band collisions only), so
+    # it broadcasts into both index joins — the full index never reshuffles
+    sizes = sig.select("doc_id", "n_sh")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    # shrink BOTH probe sides to candidate docs before any wide join: the
+    # right side would otherwise shuffle the entire shingle index on
+    # (doc_b, shingle) even though only colliding docs can intersect
+    cand_b = candidates.select("doc_b").distinct()
+    b = (
+        sh.join(F.broadcast(cand_b), sh["doc_id"] == cand_b["doc_b"])
+        .select("doc_b", "shingle")
+    )
+    inter = (
+        a.join(F.broadcast(candidates), "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 3
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _lsh_candidate_pairs(
+    t: dict[str, DataFrame], max_bucket_size: int | None = None
+):
+    """(shingle index, signatures, candidate pairs) — the banded-LSH
+    candidate machinery shared by minhash_lsh_pairs (which verifies the
+    candidates against exact Jaccard) and lsh_recall (which intersects
+    them with the exact pair set it has already computed)."""
     docs = t["documents"]
     sh = _shingle_sets(docs).persist()
     hashed = sh.withColumn("base", T.hash60(F.col("shingle")))
@@ -276,37 +317,7 @@ def minhash_lsh_pairs(
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
     )
-
-    # verify candidates with exact jaccard on the (cached) shingle index:
-    # the candidate set is tiny by construction (band collisions only), so
-    # it broadcasts into both index joins — the full index never reshuffles
-    sizes = sig.select("doc_id", "n_sh")
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    # shrink BOTH probe sides to candidate docs before any wide join: the
-    # right side would otherwise shuffle the entire shingle index on
-    # (doc_b, shingle) even though only colliding docs can intersect
-    cand_b = candidates.select("doc_b").distinct()
-    b = (
-        sh.join(F.broadcast(cand_b), sh["doc_id"] == cand_b["doc_b"])
-        .select("doc_b", "shingle")
-    )
-    inter = (
-        a.join(F.broadcast(candidates), "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.round(
-        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 3
-    )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return sh, sig, candidates
 
 
 def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -821,7 +832,10 @@ def span_fingerprints(docs: DataFrame, window: int = REPEAT_WINDOW) -> DataFrame
             lambda i: F.concat_ws(" ", F.slice(w, i, window)),
         ),
     ).otherwise(F.array())
-    return docs.select("doc_id", F.explode(spans).alias("win")).select(
+    # one md5 per span position is the dominant map cost — widen the
+    # single-row-group test scan so it fans out across cores, exactly as
+    # _shingle_sets does (r10: t10/d15/st14 ran this map on ONE task)
+    return widen_scan(docs).select("doc_id", F.explode(spans).alias("win")).select(
         "doc_id", T.hash60(F.col("win")).alias("wh")
     )
 
@@ -1514,12 +1528,21 @@ def lsh_recall(
         t["documents"] = t["documents"].filter(
             F.col("doc_id") % sample_mod == 0
         )
-    exact = ngram_jaccard_pairs(t).select(
-        "doc_a", "doc_b", F.lit(1).alias("ie")
-    )
-    lsh = minhash_lsh_pairs(t, max_bucket_size=max_bucket_size).select(
-        "doc_a", "doc_b", F.lit(1).alias("il")
-    )
+    exact_pairs = ngram_jaccard_pairs(t)
+    exact = exact_pairs.select("doc_a", "doc_b", F.lit(1).alias("ie"))
+    # r10 (guide §3.2, project early / avoid recomputing): the LSH side
+    # used to call minhash_lsh_pairs, whose verification re-derives exact
+    # Jaccard for every candidate with a 3-join pass over the shingle
+    # index — but THIS query's exact side already computed every true
+    # pair with the same index, sizes and rounding. Since precision is
+    # 1.0 by construction (a candidate is reported iff it passes the same
+    # exact-Jaccard ≥ τ test), the verified LSH pair set IS
+    # candidates ∩ exact: one semi-join of two id-only pair tables
+    # replaces the whole verification subtree. Result-identical.
+    _, _, cands = _lsh_candidate_pairs(t, max_bucket_size=max_bucket_size)
+    lsh = cands.join(
+        exact_pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
+    ).select("doc_a", "doc_b", F.lit(1).alias("il"))
     both = exact.join(lsh, ["doc_a", "doc_b"], "full_outer").select(
         F.coalesce("ie", F.lit(0)).alias("ie"),
         F.coalesce("il", F.lit(0)).alias("il"),
@@ -1582,6 +1605,12 @@ def lsh_cap_recall_sweep(
     if sample_mod > 1:
         docs = docs.filter(F.col("doc_id") % sample_mod == 0)
     ts = {"documents": docs}
+
+    # r10: the profile collect, the uncapped band join, and the exact
+    # side below all shingle the same corpus — register the shingle index
+    # in the cache first so every pass reads ONE materialization (the
+    # e2e_auto_curation move; result-identical, persist only)
+    _shingle_sets(docs).persist()
 
     # ladder from the band profile (driver-side: n_bands rows)
     prof = [
@@ -1852,6 +1881,10 @@ def winnow_fingerprints(
 
     Returns distinct (doc_id, fp) where fp is the selected 40-bit k-gram
     hash."""
+    # one md5 per k-gram position is the dominant map cost — widen the
+    # single-row-group test scan so it fans out across cores (the
+    # _shingle_sets convention; no-op on real multi-row-group tables)
+    docs = widen_scan(docs)
     words = T.words(F.col("text"))
     grams = F.when(
         F.size(words) >= k,
@@ -1910,7 +1943,10 @@ def winnow_pairs(
     whole before pairing — the same quadratic-wave cap as d3c's bucket
     cap, tuned by the d17-style postings profile at 100 TB. Pairing
     shuffles only (fp, doc_id) longs."""
-    fps = winnow_fingerprints(t["documents"], k, w)
+    # persisted: the fingerprint index feeds three consumers (the postings
+    # profile + both sides of the pair join) — without it each one replays
+    # the md5 + per-doc window-min pass over the corpus text (guide §2.4)
+    fps = winnow_fingerprints(t["documents"], k, w).persist()
     postings = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
     keep = postings.filter(
         (F.col("nd") >= 2) & (F.col("nd") <= max_postings)

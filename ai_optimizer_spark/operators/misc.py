@@ -400,21 +400,30 @@ def kmv_distinct_shingles(t: dict[str, DataFrame], k: int = KMV_K) -> DataFrame:
     is exact-deterministic for a fixed corpus, so the oracle pins the full
     computation, and the unit test bounds the error."""
     from ..functions import text as T
+    from ..tables import widen_scan
 
+    # shingle md5s are the dominant map cost — widen the single-row-group
+    # test scan across cores (the _shingle_sets convention; no-op on real
+    # multi-row-group tables)
     shingles = (
-        t["documents"]
+        widen_scan(t["documents"])
         .select(F.explode(T.word_shingles(F.col("text"))).alias("sh"))
         .distinct()
     )
     # normalized hash in [0, 1): hash60 / 2^60, exact double both engines
     h = (T.hash60(F.col("sh")) / F.lit(float(1 << 60))).alias("h")
+    # persisted: the hashed distinct set feeds BOTH the k-smallest sketch
+    # and the exact error reference — one corpus shingle pass instead of
+    # two, and the cached rows are a single double column (guide §2.4).
+    # The row count equals |distinct shingles| (count of rows, not of
+    # distinct h, so hash collisions cannot perturb n_exact).
+    hashed = shingles.select(h).persist()
     kth = (
-        shingles.select(h)
-        .orderBy(F.asc("h"))
+        hashed.orderBy(F.asc("h"))
         .limit(k)
         .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_kept"))
     )
-    exact = shingles.agg(F.count(F.lit(1)).alias("n_exact"))
+    exact = hashed.agg(F.count(F.lit(1)).alias("n_exact"))
     return kth.crossJoin(exact).select(
         F.lit(k).cast("long").alias("k"),
         F.col("n_kept").cast("long").alias("n_kept"),
@@ -516,8 +525,12 @@ def cms_heavy_hitters(
     drops it (the a26/d21 move).
     """
     from ..functions import text as T
+    from ..tables import widen_scan
 
-    tok = t["documents"].select(F.explode(T.words("text")).alias("term"))
+    # seeded-hash60 ×4 per token dominates the map — widen the test scan
+    tok = widen_scan(t["documents"]).select(
+        F.explode(T.words("text")).alias("term")
+    )
     sketch = (
         tok.select(_cms_cells(F.col("term"), seeds, w).alias("sb"))
         .select("sb.seed", "sb.bucket")
@@ -594,12 +607,19 @@ def kmv_source_overlap(
     pair_df = spark.createDataFrame(list(pairs), "src_a string, src_b string")
 
     # distinct (source, shingle-hash) — hash once, reuse for sketch + exact
+    from ..tables import widen_scan
+
+    # persisted: the distinct hash set feeds BOTH the k-row sketches and
+    # the exact error reference — without it each side replays the
+    # shingle explode + md5 over the whole corpus (guide §2.4)
     sh = (
-        docs.select(
+        widen_scan(docs)
+        .select(
             "source", F.explode(T.word_shingles(F.col("text"))).alias("sh")
         )
         .select("source", T.hash60(F.col("sh")).alias("h"))
         .distinct()
+        .persist()
     )
 
     def _pair_flags(rows: DataFrame) -> DataFrame:

@@ -340,7 +340,15 @@ def drift_report(hist: DataFrame, new: DataFrame, n_centroids: int) -> DataFrame
     shared by t12 (both sides batch) and st15 (the new side streamed into
     the memory sink first): full-outer merge, add-half-smoothed shares,
     per-cell PSI contribution, distance delta, verdict. Everything here is
-    n_centroids-sized — both inputs, both scalar totals, the output."""
+    n_centroids-sized — both inputs, both scalar totals, the output.
+
+    Both stats tables are persisted here (r10, guide §2.4): each feeds
+    TWO consumers (its scalar total and the merge), and without the
+    persist Catalyst replays the corpus-half assignment+aggregation
+    subtree per consumer — the cached rows are k-sized, the replayed
+    subtree is corpus-sized."""
+    hist = hist.persist()
+    new = new.persist()
     th = hist.select(F.sum("n").alias("th"))
     td = new.select(F.sum("n").alias("td"))
     merged = (
@@ -1001,24 +1009,40 @@ def kmv_sketch_refresh(t: dict[str, DataFrame], k: int = 64, cutoff: int = 250) 
     top-k, then a 2k-row merge. The exact distinct count rides along as
     the harness's error reference (production drops it)."""
     from ..functions import text as T
+    from ..tables import widen_scan
 
     docs = t["documents"]
 
-    def sketch(df: DataFrame) -> DataFrame:
+    # ONE corpus shingle pass (r10, guide §2.4): the stored-half sketch,
+    # the delta-half sketch, and the exact error reference all used to
+    # explode+md5 the corpus text independently (3 passes, 6 scans in the
+    # before-plan). The per-half distinct is equivalent to a single
+    # distinct over (is_delta, shingle) — restricting that set to one
+    # half IS the half's distinct shingle set — so one persisted pass
+    # feeds all three consumers; the exact count is one more distinct
+    # over the (small) persisted set, not over the corpus.
+    hs = (
+        widen_scan(docs)
+        .select(
+            (F.col("doc_id") >= F.lit(cutoff)).alias("is_delta"),
+            F.explode(T.word_shingles(F.col("text"))).alias("sh"),
+        )
+        .distinct()
+        .persist()
+    )
+
+    def sketch(half: DataFrame) -> DataFrame:
         # the half-sketches carry the SHINGLE alongside its hash so the
         # merge can dedupe on the value itself: distinct on h alone would
         # collapse two distinct shingles colliding on the 60-bit hash,
         # while a26's full rebuild (the shared oracle) keeps both — the
         # "equals rebuild" claim must hold exactly, not mod 2^-60
         # collisions (advice r8)
-        sh = df.select(
-            F.explode(T.word_shingles(F.col("text"))).alias("sh")
-        ).distinct()
         h = (T.hash60(F.col("sh")) / F.lit(float(1 << 60))).alias("h")
-        return sh.select("sh", h).orderBy(F.asc("h"), F.asc("sh")).limit(k)
+        return half.select("sh", h).orderBy(F.asc("h"), F.asc("sh")).limit(k)
 
-    stored = sketch(docs.filter(F.col("doc_id") < cutoff))
-    delta = sketch(docs.filter(F.col("doc_id") >= cutoff))
+    stored = sketch(hs.filter(~F.col("is_delta")))
+    delta = sketch(hs.filter(F.col("is_delta")))
     # union rule: distinct on the shingle (the same shingle in both halves
     # is one element) -> k smallest of the <=2k merged rows
     merged = (
@@ -1030,7 +1054,7 @@ def kmv_sketch_refresh(t: dict[str, DataFrame], k: int = 64, cutoff: int = 250) 
     )
     kth = merged.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_kept"))
     exact = (
-        docs.select(F.explode(T.word_shingles(F.col("text"))).alias("sh"))
+        hs.select("sh")
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
@@ -1061,25 +1085,29 @@ def cms_sketch_refresh(t: dict[str, DataFrame], cutoff: int = 250) -> DataFrame:
     pass + a 2048-row sum — O(delta + R·W), never a corpus rescan. The
     probe's exact top-N rides along as the harness's error reference."""
     from ..functions import text as T
+    from ..tables import widen_scan
     from .misc import CMS_SEEDS, CMS_W, _cms_cells, cms_probe_finisher
 
     docs = t["documents"]
 
-    def sketch(df: DataFrame) -> DataFrame:
-        return (
-            df.select(F.explode(T.words("text")).alias("term"))
-            .select(_cms_cells(F.col("term"), CMS_SEEDS, CMS_W).alias("sb"))
-            .select("sb.seed", "sb.bucket")
-            .groupBy("seed", "bucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE corpus token pass for BOTH half-sketches (r10, guide §2.4): the
+    # stored and delta sketches used to explode+hash the corpus text
+    # independently; tagging each token with its half and grouping by
+    # (is_delta, seed, bucket) yields exactly the two per-half cell
+    # tables from a single pass — the maintenance structure (two
+    # materialized half-sketches merged by cell-wise addition) is
+    # unchanged, only the redundant second text scan is gone.
+    halves = (
+        widen_scan(docs)
+        .select(
+            (F.col("doc_id") >= F.lit(cutoff)).alias("is_delta"),
+            F.explode(T.words("text")).alias("term"),
         )
-
-    stored = sketch(docs.filter(F.col("doc_id") < cutoff))
-    delta = sketch(docs.filter(F.col("doc_id") >= cutoff))
-    merged = (
-        stored.unionByName(delta)
-        .groupBy("seed", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
+        .select("is_delta", _cms_cells(F.col("term"), CMS_SEEDS, CMS_W).alias("sb"))
+        .select("is_delta", "sb.seed", "sb.bucket")
+        .groupBy("is_delta", "seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    tok = docs.select(F.explode(T.words("text")).alias("term"))
+    merged = halves.groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+    tok = widen_scan(docs).select(F.explode(T.words("text")).alias("term"))
     return cms_probe_finisher(merged, tok)

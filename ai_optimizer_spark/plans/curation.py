@@ -338,11 +338,19 @@ def auto_curation(t: dict[str, DataFrame]) -> DataFrame:
     fixed server-side defaults (src/server/app/vectorstore settings) with
     data-derived values."""
     from ..operators.dedup import (
+        _shingle_sets,
         choose_lsh_bucket_cap,
         choose_semdedup_k,
         corpus_dup_profile,
     )
 
+    # r10: the d17 profile pass and the cascade's LSH stage both hash the
+    # whole shingle universe (one md5 per shingle — the dominant map cost).
+    # Registering the shingle index in the cache BEFORE the profile collect
+    # lets Catalyst substitute the same InMemoryRelation into both, so the
+    # corpus is shingled once per call instead of twice (plan-equality
+    # cache sharing, the same mechanism d21's exact/LSH sides already use).
+    _shingle_sets(t["documents"]).persist()
     cap = choose_lsh_bucket_cap(corpus_dup_profile(t))
     k = choose_semdedup_k(t["embeddings"].count())
     return dedup_cascade(t, max_bucket_size=cap).select(

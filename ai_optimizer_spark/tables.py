@@ -42,6 +42,11 @@ def widen_scan(df: DataFrame, min_parts: int = 16) -> DataFrame:
     Deliberately NOT applied wholesale in load_tables: for cheap scans the
     extra shuffle costs more than the parallelism buys.
     """
+    if df.isStreaming:
+        # .rdd is illegal on a streaming frame, and micro-batch sources
+        # already split arrivals across tasks — widening is a batch-scan
+        # concern only (st14 shares span_fingerprints with the batch ops)
+        return df
     if df.rdd.getNumPartitions() < min_parts:
         return df.repartition(min_parts)
     return df

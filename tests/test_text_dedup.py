@@ -487,6 +487,30 @@ def test_lsh_recall_sampled_mod1_equals_unsampled(spark, sf_medium):
     ]
 
 
+def test_lsh_recall_intersection_equals_verified_lsh_pairs(spark, sf_medium):
+    """r10 optimization contract: d21's LSH side is now candidates ∩ exact
+    (one semi-join) instead of minhash_lsh_pairs' re-verification subtree.
+    The substitution is sound iff the verified pair set REALLY equals the
+    intersection — assert it directly against the unchanged d3c operator,
+    and assert the reported counts match a d21 run."""
+    t = load_tables(spark, sf_medium)
+    cap = D.LSH_MAX_BUCKET_DEFAULT
+    verified = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(t, max_bucket_size=cap).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b) for r in D.ngram_jaccard_pairs(t).collect()
+    }
+    _, _, cands_df = D._lsh_candidate_pairs(t, max_bucket_size=cap)
+    cands = {(r.doc_a, r.doc_b) for r in cands_df.collect()}
+    assert verified == cands & exact
+    row = D.lsh_recall(t, max_bucket_size=cap).collect()[0]
+    assert row.n_lsh_pairs == len(verified)
+    assert row.n_exact_pairs == len(exact)
+    assert row.n_common == len(verified & exact)
+
+
 def test_cap_sweep_rows_match_d21_at_each_cap(spark, sf_medium):
     """The one-pass sweep (per-pair min bucket size, then thresholds) must
     agree with d21 rerun at each swept cap: same true-pair universe, same

@@ -1776,6 +1776,15 @@ def incremental_lsh_dedup(
     delta_docs = docs.filter(is_delta)
     corpus_docs = docs.filter(~is_delta)
 
+    # r10 (guide §2.4): each half used to be shingled TWICE — once inside
+    # minhash_band_keys (signatures) and once for the exact-Jaccard
+    # verification probes below. Registering both shingle indexes in the
+    # cache makes Catalyst substitute the one materialization into every
+    # identical subtree: one text pass per half instead of two.
+    # Result-identical (persist only).
+    sh_delta = _shingle_sets(delta_docs).persist()
+    sh_corpus = _shingle_sets(corpus_docs).persist()
+
     # production: spark.table("lsh_band_index"); simulation: derive it
     corpus_bands = minhash_band_keys(corpus_docs)
     bucket_sizes = corpus_bands.groupBy("band", "key").agg(
@@ -1802,8 +1811,6 @@ def incremental_lsh_dedup(
         .distinct()
     )
 
-    sh_delta = _shingle_sets(delta_docs)
-    sh_corpus = _shingle_sets(corpus_docs)
     sizes_d = sh_delta.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
     sizes_c = sh_corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
     cand_kept = candidates.select("kept_doc").distinct()

@@ -169,16 +169,21 @@ def span_index_refresh(t: dict[str, DataFrame], cutoff: int = 250) -> DataFrame:
     # wrong asymptote for a maintenance op). The checkpoint also matches
     # the op's semantics: in production these ARE the stored artifacts;
     # materializing them here is the simulation being faithful.
-    stored_pairs = (
-        span_fingerprints(docs.filter(F.col("doc_id") < cutoff))
+    # r10 (guide §2.4, the t20/t21 tag-the-halves move): the two halves
+    # are doc_id-disjoint, so ONE fingerprint pass over the whole corpus
+    # tagged with its half, distinct over (is_delta, wh, doc_id), IS both
+    # pair tables — one scan+explode+md5 and one barrier replace two
+    # sequential eager jobs. Restriction of the tagged distinct to a half
+    # equals that half's distinct pair set (doc_id determines the tag),
+    # so the stored/delta artifacts are row-identical to before.
+    pairs_both = (
+        span_fingerprints(docs)
+        .withColumn("is_delta", F.col("doc_id") >= F.lit(cutoff))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    delta_pairs = (
-        span_fingerprints(docs.filter(F.col("doc_id") >= cutoff))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    stored_pairs = pairs_both.filter(~F.col("is_delta")).drop("is_delta")
+    delta_pairs = pairs_both.filter(F.col("is_delta")).drop("is_delta")
 
     def stats(pairs: DataFrame) -> DataFrame:
         return pairs.groupBy("wh").agg(

@@ -465,13 +465,23 @@ def dsir_select(
     docs: DataFrame,
     keep_ntile: int = DSIR_KEEP_NTILE,
     extra_keys: tuple[str, ...] = (),
+    keep_ids: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR core, reusable over any document pool (smp10 runs it on the
     whole corpus; e2e_corpus_assembly on the perplexity-kept subset).
     Returns the selected rows as (doc_id, source, *extra_keys, weight,
     n_tokens) — n_tokens rides along from the feature counts for free, so
     downstream token accounting never re-reads text. Scale shape is
-    documented on dsir_importance."""
+    documented on dsir_importance.
+
+    `keep_ids` (a doc_id frame) restricts the pool WITHOUT a semi-join on
+    the document table itself (r10, guide §8): filtering the id-level
+    feature-count rows after the explode is row-for-row equivalent to
+    pre-filtering the documents (the explode+groupBy commutes with a
+    doc_id filter), but the text column never crosses an exchange — the
+    gate's shuffle carries (doc_id, bucket, cnt) digests only. The gated
+    pool, not the full pool, defines raw/target distributions and the
+    selection quartile, exactly as before."""
     from ..functions.text import words
     from ..tables import widen_scan
 
@@ -480,7 +490,7 @@ def dsir_select(
     # re-scans the corpus and replays the explode for each; widen_scan
     # first, so the per-token hashing doesn't run on the narrow scan's
     # single partition at fixture scale (the tx16/d18 convention)
-    doc_b = (
+    pre = (
         widen_scan(docs).select(
             *keys,
             F.explode(words("text")).alias("term"),
@@ -491,8 +501,10 @@ def dsir_select(
         )
         .groupBy(*keys, "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
     )
+    if keep_ids is not None:
+        pre = pre.join(keep_ids, "doc_id", "left_semi")
+    doc_b = pre.localCheckpoint(eager=True)
     raw = doc_b.groupBy("b").agg(F.sum("cnt").alias("cr"))
     tgt = (
         doc_b.where(F.col("source") == "src0")

@@ -1046,8 +1046,14 @@ def tokenizer_fertility(t: dict[str, DataFrame], n_merges: int = 8) -> DataFrame
     )
 
     def _stats(batches):
+        # per-TASK subword memo (guide §4.5): _apply is the expensive part
+        # and word frequency follows Zipf, so a memo that survives across
+        # Arrow batches amortizes the BPE merge loop over the whole
+        # partition instead of resetting every maxRecordsPerBatch rows;
+        # values are deterministic functions of the word, so scope cannot
+        # change results
+        memo: dict[str, int] = {}
         for pdf in batches:
-            memo: dict[str, int] = {}
             rows = []
             for lang, source, text in zip(pdf["lang"], pdf["source"], pdf["text"]):
                 n_words = n_sub = n_chars = 0

@@ -35,11 +35,15 @@ from ..operators.textops import ngram_perplexity
 def corpus_assembly(t: dict[str, DataFrame]) -> DataFrame:
     ppl = ngram_perplexity(t)
     kept_ids = ppl.where(F.col("ppl_bucket") != "tail").select("doc_id")
-    # id-only semi-join gate: the kept set is a corpus-scale fraction, so
-    # it must NOT broadcast — a shuffled semi-join on the key column is
-    # the plan that survives 100×
-    gated = t["documents"].join(kept_ids, "doc_id", "left_semi")
-    sel = dsir_select(gated, extra_keys=("lang",))
+    # id-only gate APPLIED TO THE FEATURE TABLE, not the documents (r10,
+    # guide §8): the old plan semi-joined documents with kept_ids first,
+    # which shuffled the text payload on doc_id just to drop a tertile;
+    # dsir_select(keep_ids=...) filters the exploded (doc_id, bucket, cnt)
+    # digests instead — identical selected set (the filter commutes with
+    # the explode), and no exchange ever carries text. The kept set stays
+    # a shuffled (non-broadcast) semi-join: it is a corpus-scale fraction,
+    # the plan that survives 100×.
+    sel = dsir_select(t["documents"], extra_keys=("lang",), keep_ids=kept_ids)
     # total (not mean) importance mass: the weights are 4-decimal values,
     # so a DECIMAL(18,6) sum is exact and order-independent — averaging
     # re-rounded doubles flips on exact .00005 boundaries between engines

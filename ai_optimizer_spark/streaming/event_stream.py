@@ -719,8 +719,12 @@ def streaming_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _stats(batches):
+        # per-TASK subword memo (guide §4.5, the tx20 move): survives
+        # across Arrow batches so Zipf-frequent words pay the BPE merge
+        # loop once per task; deterministic values, so scope cannot
+        # change results
+        memo: dict[str, int] = {}
         for pdf in batches:
-            memo: dict[str, int] = {}
             rows = []
             for lang, source, text in zip(pdf["lang"], pdf["source"], pdf["text"]):
                 n_words = n_sub = n_chars = 0

@@ -1528,7 +1528,12 @@ def lsh_recall(
         t["documents"] = t["documents"].filter(
             F.col("doc_id") % sample_mod == 0
         )
-    exact_pairs = ngram_jaccard_pairs(t)
+    # persisted: the exact pair set feeds BOTH the recall denominator and
+    # the semi-join that verifies the LSH candidates — without the persist
+    # the grid-salted exact-Jaccard subtree (the expensive side of this
+    # query) replays once per consumer whenever exchange reuse does not
+    # fire; the cached rows are a near-dup-sized id/jaccard table
+    exact_pairs = ngram_jaccard_pairs(t).persist()
     exact = exact_pairs.select("doc_a", "doc_b", F.lit(1).alias("ie"))
     # r10 (guide §3.2, project early / avoid recomputing): the LSH side
     # used to call minhash_lsh_pairs, whose verification re-derives exact
@@ -1630,12 +1635,16 @@ def lsh_cap_recall_sweep(
     )
 
     # per-pair MIN colliding-bucket size, one bucket join (uncapped by
-    # design: the sweep must see the pairs every cap would drop)
-    bands = minhash_band_keys(docs)
+    # design: the sweep must see the pairs every cap would drop).
+    # r10: both tables persist — `bands` feeds the sized join AND the
+    # bucket-size aggregate, `sized` feeds BOTH aliases of the pair
+    # self-join; without the persists the minhash aggregation replays per
+    # consumer (the cached rows are (doc_id, band, key[, bn]) digests)
+    bands = minhash_band_keys(docs).persist()
     sized = bands.join(
         bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn")),
         ["band", "key"],
-    )
+    ).persist()
     x, y = sized.alias("x"), sized.alias("y")
     pairbn = (
         x.join(

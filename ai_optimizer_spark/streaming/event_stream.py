@@ -23,9 +23,51 @@ Pieces:
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
+
+# State-store partition count for the memory-sink streaming harness runs
+# (r10, guide §2.2/§6.2 — fewer, larger partitions; the st23 contract
+# timeout). Every stateful aggregate in this package keeps BOUNDED state —
+# cells, domains, sketch cells, windows: ≤ a few thousand rows by design,
+# independent of corpus size (each op's docstring states its bound) — yet a
+# streaming aggregation allocates spark.sql.shuffle.partitions state stores
+# and commits a checkpoint file PER STORE PER BATCH (AQE never coalesces a
+# stateful exchange). The session default (200) therefore costs 200 tiny
+# checkpoint commits per micro-batch for k-row state — pure fixed overhead
+# that once stretched st23 past the driver's 120 s timeout on a loaded box.
+# 64 is derived from the STATE bound, not the local core count: map-side
+# partial aggregation means the state exchange carries (map_tasks × k)
+# digest rows regardless of input volume, so 64 stores stay far below the
+# 100 MB/partition guideline at any corpus size. Env-overridable for
+# cluster runs.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "64")
+)
+
+
+@contextmanager
+def bounded_state_shuffle(spark: SparkSession):
+    """CAP spark.sql.shuffle.partitions at STREAM_STATE_PARTITIONS around a
+    streaming start+await (the value is captured into the query's conf at
+    start): a session already running fewer partitions keeps its setting
+    (the engine session's 32 stays 32; the driver's plain-session 200 drops
+    to 64). Restores the session value afterwards so batch queries in the
+    same session are untouched."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        capped = min(int(old), STREAM_STATE_PARTITIONS)
+    except (TypeError, ValueError):
+        capped = STREAM_STATE_PARTITIONS
+    spark.conf.set("spark.sql.shuffle.partitions", str(capped))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,14 +171,15 @@ def run_to_memory(
     """Execute a streaming plan with Trigger.AvailableNow into a memory
     sink, block until done, return the result table. Aggregating plans
     use complete mode (default); stateless projections pass append."""
-    q = (
-        plan.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(timeout_sec)
+    with bounded_state_shuffle(spark):
+        q = (
+            plan.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(timeout_sec)
     if not finished:
         # A partial memory table would surface downstream as a baffling hash
         # mismatch; fail loudly at the true cause instead.

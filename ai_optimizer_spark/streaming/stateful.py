@@ -126,14 +126,19 @@ def run_stream_to_final(spark, stream_plan: DataFrame, name: str, timeout_sec: i
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    q = (
-        stream_plan.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
+    from .event_stream import bounded_state_shuffle
+
+    # bounded state (|jobs| rows) — same state-store sizing rationale as
+    # run_to_memory (event_stream.STREAM_STATE_PARTITIONS)
+    with bounded_state_shuffle(spark):
+        q = (
+            stream_plan.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
     sink = spark.table(name)
     w = Window.partitionBy("job_id").orderBy(F.desc("n_updates"))
     return (

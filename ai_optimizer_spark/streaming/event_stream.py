@@ -45,9 +45,25 @@ from pyspark.sql.streaming import StreamingQueryListener
 # digest rows regardless of input volume, so 64 stores stay far below the
 # 100 MB/partition guideline at any corpus size. Env-overridable for
 # cluster runs.
-STREAM_STATE_PARTITIONS = int(
-    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "64")
-)
+def _stream_state_partitions() -> int:
+    """Parse the env override defensively (advice r10): a malformed value
+    must fall back to the derived default with a warning, not crash every
+    import of the streaming package."""
+    raw = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "64")
+    try:
+        return int(raw)
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_STREAM_STATE_PARTITIONS={raw!r} is not an int; "
+            f"falling back to 64",
+            stacklevel=2,
+        )
+        return 64
+
+
+STREAM_STATE_PARTITIONS = _stream_state_partitions()
 
 
 @contextmanager
@@ -57,7 +73,15 @@ def bounded_state_shuffle(spark: SparkSession):
     start): a session already running fewer partitions keeps its setting
     (the engine session's 32 stays 32; the driver's plain-session 200 drops
     to 64). Restores the session value afterwards so batch queries in the
-    same session are untouched."""
+    same session are untouched.
+
+    SINGLE-THREADED-HARNESS ASSUMPTION (advice r10): this mutates the
+    session-global conf for the duration of the stream start+await, so a
+    concurrent batch query or a second stream started from another thread
+    of the SAME session would observe the capped value while this block is
+    open. The bench/driver harness runs one query at a time; a
+    multi-threaded caller should start streams from a cloned session
+    (spark.newSession()) instead."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         capped = min(int(old), STREAM_STATE_PARTITIONS)

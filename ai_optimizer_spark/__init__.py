@@ -18,3 +18,9 @@ Design rules (enforced throughout):
 """
 
 __version__ = "0.1.0"
+
+# Session-level cache lifecycle (see cache.py): operators persist shared
+# subtrees for intra-query reuse; long-lived sessions call
+# `release_shared_caches()` after consuming results (or blanket
+# `spark.catalog.clearCache()`, as bench.py does between queries).
+from .cache import release_shared_caches  # noqa: E402,F401

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..cache import shared_persist
 from ..functions import vector as V
 from ..tables import widen_scan
 
@@ -132,7 +133,7 @@ def ngram_jaccard_pairs(
     pay one extra map-side count and nothing else."""
     # persisted: the shingle index feeds three consumers (sizes + both join
     # sides) — without it each one replays the explode over the corpus text
-    sh = _shingle_sets(t["documents"]).persist()
+    sh = _shingle_sets(t["documents"]).transform(shared_persist)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     by_key = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -219,7 +220,15 @@ def minhash_lsh_pairs(
     degenerate buckets (cookie banners, license headers) that would send a
     quadratic wave through verification. Buckets above the cap are dropped
     whole — the standard industrial LSH trade (those docs still pair via
-    their other, more selective bands). Default None = exact candidates."""
+    their other, more selective bands). Default None = exact candidates.
+
+    CROSS-REFERENCE (ADVICE r10): d21/d21b `lsh_recall` computes this
+    operator's verified pair set as candidates ∩ ngram_jaccard_pairs —
+    sound ONLY while this verification keeps the same shingle index,
+    JACCARD_THRESHOLD and round(…, 3) as ngram_jaccard_pairs. If either
+    path's threshold or rounding changes, change BOTH and re-run
+    tests/test_text_dedup.py::
+    test_lsh_recall_intersection_equals_verified_lsh_pairs."""
     sh, sig, candidates = _lsh_candidate_pairs(t, max_bucket_size)
 
     # verify candidates with exact jaccard on the (cached) shingle index:
@@ -262,7 +271,7 @@ def _lsh_candidate_pairs(
     candidates against exact Jaccard) and lsh_recall (which intersects
     them with the exact pair set it has already computed)."""
     docs = t["documents"]
-    sh = _shingle_sets(docs).persist()
+    sh = _shingle_sets(docs).transform(shared_persist)
     hashed = sh.withColumn("base", T.hash60(F.col("shingle")))
     # one pass over the shingle index yields BOTH the signature and the set
     # size — the size groupBy that verification needs rides along for free
@@ -272,7 +281,7 @@ def _lsh_candidate_pairs(
             F.min(term).alias(f"mh{s}")
             for s, term in enumerate(T.minhash_terms(F.col("base"), MINHASH_HASHES))
         ],
-    ).persist()
+    ).transform(shared_persist)
 
     n_bands = MINHASH_HASHES // LSH_BAND_ROWS
     bands = sig.select(
@@ -650,7 +659,7 @@ def _propagate_labels(
             ).alias("e")
         )
         .select("e.a", "e.b")
-        .persist()
+        .transform(shared_persist)
     )
     if edges.count() <= 2 * DRIVER_COMPONENT_EDGE_CAP:  # edges = both directions
         small = edges.filter(F.col("a") < F.col("b")).select(
@@ -1388,7 +1397,7 @@ def bloom_decontamination(
     p^k; with the test corpus p << 1%, so d19 ~= the union-level exact
     answer, and the op stays honest at any fill since the oracle computes
     the same filter."""
-    sh = _shingle_sets(t["documents"]).persist()
+    sh = _shingle_sets(t["documents"]).transform(shared_persist)
     bench_bits = bloom_bench_bits(sh, bench_mod, m, k)
     corpus = sh.filter(F.col("doc_id") % bench_mod != 0)
     cb = corpus.select(
@@ -1533,7 +1542,7 @@ def lsh_recall(
     # the grid-salted exact-Jaccard subtree (the expensive side of this
     # query) replays once per consumer whenever exchange reuse does not
     # fire; the cached rows are a near-dup-sized id/jaccard table
-    exact_pairs = ngram_jaccard_pairs(t).persist()
+    exact_pairs = ngram_jaccard_pairs(t).transform(shared_persist)
     exact = exact_pairs.select("doc_a", "doc_b", F.lit(1).alias("ie"))
     # r10 (guide §3.2, project early / avoid recomputing): the LSH side
     # used to call minhash_lsh_pairs, whose verification re-derives exact
@@ -1615,7 +1624,17 @@ def lsh_cap_recall_sweep(
     # side below all shingle the same corpus — register the shingle index
     # in the cache first so every pass reads ONE materialization (the
     # e2e_auto_curation move; result-identical, persist only)
-    _shingle_sets(docs).persist()
+    _shingle_sets(docs).transform(shared_persist)
+
+    # r11: register the band index in the cache BEFORE the profile
+    # collect — corpus_dup_profile's plan contains the identical
+    # minhash_band_keys(docs) subtree, so Catalyst substitutes this
+    # InMemoryRelation into the profile pass and the signature
+    # aggregation over the shingle index runs ONCE for profile + sweep
+    # (previously the profile collect computed its own signature pass,
+    # then the sweep's `bands` cache recomputed it). Result-identical:
+    # persist + ordering only.
+    bands = minhash_band_keys(docs).transform(shared_persist)
 
     # ladder from the band profile (driver-side: n_bands rows)
     prof = [
@@ -1636,15 +1655,15 @@ def lsh_cap_recall_sweep(
 
     # per-pair MIN colliding-bucket size, one bucket join (uncapped by
     # design: the sweep must see the pairs every cap would drop).
-    # r10: both tables persist — `bands` feeds the sized join AND the
-    # bucket-size aggregate, `sized` feeds BOTH aliases of the pair
-    # self-join; without the persists the minhash aggregation replays per
-    # consumer (the cached rows are (doc_id, band, key[, bn]) digests)
-    bands = minhash_band_keys(docs).persist()
+    # r10: both tables persist — `bands` (registered above, before the
+    # profile collect) feeds the sized join AND the bucket-size
+    # aggregate, `sized` feeds BOTH aliases of the pair self-join;
+    # without the persists the minhash aggregation replays per consumer
+    # (the cached rows are (doc_id, band, key[, bn]) digests)
     sized = bands.join(
         bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn")),
         ["band", "key"],
-    ).persist()
+    ).transform(shared_persist)
     x, y = sized.alias("x"), sized.alias("y")
     pairbn = (
         x.join(
@@ -1791,8 +1810,8 @@ def incremental_lsh_dedup(
     # cache makes Catalyst substitute the one materialization into every
     # identical subtree: one text pass per half instead of two.
     # Result-identical (persist only).
-    sh_delta = _shingle_sets(delta_docs).persist()
-    sh_corpus = _shingle_sets(corpus_docs).persist()
+    sh_delta = _shingle_sets(delta_docs).transform(shared_persist)
+    sh_corpus = _shingle_sets(corpus_docs).transform(shared_persist)
 
     # production: spark.table("lsh_band_index"); simulation: derive it
     corpus_bands = minhash_band_keys(corpus_docs)
@@ -1962,7 +1981,7 @@ def winnow_pairs(
     # persisted: the fingerprint index feeds three consumers (the postings
     # profile + both sides of the pair join) — without it each one replays
     # the md5 + per-doc window-min pass over the corpus text (guide §2.4)
-    fps = winnow_fingerprints(t["documents"], k, w).persist()
+    fps = winnow_fingerprints(t["documents"], k, w).transform(shared_persist)
     postings = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
     keep = postings.filter(
         (F.col("nd") >= 2) & (F.col("nd") <= max_postings)

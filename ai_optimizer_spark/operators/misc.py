@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import shared_persist
+
 SUPPORTED_EXTENSIONS = ("pdf", "docx", "txt", "md")
 ENABLED_MODELS = ("en", "fr", "zh")
 
@@ -417,7 +419,7 @@ def kmv_distinct_shingles(t: dict[str, DataFrame], k: int = KMV_K) -> DataFrame:
     # two, and the cached rows are a single double column (guide §2.4).
     # The row count equals |distinct shingles| (count of rows, not of
     # distinct h, so hash collisions cannot perturb n_exact).
-    hashed = shingles.select(h).persist()
+    hashed = shingles.select(h).transform(shared_persist)
     kth = (
         hashed.orderBy(F.asc("h"))
         .limit(k)
@@ -619,7 +621,7 @@ def kmv_source_overlap(
         )
         .select("source", T.hash60(F.col("sh")).alias("h"))
         .distinct()
-        .persist()
+        .transform(shared_persist)
     )
 
     def _pair_flags(rows: DataFrame) -> DataFrame:

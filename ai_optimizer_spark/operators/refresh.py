@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import shared_persist
+
 SNAPSHOT_CUTOFF = "2024-01-21 00:00:00"
 
 
@@ -352,8 +354,8 @@ def drift_report(hist: DataFrame, new: DataFrame, n_centroids: int) -> DataFrame
     persist Catalyst replays the corpus-half assignment+aggregation
     subtree per consumer — the cached rows are k-sized, the replayed
     subtree is corpus-sized."""
-    hist = hist.persist()
-    new = new.persist()
+    hist = hist.transform(shared_persist)
+    new = new.transform(shared_persist)
     th = hist.select(F.sum("n").alias("th"))
     td = new.select(F.sum("n").alias("td"))
     merged = (
@@ -1033,7 +1035,7 @@ def kmv_sketch_refresh(t: dict[str, DataFrame], k: int = 64, cutoff: int = 250) 
             F.explode(T.word_shingles(F.col("text"))).alias("sh"),
         )
         .distinct()
-        .persist()
+        .transform(shared_persist)
     )
 
     def sketch(half: DataFrame) -> DataFrame:

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import shared_persist
 from ..functions import vector as V
 
 TOP_K = 8
@@ -1027,7 +1028,18 @@ def _dlit(vals) -> str:
     fraction of the py4j round-trips (see ivfpq_topk)."""
     if isinstance(vals, (list, tuple)):
         return "array(" + ",".join(_dlit(v) for v in vals) + ")"
-    return repr(float(vals)) + "D"
+    v = float(vals)
+    if v != v or v in (float("inf"), float("-inf")):
+        # repr() would emit 'nanD'/'infD', which fails at expression PARSE
+        # with a message pointing nowhere near the cause (ADVICE r10). A
+        # non-finite value here means a corrupt model-fit collect — fail
+        # loudly at the source instead.
+        raise ValueError(
+            f"_dlit: non-finite model scalar {v!r} — upstream model fit "
+            "produced NaN/Inf (corrupt embeddings?); refusing to build an "
+            "unparseable literal"
+        )
+    return repr(v) + "D"
 
 
 def ivfpq_topk(
@@ -1739,7 +1751,7 @@ def quantization_error_curve(
     )
 
     # direct tier: v23's codes
-    direct = sq8_project(emb).persist()
+    direct = sq8_project(emb).transform(shared_persist)
     d_err = F.when(
         F.col("scale") > 0,
         F.array_max(
@@ -1771,7 +1783,7 @@ def quantization_error_curve(
     resid = residual_sq8_project(assigned, cents)
     recon = resid.withColumn(
         "xr", F.zip_with("ce", "rcodes", lambda c, rc: c + rc * F.col("rscale"))
-    ).persist()
+    ).transform(shared_persist)
     r_err = F.array_max(
         F.zip_with("embedding", "xr", lambda x, h: F.abs(x.cast("double") - h))
     )

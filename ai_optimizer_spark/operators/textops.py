@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..cache import shared_persist
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
 
@@ -871,7 +872,7 @@ def qcls_fit(
     aggregate; weight updates round THROUGH SPARK's ROUND before
     collection so exactly one rounding semantics exists engine-side."""
     n_docs = docs.count()
-    feat = _qcls_features(docs).repartition("doc_id").persist()
+    feat = _qcls_features(docs).repartition("doc_id").transform(shared_persist)
     weights: dict[int, float] = {}
     for _ in range(rounds):
         err = _qcls_doc_scores(feat, weights).select(

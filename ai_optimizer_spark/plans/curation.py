@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..cache import shared_persist
 from ..operators.dedup import LSH_MAX_BUCKET_DEFAULT, dedup_losers
 from ..operators.sampling import split_expr
 from ..operators.textops import quality_parts
@@ -89,7 +90,9 @@ CASCADE_STAGES = ("input", "exact", "minhash_lsh", "semdedup")
 
 
 def dedup_cascade(
-    t: dict[str, DataFrame], max_bucket_size: int | None = None
+    t: dict[str, DataFrame],
+    max_bucket_size: int | None = None,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """E2E dedup cascade — the FineWeb/Dolma recipe (Penedo et al. 2024;
     Soldaini et al. 2024): exact dedup, then MinHash-LSH near-dup, then
@@ -117,12 +120,19 @@ def dedup_cascade(
 
     `max_bucket_size` overrides the LSH skew cap (default: the production
     constant); `auto_curation` passes a cap sized from the d17 pre-flight
-    profile instead of the guess."""
-    return _attrition_profile(_cascade_flags(t, max_bucket_size), CASCADE_STAGES)
+    profile instead of the guess. `n_centroids` forwards to semdedup so a
+    caller that already counted the embeddings (auto_curation) skips
+    semdedup's internal sizing count — same k either way
+    (choose_semdedup_k of the same corpus count), plan-only."""
+    return _attrition_profile(
+        _cascade_flags(t, max_bucket_size, n_centroids), CASCADE_STAGES
+    )
 
 
 def _cascade_flags(
-    t: dict[str, DataFrame], max_bucket_size: int | None = None
+    t: dict[str, DataFrame],
+    max_bucket_size: int | None = None,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """The cascade's per-document flag table (doc_id, n_tokens, f1, f2,
     f3) — ONE home for the three removal-set joins so the aggregate
@@ -157,7 +167,7 @@ def _cascade_flags(
         t, max_bucket_size=max_bucket_size
     ).select("doc_id", F.lit(True).alias("f2"))
     sem_losers = (
-        semdedup(t)
+        semdedup(t, n_centroids=n_centroids)
         .filter(~F.col("is_kept"))
         .select(F.col("vec_id").alias("doc_id"), F.lit(True).alias("f3"))
     )
@@ -350,10 +360,18 @@ def auto_curation(t: dict[str, DataFrame]) -> DataFrame:
     # lets Catalyst substitute the same InMemoryRelation into both, so the
     # corpus is shingled once per call instead of twice (plan-equality
     # cache sharing, the same mechanism d21's exact/LSH sides already use).
-    _shingle_sets(t["documents"]).persist()
+    _shingle_sets(t["documents"]).transform(shared_persist)
     cap = choose_lsh_bucket_cap(corpus_dup_profile(t))
-    k = choose_semdedup_k(t["embeddings"].count())
-    return dedup_cascade(t, max_bucket_size=cap).select(
+    n_vecs = t["embeddings"].count()
+    k = choose_semdedup_k(n_vecs)
+    # r11: this count already sized k — forward it so semdedup skips its
+    # own sizing count (one fewer job per call; identical k). n_vecs == 0
+    # passes None so semdedup keeps its empty-corpus early-return (an
+    # explicit k would send empty embeddings into _ivf_assign, whose
+    # empty centroid literal types as VOID and breaks analysis).
+    return dedup_cascade(
+        t, max_bucket_size=cap, n_centroids=(k if n_vecs > 0 else None)
+    ).select(
         "*",
         F.lit(cap).cast("long").alias("lsh_bucket_cap"),
         F.lit(k).cast("long").alias("semdedup_k"),

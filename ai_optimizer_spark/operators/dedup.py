@@ -316,6 +316,11 @@ def _lsh_candidate_pairs(
         )
 
     ba, bb = bands.alias("ba"), bands.alias("bb")
+    # persisted (r11): every consumer BROADCASTS this table — verification
+    # probes it twice (the pair set and its distinct doc_b side) and
+    # lsh_recall semi-joins it; without the persist the band self-join +
+    # distinct replays once per broadcast. The rows are the near-dup
+    # candidate pairs only — tiny by construction at any corpus size.
     candidates = (
         ba.join(
             bb,
@@ -325,6 +330,7 @@ def _lsh_candidate_pairs(
         )
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
+        .transform(shared_persist)
     )
     return sh, sig, candidates
 
@@ -1020,13 +1026,25 @@ def topic_clusters(t: dict[str, DataFrame], k: int = 12) -> DataFrame:
     dist = F.round(V.euclidean_distance("embedding", "ce"), 4).cast(
         "decimal(14,4)"
     )
-    sizes = with_dist.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.sum(dist).cast("double") / F.count(F.lit(1)), 3).alias("avg_dist"),
-    )
+    # r11 (guide §2.4): ONE corpus pass instead of two. The sizes and
+    # dominant-label aggregates each replayed the centroid-assignment
+    # projection; both derive from a single (cid, label) partial+final
+    # aggregate — regrouping the distance sum per label first is EXACT
+    # because dist is DECIMAL(14,4) (decimal addition is associative,
+    # unlike double), so avg_dist = round(sum/count, 3) is bit-identical
+    # to the one-level form. The k·|labels| grouped table is persisted
+    # for its two consumers (per-cell totals + top-label window).
     by_label = (
-        assigned.groupBy("cid", "label")
-        .agg(F.count(F.lit(1)).alias("n"))
+        with_dist.groupBy("cid", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dist).alias("sd"),
+        )
+        .transform(shared_persist)
+    )
+    sizes = by_label.groupBy("cid").agg(
+        F.sum("n").alias("n_vecs"),
+        F.round(F.sum("sd").cast("double") / F.sum("n"), 3).alias("avg_dist"),
     )
     w = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
     top = (
@@ -1825,6 +1843,11 @@ def incremental_lsh_dedup(
     )
     delta_bands = minhash_band_keys(delta_docs)
 
+    # persisted (r11): the candidate table feeds TWO broadcast consumers
+    # (its distinct kept_doc side and the verification probe) — without
+    # the persist the delta×corpus band join AND both halves' signature
+    # aggregations replay once per broadcast. Candidate rows are the band
+    # collisions only — delta-bounded, tiny at any corpus size.
     candidates = (
         delta_bands.alias("db")
         .join(
@@ -1837,6 +1860,7 @@ def incremental_lsh_dedup(
             F.col("cb.doc_id").alias("kept_doc"),
         )
         .distinct()
+        .transform(shared_persist)
     )
 
     sizes_d = sh_delta.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))

@@ -52,15 +52,44 @@ def widen_scan(df: DataFrame, min_parts: int = 16) -> DataFrame:
     return df
 
 
+# DataFrame-handle memo, keyed per live session (weak: a stopped session's
+# entries vanish with it) then per sf_dir. This is METADATA reuse, not
+# result caching: each `spark.read.parquet` costs a driver-side footer
+# read + a 1-task schema job, and the engine's query functions call
+# load_tables per invocation — measured r11, a 125-query bench session
+# paid ~10 such jobs per query (~0.3-0.8 s each call) re-deriving
+# identical scan plans. The memoized DataFrame is an UNEXECUTED plan:
+# every materialization still scans the parquet files; nothing about
+# results or data is retained. A production session holds table handles
+# in exactly this way (catalog/metastore lookup once per table).
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = None  # type: ignore[assignment]
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver parquet table as a DataFrame.
 
     Plain `spark.read.parquet` — schema comes from parquet footers (no
-    inference pass), filters/projections push down to the scan.
+    inference pass), filters/projections push down to the scan. Handles
+    are memoized per (session, sf_dir); callers get a fresh shallow copy
+    of the dict, so overwriting an entry (the sample_mod pattern) never
+    leaks into other callers.
     """
-    tables = {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLE_NAMES}
-    tables["events"] = normalize_event_ts(tables["events"])
-    return tables
+    global _TABLE_MEMO
+    if _TABLE_MEMO is None:
+        import weakref
+
+        _TABLE_MEMO = weakref.WeakKeyDictionary()
+    per_session = _TABLE_MEMO.setdefault(spark, {})
+    key = os.path.abspath(sf_dir)
+    tables = per_session.get(key)
+    if tables is None:
+        tables = {
+            name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            for name in TABLE_NAMES
+        }
+        tables["events"] = normalize_event_ts(tables["events"])
+        per_session[key] = tables
+    return dict(tables)
 
 
 def normalize_event_ts(ev: DataFrame) -> DataFrame:

@@ -9,6 +9,8 @@ merge the argmax pair greedily left-to-right, repeat.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 from collections import Counter
 
@@ -137,6 +139,7 @@ def test_bpe_tokenize_matches_python_reference(spark, sf_small):
         assert abs(got[doc_id][2] - exp_cps) < 1e-9
 
 
+@pytest.mark.slow
 def test_merge_fold_property(spark):
     """Property test: the Catalyst fold in _merge_pair implements greedy
     left-to-right non-overlapping pair merging exactly — checked against

@@ -29,24 +29,16 @@ SF_DIR = "/root/testdata/sf0.001"
 # and the composed e2e plans (curation.py).
 SWEEP = [
     "d3_minhash_lsh_pairs",
-    "d6_dedup_clusters",
-    "d16_cluster_survivors",
-    "d17_corpus_dup_profile",
-    "d19_bloom_decontamination",
     "d21_lsh_recall",
     "d22_lsh_cap_recall_sweep",
     "d24_incremental_lsh_dedup",
-    "d25_winnow_pairs",
     "a26_kmv_distinct_shingles",
-    "a27_cms_heavy_hitters",
     "a28_kmv_source_overlap",
     "t12_drift_monitor",
     "t20_kmv_sketch_refresh",
     "t21_cms_sketch_refresh",
     "tx19_quality_classifier",
     "v28_quantization_error_curve",
-    "smp7_leakage_safe_split",
-    "e2e_curation_pipeline",
     "e2e_auto_curation",
 ]
 

@@ -4,6 +4,8 @@ just the fixtures — boundary coverage, overlap arithmetic, reconstruction."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from ai_optimizer_spark.functions import text as T
@@ -102,6 +104,7 @@ def reference_repetition(text: str) -> tuple[int, int, float]:
         st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=30
     )
 )
+@pytest.mark.slow
 def test_repetition_stats_match_reference(tokens, spark):
     """The aggregate() run-length fold equals multiset max-multiplicity for
     arbitrary token sequences (incl. empty, single, all-equal)."""

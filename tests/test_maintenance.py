@@ -92,6 +92,7 @@ def test_fresh_generation_invariants_and_serve(spark, gen):
     assert got == _numpy_serve(spark, gen, 0, 8, 4)
 
 
+@pytest.mark.slow
 def test_apply_splits_preserves_invariants(spark, gen):
     store_name, _ = ensure_maintained_store(spark, SF, K, gen=gen)
     before = spark.table(store_name).count()
@@ -107,6 +108,7 @@ def test_apply_splits_preserves_invariants(spark, gen):
     assert got == _numpy_serve(spark, gen, 0, 8, 4)
 
 
+@pytest.mark.slow
 def test_apply_merges_preserves_invariants(spark, gen):
     store_name, geom_name = ensure_maintained_store(spark, SF, K, gen=gen)
     before = spark.table(store_name).count()
@@ -123,6 +125,7 @@ def test_apply_merges_preserves_invariants(spark, gen):
     assert got == _numpy_serve(spark, gen, 0, 8, 4)
 
 
+@pytest.mark.slow
 def test_apply_delete_wave_preserves_invariants(spark, gen):
     store_name, _ = ensure_maintained_store(spark, SF, K, gen=gen)
     before = spark.table(store_name).count()
@@ -140,9 +143,14 @@ def test_apply_delete_wave_preserves_invariants(spark, gen):
     assert got == _numpy_serve(spark, gen, 0, 8, 4)
 
 
+@pytest.mark.slow
 def test_delete_wave_idempotent(spark, gen):
     """Replaying the same erasure wave is a no-op: nothing left to delete,
-    no partitions rewritten, invariants intact."""
+    no partitions rewritten, invariants intact.
+
+    slow: the replay leg of the gen-store mutation chain (splits → merges
+    → delete wave → THIS) — it asserts on state the preceding slow-marked
+    wave test creates, so the chain runs together in the slow tier."""
     rep = apply_delete_wave(spark, SF, K, del_mod=41, del_rem=5, gen=gen)
     assert rep == {"affected_cells": 0, "deleted": 0}
     _assert_invariants(spark, gen, "after-replay")
@@ -159,6 +167,7 @@ def test_geom_serve_plan_shape(spark, gen):
     assert plan.count("Exchange") == plan.count("BroadcastExchange")
 
 
+@pytest.mark.slow
 def test_split_generation_reused_across_calls(spark, monkeypatch):
     """Two consecutive t18-style calls share ONE generation: the first
     builds (one apply_cell_splits), the second re-serves the cached gen
@@ -232,6 +241,7 @@ def test_sweep_stale_generations_guards(spark, tmp_path):
             shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_repair_plan_cycle_converges(spark):
     """The plan-driven loop (verdict r8 task 3): cycle 1 executes the
     decision table's rows with BALANCED splits; cycle 2 must decide
@@ -289,6 +299,7 @@ def test_balanced_split_halves_are_even(spark):
         assert int(grp.loc[grp.vec_id == b_vec, "seed_vec_id"].iloc[0]) == b_vec
 
 
+@pytest.mark.slow
 def test_delete_wave_reseeds_erased_seed(spark):
     """Erasing a geometry seed re-seeds the cell with its min surviving
     member: the geometry never references an erased id (verdict r8
@@ -355,6 +366,7 @@ def test_live_repair_plan_broadcast_only(spark, gen):
     assert "SortMergeJoin" not in plan
 
 
+@pytest.mark.slow
 def test_ingest_roundtrip_store_equality(spark):
     """Erase-wave → re-ingest reproduces the ENTIRE store and geometry
     bit-for-bit (not just the served top-k t24 hash-verifies): same
@@ -402,6 +414,7 @@ def test_ingest_roundtrip_store_equality(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow
 def test_ingest_into_repaired_geometry(spark):
     """Ingest into a store whose geometry has DIVERGED from the build
     convention: erase a wave, split hot cells (new cells, new seeds),

@@ -31,6 +31,7 @@ def _canon_store(spark, name):
     )
 
 
+@pytest.mark.slow
 def test_daemon_roundtrip_bit_identical(spark):
     """Erase → daemon re-ingest in 3 micro-batches (gate armed, never
     firing) reproduces the untouched store and geometry exactly."""
@@ -62,6 +63,7 @@ def test_daemon_roundtrip_bit_identical(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow
 def test_daemon_repairs_fire_and_converge(spark):
     """Tight thresholds: the gate FIRES mid-stream (split/merge on the
     live store between micro-batches), every invariant survives, and

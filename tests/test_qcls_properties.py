@@ -6,6 +6,8 @@ many distinct (x, w) rounding combinations."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -29,6 +31,7 @@ corpus = st.lists(
 
 @settings(max_examples=8, deadline=None)
 @given(spec=corpus)
+@pytest.mark.slow
 def test_row_scorer_bit_equals_batch_scorer(spec, spark):
     rows = [
         (i, " ".join(words), "en", src, len(words))

@@ -77,6 +77,7 @@ def _run_append(spark, plan, name, timeout_sec=120):
     return spark.table(name)
 
 
+@pytest.mark.slow
 def test_tumbling_counts_drop_late_events(spark, tmp_path):
     """st6 semantics: an event below the watermark is DROPPED — the
     finalized window holds only on-time events, while the batch twin (which
@@ -116,6 +117,7 @@ def test_tumbling_counts_drop_late_events(spark, tmp_path):
     assert batch[0].n_events == 2
 
 
+@pytest.mark.slow
 def test_session_windows_drop_late_events(spark, tmp_path):
     """st7 semantics: a late event belonging to an already-finalized
     session is dropped — the emitted session keeps its on-time bounds and
@@ -156,6 +158,7 @@ def test_session_windows_drop_late_events(spark, tmp_path):
     assert b7.n_events == 3 and b7.session_end == _ts(10, 20)
 
 
+@pytest.mark.slow
 def test_streaming_dedup_drops_watermark_late_first_occurrences(spark, tmp_path):
     """st8 semantics, the sharp edge: dropDuplicatesWithinWatermark drops
     late rows BEFORE the duplicate check, so a late-arriving FIRST
@@ -192,6 +195,7 @@ def test_streaming_dedup_drops_watermark_late_first_occurrences(spark, tmp_path)
     assert batch_ids == [100, 200, 250, 300, 400]  # batch distinct keeps 300
 
 
+@pytest.mark.slow
 def test_neardup_feed_is_arrival_order_invariant(spark, sf_small, tmp_path):
     """st12 semantics: the near-dup candidate feed is STATELESS per row
     (band keys are a fold, the index side is static), so arrival order —
@@ -247,6 +251,7 @@ def test_neardup_feed_is_arrival_order_invariant(spark, sf_small, tmp_path):
     assert results[0] == results[1] and results[0]
 
 
+@pytest.mark.slow
 def test_stream_stream_join_drops_late_matches(spark, tmp_path):
     """st5 semantics: a purchase arriving after the watermark evicted its
     matching view's state produces NO attribution — the stream-stream
@@ -783,6 +788,7 @@ def test_streaming_sq8_ingest_multibatch_equals_batch_stats(
     assert results["fwd"] == results["rev"] == truth
 
 
+@pytest.mark.slow
 def test_streaming_fertility_multibatch_equals_batch_table(
     spark, sf_small, tmp_path
 ):
@@ -967,6 +973,7 @@ def test_streaming_knn_serving_multibatch_equals_batch(spark, sf_small, tmp_path
     assert set(served) == truth
 
 
+@pytest.mark.slow
 def test_streaming_erasure_disjoint_waves_commute(spark, sf_small, tmp_path):
     """st22's wave contract: delete waves touching DISJOINT cell sets
     produce exactly the records of one combined wave (per-cell repair

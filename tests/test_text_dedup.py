@@ -4,6 +4,7 @@ consistency (mirrors the reference's own unit strategy, SURVEY.md §5)."""
 from __future__ import annotations
 
 import math
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -273,6 +274,7 @@ def test_choose_simhash_blocking_scales_with_corpus():
         assert b - m >= D.SIMHASH_MAX_HAMMING  # zero false negatives
 
 
+@pytest.mark.slow
 def test_simhash_auto_blocking_end_to_end_on_16x_tile(spark, sf_medium):
     """VERDICT r4 task 6: the d4 production entry point (simhash_pairs_auto
     → choose_simhash_blocking) exercised end-to-end on a 16× tiled corpus
@@ -444,6 +446,7 @@ def test_semdedup_auto_k_matches_oracle_floor():
     assert choose_semdedup_k(80_000) == 160
 
 
+@pytest.mark.slow
 def test_dedup_manifest_agrees_with_cascade_profile(spark, sf_small):
     """Row-level manifest and aggregate profile are two finishes of ONE
     flag table: per-stage manifest counts must equal the profile's
@@ -470,6 +473,7 @@ def test_dedup_manifest_agrees_with_cascade_profile(spark, sf_small):
         assert tok_by_stage.get(s, 0) == expected_tokens, s
 
 
+@pytest.mark.slow
 def test_lsh_recall_sampled_mod1_equals_unsampled(spark, sf_medium):
     """sample_mod=1 is the identity: the sampled harness (d21b's form)
     must reproduce the unsampled d21 row bit-for-bit; sample_mod=2 must
@@ -529,6 +533,7 @@ def test_cap_sweep_rows_match_d21_at_each_cap(spark, sf_medium):
         assert row.n_candidate_pairs >= row.n_caught_pairs
 
 
+@pytest.mark.slow
 def test_safe_cap_chooser_escalates_when_auto_cap_drops_true_pairs(spark):
     """The regime d22 exists for (VERDICT r6 task 1): a boilerplate-heavy
     bucket that the profile-driven auto cap DROPS even though it holds

@@ -1,9 +1,10 @@
-"""Dump .explain('formatted') for registry queries to plans/r10/.
+"""Dump .explain('formatted') for registry queries to plans/$SPARK_GRAFT_PLAN_ROUND/
+(default r11).
 
 Usage:
     python tools/explain_dump.py <suffix> <query> [<query> ...]
 
-Writes plans/r10/<query>_<suffix>.txt for each query (suffix = before/after).
+Writes plans/<round>/<query>_<suffix>.txt for each query (suffix = before/after).
 Building the DataFrame runs any eager harness side effects (store builds),
 but the plan itself is not executed. SPARK_GRAFT_SF_DIR picks the scale
 (default sf0.1 — the bench scale, so plans match the bench's shapes).
@@ -25,7 +26,9 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("ai_optimizer_spark-explain")

@@ -263,6 +263,29 @@ def minhash_lsh_pairs(
     )
 
 
+def _lsh_signatures(docs: DataFrame) -> DataFrame:
+    """THE MinHash signature aggregation — (doc_id, n_sh, mh0..mh7), one
+    pass over the shingle index (md5 once per shingle; the per-doc set
+    size rides along in the same partial aggregate for free).
+
+    Defined ONCE (r11) so every batch consumer — `_lsh_candidate_pairs`
+    (d3/d6/d21/cascades) and `minhash_band_keys` (d17 profile, d22 sweep,
+    d24 incremental, st12 static side) — instantiates the IDENTICAL
+    logical subtree: when any one of them is persisted (`shared_persist`),
+    Catalyst substitutes that InMemoryRelation into all the others, so a
+    composed plan like e2e_auto_curation (d17 profile + LSH stage) runs
+    the signature pass once instead of once per consumer."""
+    sh = _shingle_sets(docs)
+    hashed = sh.withColumn("base", T.hash60(F.col("shingle")))
+    return hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(term).alias(f"mh{s}")
+            for s, term in enumerate(T.minhash_terms(F.col("base"), MINHASH_HASHES))
+        ],
+    )
+
+
 def _lsh_candidate_pairs(
     t: dict[str, DataFrame], max_bucket_size: int | None = None
 ):
@@ -272,16 +295,7 @@ def _lsh_candidate_pairs(
     them with the exact pair set it has already computed)."""
     docs = t["documents"]
     sh = _shingle_sets(docs).transform(shared_persist)
-    hashed = sh.withColumn("base", T.hash60(F.col("shingle")))
-    # one pass over the shingle index yields BOTH the signature and the set
-    # size — the size groupBy that verification needs rides along for free
-    sig = hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        *[
-            F.min(term).alias(f"mh{s}")
-            for s, term in enumerate(T.minhash_terms(F.col("base"), MINHASH_HASHES))
-        ],
-    ).transform(shared_persist)
+    sig = _lsh_signatures(docs).transform(shared_persist)
 
     n_bands = MINHASH_HASHES // LSH_BAND_ROWS
     bands = sig.select(
@@ -1079,15 +1093,16 @@ def minhash_band_keys(docs: DataFrame) -> DataFrame:
     would need shuffle state; it evaluates interpreted (HOFs sit outside
     codegen), measured ~3× slower per row than this form, so every batch
     path uses this one (the d17 scale probe caught the difference: 9.9 s →
-    2.5 s at sf0.1)."""
-    sh = _shingle_sets(docs)
-    hashed = sh.withColumn("base", T.hash60(F.col("shingle")))
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(term).alias(f"mh{s}")
-            for s, term in enumerate(T.minhash_terms(F.col("base"), MINHASH_HASHES))
-        ]
-    )
+    2.5 s at sf0.1).
+
+    r11: the signature aggregate is `_lsh_signatures` — the SAME logical
+    subtree `_lsh_candidate_pairs` uses — so a composed plan that persists
+    either one (e2e_auto_curation, d22) computes the signature pass once
+    for profile + candidate consumers via Catalyst cache substitution.
+    The extra `n_sh` column it carries is one count riding an aggregate
+    that already exists; the returned schema and every (doc_id, band,
+    key) value are unchanged."""
+    sig = _lsh_signatures(docs)
     n_bands = MINHASH_HASHES // LSH_BAND_ROWS
     bands = F.array(
         *[

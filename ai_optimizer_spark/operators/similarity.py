@@ -141,7 +141,17 @@ def lsh_bucket_topk(
 def knn_self_join(t: dict[str, DataFrame], k: int = 3, limit_queries: int = 50) -> DataFrame:
     """Brute-force kNN join: for each of the first `limit_queries` vectors,
     its k nearest neighbours (excluding itself). The all-pairs baseline the
-    ANN variants are judged against."""
+    ANN variants are judged against.
+
+    r11 (guide §2.2): the candidate side is widened first — the N·Q
+    interpreted HOF cosines are the dominant map cost, and the single-
+    row-group fixture scan ran all of them on ONE core out of 32 (profiled:
+    2 tasks, 1.9 s of the query's 2.0 s in that one stage). No-op on real
+    multi-row-group tables; the query side broadcasts from the narrow scan
+    as before. Per-row arithmetic and the window's total order are
+    partitioning-independent, so results are bit-identical."""
+    from ..tables import widen_scan
+
     emb = t["embeddings"]
     q = emb.filter(F.col("vec_id") < limit_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -149,7 +159,7 @@ def knn_self_join(t: dict[str, DataFrame], k: int = 3, limit_queries: int = 50) 
     sim = F.round(V.cosine_similarity("embedding", "query_vec"), 3) + F.lit(0.0)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        emb.crossJoin(F.broadcast(q))
+        widen_scan(emb).crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", sim.alias("cos_sim"))
         .withColumn("rnk", F.row_number().over(w))
@@ -1837,6 +1847,9 @@ RP_SIGNS: tuple[tuple[float, ...], ...] = tuple(
     tuple(_rp_sign(i, j) for j in range(RP_EMB_DIM)) for i in range(RP_DIM)
 )
 
+# parsed-projection memo, keyed per live SparkContext (see _rp_project)
+_RP_PROJECT_MEMO = None
+
 
 def _rp_project(col_name: str, signs=RP_SIGNS) -> Column:
     """The RP_DIM projected coordinates of a vector column as ONE array
@@ -1857,7 +1870,29 @@ def _rp_project(col_name: str, signs=RP_SIGNS) -> Column:
     read path (measured: the py4j form put ~17 s of DRIVER time on every
     v29 call regardless of corpus size). Scalar per-element casts
     (double(float) is exact) keep the values identical to casting the
-    whole array first."""
+    whole array first.
+
+    r11: the parsed Column is memoized per live SparkContext (the
+    load_tables pattern) — parsing the ~1,500-term string still cost
+    ~0.4 s of driver time PER CALL (breakdown probe: v29 build 0.85 s,
+    two `_rp_project` parses). A Column is an immutable unresolved
+    expression handle; reusing it across plans is exactly what `F.col`
+    does, and analysis re-instantiates fresh expression ids per query.
+    Keyed on the SparkContext so a stopped JVM's handle is never reused."""
+    if signs is RP_SIGNS:
+        import weakref
+
+        global _RP_PROJECT_MEMO
+        if _RP_PROJECT_MEMO is None:
+            _RP_PROJECT_MEMO = weakref.WeakKeyDictionary()
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        memo = _RP_PROJECT_MEMO.setdefault(sc, {}) if sc is not None else None
+        if memo is not None and col_name in memo:
+            return memo[col_name]
+    else:
+        memo = None
     chains = []
     for row in signs:
         chains.append(
@@ -1866,7 +1901,10 @@ def _rp_project(col_name: str, signs=RP_SIGNS) -> Column:
                 for j, s in enumerate(row)
             )
         )
-    return F.expr("array(" + ", ".join(chains) + ")")
+    col = F.expr("array(" + ", ".join(chains) + ")")
+    if memo is not None:
+        memo[col_name] = col
+    return col
 
 
 def _rp_dot(a: Column, b: Column) -> Column:
@@ -1916,14 +1954,23 @@ def random_projection_topk(
     was CHOSEN by measurement, not assumed: recall vs the exact top-8 is
     1.0 at sf0.01 and sf0.1 on the fixture corpora (8/16-dim projections
     lose the ordering: the synthetic embeddings' cosine gaps are tiny);
-    the unit test pins a recall floor."""
+    the unit test pins a recall floor.
+
+    r11 (guide §2.2): the candidate side is widened — the 24 depth-64
+    projection chains per row are the dominant map cost and the
+    single-row-group fixture scan ran them all on ONE core (profiled: 2
+    tasks, 1.9 s of exec). No-op on real multi-row-group tables; per-row
+    arithmetic and both TakeOrdered total orders are partitioning-
+    independent, so the served rows are bit-identical."""
+    from ..tables import widen_scan
+
     emb = t["embeddings"]
     q = _query_vectors(t, [query_id])
     qp = q.select(
         "query_vec", _rp_project("query_vec").alias("qv")
     )
     coarse = (
-        emb.crossJoin(F.broadcast(qp))
+        widen_scan(emb).crossJoin(F.broadcast(qp))
         .filter(F.col("vec_id") != query_id)
         .select(
             "vec_id",

@@ -430,9 +430,16 @@ def bpe_learn(t: dict[str, DataFrame], n_merges: int = 8) -> DataFrame:
             break
         r = best[0]
         learned.append((rank, r["a"], r["b"], int(r["pair_count"])))
+        # r11 (guide §1.2/§5): LAZY checkpoint — eager=True paid a second
+        # driver job per round, and the LAST round's merge was computed
+        # then thrown away (nothing consumes syms after the loop). The
+        # lazy checkpoint materializes inside the next round's collect, so
+        # lineage still truncates one round at a time; values are
+        # untouched (a checkpoint is just materialization), and the loop
+        # drops from 2 jobs per round + 1 dead merge to 1 job per round.
         syms = syms.select(
             _merge_pair(F.col("syms"), r["a"], r["b"]).alias("syms"), "freq"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     spark = t["documents"].sparkSession
     return spark.createDataFrame(
         learned, "merge_rank int, a string, b string, pair_count bigint"

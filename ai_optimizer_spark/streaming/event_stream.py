@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
+from ..tables import load_tables
+
 # State-store partition count for the memory-sink streaming harness runs
 # (r10, guide §2.2/§6.2 — fewer, larger partitions; the st23 contract
 # timeout). Every stateful aggregate in this package keeps BOUNDED state —
@@ -240,7 +242,7 @@ class ProgressRecorder(StreamingQueryListener):
 
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the documents parquet (file source, glob-scoped)."""
-    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    static = load_tables(spark, sf_dir)["documents"]
     return (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)
@@ -256,7 +258,7 @@ def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to globbing the single file out of its parent."""
     import os as _os
 
-    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    static = load_tables(spark, sf_dir)["embeddings"]
     table_path = f"{sf_dir}/embeddings.parquet"
     reader = spark.readStream.schema(static.schema).option("maxFilesPerTrigger", 1)
     if _os.path.isdir(table_path):
@@ -397,7 +399,7 @@ def run_segment_purchases_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink, complete mode) and return the materialized rollup."""
     import uuid
 
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    customer = load_tables(spark, sf_dir)["customer"]
     name = f"st_segments_{uuid.uuid4().hex[:12]}"
     plan = segment_purchase_stats(events_stream(spark, sf_dir), customer)
     return run_to_memory(spark, plan, name, timeout_sec=300)
@@ -418,7 +420,7 @@ def streaming_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = documents_stream(spark, sf_dir)
     stream_bands = minhash_band_keys_fold(docs)  # stateless: stream-legal
     static_index = minhash_band_keys(  # batch side: codegen agg form
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        load_tables(spark, sf_dir)["documents"]
     ).select(F.col("doc_id").alias("index_doc"), "band", "key")
     plan = (
         stream_bands.join(static_index, ["band", "key"])
@@ -450,7 +452,7 @@ def streaming_span_novelty(spark: SparkSession, sf_dir: str, window: int = 8) ->
     from ..operators.dedup import span_fingerprints, span_index
 
     docs = documents_stream(spark, sf_dir)
-    idx = span_index(spark.read.parquet(f"{sf_dir}/documents.parquet"), window)
+    idx = span_index(load_tables(spark, sf_dir)["documents"], window)
     probed = span_fingerprints(docs, window).join(idx, "wh", "left")
     known = (F.col("n_docs") >= 2) | (
         (F.col("n_docs") == 1) & (F.col("min_doc") != F.col("doc_id"))
@@ -519,7 +521,7 @@ def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import uuid
 
-    static_sh = _shingle_sets(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    static_sh = _shingle_sets(load_tables(spark, sf_dir)["documents"])
     bits = bloom_bench_bits(static_sh).localCheckpoint(eager=True)
 
     docs = documents_stream(spark, sf_dir).filter(
@@ -547,7 +549,7 @@ def streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     when to re-train centroids or split cells)."""
     from ..operators.similarity import assign_cells_auto
 
-    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    static = load_tables(spark, sf_dir)["embeddings"]
     cents = static.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
@@ -583,7 +585,7 @@ def streaming_drift_monitor(
 
     from ..operators.refresh import _centroid_model, drift_cell_stats, drift_report
 
-    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    static = load_tables(spark, sf_dir)["embeddings"]
     cents, cent_rows = _centroid_model(static, n_centroids)
     stream = embeddings_stream(spark, sf_dir)
     new_cells = drift_cell_stats(
@@ -613,7 +615,7 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textops import qcls_fit, qcls_score_expr
     import uuid
 
-    static_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    static_docs = load_tables(spark, sf_dir)["documents"]
     weights, feat = qcls_fit(static_docs)
     feat.unpersist()
 
@@ -656,7 +658,7 @@ def streaming_semantic_decontamination(spark: SparkSession, sf_dir: str) -> Data
     from ..functions import vector as V
     from ..operators.similarity import assign_cells_auto
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_tables(spark, sf_dir)["embeddings"]
     n_centroids = choose_semdedup_k(emb.count())
     cents = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
@@ -723,7 +725,7 @@ def streaming_sq8_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import sq8_cell_stats
 
-    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    static = load_tables(spark, sf_dir)["embeddings"]
     cents = static.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
@@ -864,7 +866,7 @@ def streaming_knn_serving(
         .withColumn("cid", F.col("cid").cast("long"))
         .withColumn("codes", F.col("codes").cast("array<double>"))
     )
-    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = load_tables(spark, sf_dir)["embeddings"]
     cents = src.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("ccid"), F.col("embedding").alias("ce")
     )

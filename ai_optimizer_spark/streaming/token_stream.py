@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..tables import load_tables
 
 
 def token_chunks(docs: DataFrame) -> DataFrame:
@@ -79,7 +80,7 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet as a bounded stream (availableNow drains it) —
     the events_stream pattern: schema from the static footer, directory
     source scoped to the one file by glob."""
-    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    static = load_tables(spark, sf_dir)["documents"]
     return (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)

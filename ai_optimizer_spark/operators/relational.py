@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import shared_persist
+
 
 def revenue_expr():
     """Per-line revenue: extendedprice * (1 - discount)."""
@@ -1012,12 +1014,17 @@ def waiting_supplier(t: dict[str, DataFrame], late_days: int = 60, k: int = 20) 
         t["orders"].select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
+    # persisted (r11, guide §2.4): per_os feeds TWO consumers (the
+    # per-order rollup and the culprit filter-join) and the committed
+    # before-plan shows NO ReusedExchange — lineitem⋈orders plus this
+    # aggregate computed twice. The cached rows are (orderkey, suppkey,
+    # was_late) digests — the narrow proxy, never lineitem payloads.
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(
             (F.col("l_shipdate")
              > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")).cast("int")
         ).alias("was_late")
-    )
+    ).transform(shared_persist)
     per_order = per_os.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
         F.count(F.lit(1)).alias("n_supps"),
         F.sum("was_late").alias("n_late"),

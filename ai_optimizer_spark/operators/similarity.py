@@ -438,8 +438,16 @@ def ivf_topk(
     partition pruning and the scan reads n_probe/n_centroids of the data.
     Recall is traded against `n_probe` exactly as in FAISS-style IVF-Flat.
     """
+    from ..tables import widen_scan
+
     emb = t["embeddings"]
-    cents, assigned = _ivf_assign(emb, n_centroids)
+    # r11 (guide 2.2): widen the assignment input - the per-row argmin fold
+    # over the inlined centroid model is the dominant map cost, and the
+    # single-row-group fixture scan ran it on one core. Round-robin only
+    # (the map-only guard forbids a vec_id hash exchange); no-op on real
+    # multi-row-group tables; per-row arithmetic and the top-k total order
+    # are partitioning-independent.
+    cents, assigned = _ivf_assign(widen_scan(emb), n_centroids)
     q = _query_vectors(t, [query_id])
     return _probe_and_search(cents, assigned, q, query_id, k, n_probe)
 
@@ -458,8 +466,12 @@ def ivf_knn_join(
     is a tiny broadcast, and the per-query window parallelizes on query_id.
     At scale with the store partitioned by `cid`, each query reads
     n_probe/n_centroids of the data — same plan, pruned scan."""
+    from ..tables import widen_scan
+
     emb = t["embeddings"]
-    cents, assigned = _ivf_assign(emb, n_centroids)
+    # r11: same widen-the-assignment-input move as ivf_topk (guide 2.2);
+    # the query side stays on the narrow scan (it broadcasts).
+    cents, assigned = _ivf_assign(widen_scan(emb), n_centroids)
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -947,8 +959,14 @@ def range_search(
     (proven in tests/test_similarity.py on constructed clusters); on
     uniformly random vectors distance concentration leaves little to prune,
     which is a property of the data, not the plan."""
+    from ..tables import widen_scan
+
     emb = t["embeddings"]
-    cents, assigned = _ivf_assign(emb, n_centroids)
+    # r11: widen the assignment input (guide 2.2) - BOTH consumers (the
+    # radii aggregate and the pruned scan) re-run the argmin fold, and the
+    # fixture scan put each on one core. No-op at real scale; the stored
+    # twin (v16b) reads radii off the store and never recomputes.
+    cents, assigned = _ivf_assign(widen_scan(emb), n_centroids)
     cell_r = (
         assigned.join(F.broadcast(cents), "cid")
         .select("cid", V.euclidean_distance("embedding", "ce").alias("dc"))

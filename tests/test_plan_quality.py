@@ -16,6 +16,13 @@ SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
+    # Assert the COLD plan: an earlier test's operator-internal persist
+    # (shared_persist registers with the CacheManager at plan-build time)
+    # would otherwise substitute an InMemoryRelation into this query's
+    # identical subtrees and change exchange/scan counts — exactly the
+    # sharing the persists exist for, but not what these guards pin.
+    # bench.py isolates queries the same way (clearCache between queries).
+    spark.catalog.clearCache()
     buf = io.StringIO()
     with redirect_stdout(buf):
         QUERIES[name](spark, SF).explain("formatted")
